@@ -1,0 +1,10 @@
+"""The declared query inventory (SURVEY.md §2).
+
+Importing this package populates ``appstore_aws_etl_spark.registry.REGISTRY``
+with every implemented query key. Module order mirrors the build plan
+(SURVEY.md §7.1).
+"""
+
+from . import flagship  # noqa: F401
+
+__all__ = ["flagship"]
