@@ -1,0 +1,318 @@
+"""§2.4 Aggregations (A2-A14; A1 is the flagship in flagship.py).
+
+Everything here is Spark's built-in hash aggregation: partial (map-side)
+aggregation collapses input before the shuffle, and AQE coalesces the
+post-shuffle partitions. Grouping keys are low-cardinality dimension
+values, so the exchanges stay tiny no matter the input size.
+
+Determinism discipline (SURVEY.md §7.4): every computed double is
+rounded identically on both sides; collections are sorted + joined to
+strings; extremum-of-group uses max_by/min_by with unique tie-breaks.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..catalog import load, register_views
+from ..registry import query
+
+
+@query(
+    "agg_global",
+    oracle="""
+    SELECT count(*)                        AS n_rows,
+           CAST(sum(l_linenumber) AS BIGINT) AS sum_lines,
+           round(sum(l_extendedprice), 2)  AS sum_price,
+           round(min(l_extendedprice), 2)  AS min_price,
+           round(max(l_extendedprice), 2)  AS max_price,
+           round(avg(l_quantity), 4)       AS avg_qty
+    FROM lineitem
+    """,
+    tags=("agg",),
+)
+def agg_global(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A2 whole-table aggregation — no grouping key, single-row result."""
+    li = load(spark, sf_dir, "lineitem")
+    return li.agg(
+        F.count(F.lit(1)).alias("n_rows"),
+        F.sum("l_linenumber").alias("sum_lines"),
+        F.round(F.sum("l_extendedprice"), 2).alias("sum_price"),
+        F.round(F.min("l_extendedprice"), 2).alias("min_price"),
+        F.round(F.max("l_extendedprice"), 2).alias("max_price"),
+        F.round(F.avg("l_quantity"), 4).alias("avg_qty"),
+    )
+
+
+@query(
+    "agg_count_distinct",
+    oracle="""
+    SELECT l_returnflag,
+           count(DISTINCT l_partkey) AS n_parts,
+           count(DISTINCT l_suppkey) AS n_supps
+    FROM lineitem GROUP BY l_returnflag
+    """,
+    tags=("agg",),
+)
+def agg_count_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A3 exact distinct counts (expand + two-phase agg under the hood)."""
+    return (
+        load(spark, sf_dir, "lineitem")
+        .groupBy("l_returnflag")
+        .agg(
+            F.countDistinct("l_partkey").alias("n_parts"),
+            F.countDistinct("l_suppkey").alias("n_supps"),
+        )
+    )
+
+
+@query("agg_approx_distinct", oracle=None, tags=("agg", "approx"))
+def agg_approx_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A4 HyperLogLog++ cardinality estimate.
+
+    Oracle-less by design: HLL sketches differ across engines
+    (SURVEY.md §7.4.5). Our own tolerance test lives in
+    tests/test_aggregates.py (estimate within 5% of exact).
+    """
+    return (
+        load(spark, sf_dir, "lineitem")
+        .groupBy("l_returnflag")
+        .agg(F.approx_count_distinct("l_partkey", rsd=0.02).alias("approx_parts"))
+    )
+
+
+@query(
+    "agg_filtered",
+    oracle="""
+    SELECT l_returnflag,
+           round(sum(l_extendedprice) FILTER (WHERE l_quantity > 25), 2) AS big_qty_price,
+           count(*) FILTER (WHERE l_discount > 0.05)                     AS n_discounted
+    FROM lineitem GROUP BY l_returnflag
+    """,
+    tags=("agg",),
+)
+def agg_filtered(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A5 conditional aggregation within groups."""
+    li = load(spark, sf_dir, "lineitem")
+    return li.groupBy("l_returnflag").agg(
+        F.round(
+            F.sum(F.when(F.col("l_quantity") > 25, F.col("l_extendedprice"))), 2
+        ).alias("big_qty_price"),
+        F.count(F.when(F.col("l_discount") > 0.05, F.lit(1))).alias("n_discounted"),
+    )
+
+
+_GROUPING_SETS_ORACLE = """
+SELECT l_returnflag, l_linestatus,
+       round(sum(l_quantity), 2) AS sum_qty,
+       count(*)                  AS n
+FROM lineitem
+GROUP BY GROUPING SETS ((l_returnflag, l_linestatus), (l_returnflag), ())
+"""
+
+
+@query("agg_grouping_sets", oracle=_GROUPING_SETS_ORACLE, tags=("agg",))
+def agg_grouping_sets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A6 multiple grouping levels in one pass (Expand operator)."""
+    register_views(spark, sf_dir, ["lineitem"])
+    return spark.sql(_GROUPING_SETS_ORACLE)
+
+
+@query(
+    "agg_rollup",
+    oracle="""
+    SELECT l_returnflag, l_linestatus,
+           round(sum(l_quantity), 2) AS sum_qty, count(*) AS n
+    FROM lineitem GROUP BY ROLLUP (l_returnflag, l_linestatus)
+    """,
+    tags=("agg",),
+)
+def agg_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A7 hierarchical subtotals."""
+    return (
+        load(spark, sf_dir, "lineitem")
+        .rollup("l_returnflag", "l_linestatus")
+        .agg(F.round(F.sum("l_quantity"), 2).alias("sum_qty"), F.count(F.lit(1)).alias("n"))
+    )
+
+
+@query(
+    "agg_cube",
+    oracle="""
+    SELECT l_returnflag, l_linestatus,
+           round(sum(l_quantity), 2) AS sum_qty, count(*) AS n
+    FROM lineitem GROUP BY CUBE (l_returnflag, l_linestatus)
+    """,
+    tags=("agg",),
+)
+def agg_cube(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A8 all grouping combinations."""
+    return (
+        load(spark, sf_dir, "lineitem")
+        .cube("l_returnflag", "l_linestatus")
+        .agg(F.round(F.sum("l_quantity"), 2).alias("sum_qty"), F.count(F.lit(1)).alias("n"))
+    )
+
+
+@query(
+    "agg_stats",
+    oracle="""
+    SELECT l_returnflag,
+           round(stddev_samp(l_quantity), 4)                 AS sd_qty,
+           round(var_samp(l_quantity), 4)                    AS var_qty,
+           round(corr(l_quantity, l_extendedprice), 4)       AS corr_qty_price,
+           round(covar_samp(l_quantity, l_extendedprice), 2) AS covar_qty_price
+    FROM lineitem GROUP BY l_returnflag
+    """,
+    tags=("agg",),
+)
+def agg_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A9 statistical aggregates (single-pass moment computation)."""
+    return (
+        load(spark, sf_dir, "lineitem")
+        .groupBy("l_returnflag")
+        .agg(
+            F.round(F.stddev_samp("l_quantity"), 4).alias("sd_qty"),
+            F.round(F.var_samp("l_quantity"), 4).alias("var_qty"),
+            F.round(F.corr("l_quantity", "l_extendedprice"), 4).alias("corr_qty_price"),
+            F.round(F.covar_samp("l_quantity", "l_extendedprice"), 2).alias("covar_qty_price"),
+        )
+    )
+
+
+@query(
+    "agg_percentile",
+    oracle="""
+    SELECT l_returnflag,
+           round(quantile_cont(l_extendedprice, 0.5), 4)  AS p50_price,
+           round(quantile_cont(l_extendedprice, 0.95), 4) AS p95_price,
+           round(median(l_quantity), 4)                   AS med_qty
+    FROM lineitem GROUP BY l_returnflag
+    """,
+    tags=("agg",),
+)
+def agg_percentile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A10 exact interpolated percentiles.
+
+    Exact percentile is a sort-based aggregate — fine per-group at any
+    scale because each group's values land on one reducer; for global
+    percentiles at 100 TB prefer approx_percentile (t-digest).
+    """
+    return (
+        load(spark, sf_dir, "lineitem")
+        .groupBy("l_returnflag")
+        .agg(
+            F.round(F.percentile("l_extendedprice", F.lit(0.5)), 4).alias("p50_price"),
+            F.round(F.percentile("l_extendedprice", F.lit(0.95)), 4).alias("p95_price"),
+            F.round(F.median("l_quantity"), 4).alias("med_qty"),
+        )
+    )
+
+
+@query(
+    "agg_argmax",
+    oracle="""
+    SELECT l_returnflag,
+           arg_max(l_orderkey, l_extendedprice + l_orderkey * 1e-9) AS max_price_order,
+           arg_min(l_orderkey, l_extendedprice + l_orderkey * 1e-9) AS min_price_order
+    FROM lineitem GROUP BY l_returnflag
+    """,
+    tags=("agg",),
+)
+def agg_argmax(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A11 arg-extremum with a unique tie-break.
+
+    ``l_extendedprice`` can repeat within a group, which would make a
+    bare max_by nondeterministic (SURVEY.md §7.4.2); the ordering value
+    is perturbed by the unique key scaled far below price resolution.
+    """
+    li = load(spark, sf_dir, "lineitem")
+    order_val = F.col("l_extendedprice") + F.col("l_orderkey") * F.lit(1e-9)
+    return li.groupBy("l_returnflag").agg(
+        F.max_by("l_orderkey", order_val).alias("max_price_order"),
+        F.min_by("l_orderkey", order_val).alias("min_price_order"),
+    )
+
+
+@query(
+    "agg_collect",
+    oracle="""
+    SELECT l_orderkey,
+           string_agg(CAST(l_linenumber AS VARCHAR), ',' ORDER BY l_linenumber) AS line_numbers,
+           count(*) AS n_lines
+    FROM lineitem
+    GROUP BY l_orderkey
+    """,
+    tags=("agg",),
+)
+def agg_collect(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A12 per-group collection, made deterministic by sorting before
+    joining to a string (collect_list order is otherwise partition-
+    dependent)."""
+    li = load(spark, sf_dir, "lineitem")
+    return li.groupBy("l_orderkey").agg(
+        F.array_join(
+            F.transform(
+                F.sort_array(F.collect_list("l_linenumber")), lambda x: x.cast("string")
+            ),
+            ",",
+        ).alias("line_numbers"),
+        F.count(F.lit(1)).alias("n_lines"),
+    )
+
+
+@query(
+    "agg_pivot",
+    oracle="""
+    SELECT l_returnflag,
+           round(sum(l_quantity) FILTER (WHERE l_linestatus = 'F'), 2) AS F,
+           round(sum(l_quantity) FILTER (WHERE l_linestatus = 'O'), 2) AS O
+    FROM lineitem GROUP BY l_returnflag
+    """,
+    tags=("agg",),
+)
+def agg_pivot(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A13 pivot rows->columns with an explicit value list (explicit
+    values avoid the extra distinct-collection job Spark otherwise runs
+    — mandatory at scale)."""
+    return (
+        load(spark, sf_dir, "lineitem")
+        .groupBy("l_returnflag")
+        .pivot("l_linestatus", ["F", "O"])
+        .agg(F.round(F.sum("l_quantity"), 2))
+    )
+
+
+@query(
+    "agg_topk_group",
+    oracle="""
+    SELECT l_returnflag, l_orderkey, l_linenumber, l_extendedprice
+    FROM (
+        SELECT l_returnflag, l_orderkey, l_linenumber, l_extendedprice,
+               row_number() OVER (
+                   PARTITION BY l_returnflag
+                   ORDER BY l_extendedprice DESC, l_orderkey, l_linenumber
+               ) AS rn
+        FROM lineitem
+    ) WHERE rn <= 3
+    """,
+    tags=("agg", "window"),
+)
+def agg_topk_group(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A14 top-k rows per group via ranked window + filter.
+
+    Spark pushes a per-partition top-k (WindowGroupLimit) below the
+    shuffle, so only k rows per group per partition move — scale-safe.
+    """
+    from pyspark.sql import Window
+
+    li = load(spark, sf_dir, "lineitem")
+    w = Window.partitionBy("l_returnflag").orderBy(
+        F.col("l_extendedprice").desc(), "l_orderkey", "l_linenumber"
+    )
+    return (
+        li.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= 3)
+        .select("l_returnflag", "l_orderkey", "l_linenumber", "l_extendedprice")
+    )

@@ -1,0 +1,76 @@
+"""§2.1 Scans (S5 parquet, S6 CSV/TSV, S7 JSON).
+
+The reference's ingest model is App-Store-style exports: gzipped TSV
+sales reports and JSON analytics payloads landed as opaque objects
+(SURVEY.md §1.1, reference utils/utils/s3.py:26-30). Here each format
+is read with an *explicit schema* — inference is a second full pass
+over the data and is banned in production paths.
+
+The CSV/JSON queries materialize a deterministic export of a fixture
+table into a local cache dir, read it back through the format reader,
+and oracle against the original parquet — proving a lossless
+ingest round-trip.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from .. import schemas
+from ..catalog import load
+from ..registry import query
+
+CACHE_DIR = os.environ.get("SPARK_GRAFT_CACHE", "/tmp/appstore_etl_cache")
+
+
+@query(
+    "scan_parquet",
+    oracle="SELECT * FROM nation",
+    tags=("scan",),
+)
+def scan_parquet(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """S5 typed columnar scan."""
+    return load(spark, sf_dir, "nation")
+
+
+@query(
+    "scan_csv",
+    oracle="SELECT n_nationkey, n_name, n_regionkey FROM nation",
+    tags=("scan",),
+)
+def scan_csv(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """S6 gzipped TSV ingest (App Store sales-report shape) with an
+    explicit schema; round-trips ``nation`` through csv.gz."""
+    path = os.path.join(CACHE_DIR, "scan_csv", os.path.basename(sf_dir.rstrip("/")))
+    (
+        load(spark, sf_dir, "nation")
+        .coalesce(1)
+        .write.mode("overwrite")
+        .options(sep="\t", header=True, compression="gzip")
+        .csv(path)
+    )
+    return (
+        spark.read.schema(schemas.NATION)
+        .options(sep="\t", header=True)
+        .csv(path)
+        .select("n_nationkey", "n_name", "n_regionkey")
+    )
+
+
+@query(
+    "scan_json",
+    oracle="SELECT n_nationkey, n_name, n_regionkey FROM nation",
+    tags=("scan",),
+)
+def scan_json(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """S7 JSON-lines ingest (API payload shape) with explicit schema."""
+    path = os.path.join(CACHE_DIR, "scan_json", os.path.basename(sf_dir.rstrip("/")))
+    load(spark, sf_dir, "nation").coalesce(1).write.mode("overwrite").json(path)
+    return (
+        spark.read.schema(schemas.NATION)
+        .json(path)
+        .select("n_nationkey", "n_name", "n_regionkey")
+    )
