@@ -24,7 +24,23 @@ def load(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
 
     Parquet carries its own schema; Catalyst prunes columns and pushes
     predicates into the scan (verified by plan-shape tests).
+
+    ``events.ts`` is nanosecond-precision in the fixture parquet, which
+    Spark 4 rejects outright ([PARQUET_TYPE_ILLEGAL]); it is read as
+    raw nanos via the legacy conf and truncated to Spark's native µs
+    with exact integer division (``div`` — float division would round
+    near whole-µs boundaries). SURVEY.md §7.4.3: oracle comparisons
+    bucket to >= second granularity anyway.
     """
+    if name == "events":
+        spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+        from pyspark.sql import functions as F
+
+        return (
+            spark.read.parquet(table_path(sf_dir, name))
+            .withColumn("ts", F.expr("timestamp_micros(ts div 1000)"))
+            .select("event_id", "ts", "user_id", "event_type", "value", "props")
+        )
     return spark.read.parquet(table_path(sf_dir, name))
 
 

@@ -1,0 +1,96 @@
+"""As-of join (SURVEY.md §2.3 J11, §4.2): nearest prior-timestamp match.
+
+Spark SQL has no native ASOF JOIN (DuckDB and pandas do); this operator
+re-expresses it with a *single shuffle + window* instead of the naive
+O(n*m) inequality join:
+
+1. union left and right rows, tagged, with right payload columns
+   null-padded on the left side;
+2. one window partitioned by the join keys, ordered by
+   (ts, side, tie-break), frame = unbounded preceding .. current row;
+3. ``last(payload, ignorenulls=True)`` carries the most recent right
+   payload forward onto each left row.
+
+Cost model: one exchange on the join keys + one in-partition sort —
+identical asymptotics to a sort-merge join, so it scales wherever SMJ
+does. Key skew is handled by AQE the same way as any windowed op.
+
+Semantics match DuckDB ``ASOF JOIN`` with ``>=`` (backward, inclusive);
+``allow_exact_matches=False`` gives strict ``>``. Ties among right rows
+at the same timestamp resolve to the greatest ``tie_break`` value —
+always pass one for deterministic output (SURVEY.md §7.4.2).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+
+_SIDE = "__asof_is_left"
+
+
+def asof_join(
+    left: DataFrame,
+    right: DataFrame,
+    on: list[str],
+    left_ts: str,
+    right_ts: str,
+    right_payload: list[str] | None = None,
+    tie_break: str | None = None,
+    allow_exact_matches: bool = True,
+    payload_prefix: str = "asof_",
+) -> DataFrame:
+    """For each left row, attach the payload of the latest right row with
+    ``right.ts <= left.ts`` (or ``<`` if not allow_exact_matches) within
+    the same ``on`` key group. Left rows with no match keep nulls
+    (left-outer semantics).
+    """
+    right_payload = right_payload or [
+        c for c in right.columns if c not in on and c != right_ts
+    ]
+
+    ts = "__asof_ts"
+    tie = "__asof_tie"
+
+    def tie_col(df: DataFrame, is_left: bool) -> Column:
+        if is_left or tie_break is None:
+            return F.lit(None).cast("long")
+        return F.col(tie_break).cast("long")
+
+    l_tagged = left.select(
+        *[F.col(c) for c in left.columns],
+        F.col(left_ts).alias(ts),
+        F.lit(1).alias(_SIDE),
+        tie_col(left, True).alias(tie),
+        *[F.lit(None).cast(right.schema[c].dataType).alias(f"{payload_prefix}{c}") for c in right_payload],
+    )
+    r_tagged = right.select(
+        *[F.lit(None).cast(left.schema[c].dataType).alias(c) if c not in on else F.col(c) for c in left.columns],
+        F.col(right_ts).alias(ts),
+        F.lit(0).alias(_SIDE),
+        tie_col(right, False).alias(tie),
+        *[F.col(c).alias(f"{payload_prefix}{c}") for c in right_payload],
+    )
+    unioned = l_tagged.unionByName(r_tagged)
+
+    # Right rows must sort before left rows at equal ts for inclusive
+    # semantics (so last() sees them), after for strict semantics.
+    side_order = F.col(_SIDE).asc() if allow_exact_matches else F.col(_SIDE).desc()
+    w = (
+        Window.partitionBy(*on)
+        .orderBy(F.col(ts).asc(), side_order, F.col(tie).asc_nulls_first())
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+
+    carried = unioned.select(
+        "*",
+        *[
+            F.last(f"{payload_prefix}{c}", ignorenulls=True).over(w).alias(f"__carry_{c}")
+            for c in right_payload
+        ],
+    )
+    out = carried.filter(F.col(_SIDE) == 1).select(
+        *[F.col(c) for c in left.columns],
+        *[F.col(f"__carry_{c}").alias(f"{payload_prefix}{c}") for c in right_payload],
+    )
+    return out

@@ -5,6 +5,6 @@ with every implemented query key. Module order mirrors the build plan
 (SURVEY.md §7.1).
 """
 
-from . import aggregates, flagship, projection, scans, setops, sorts  # noqa: F401
+from . import aggregates, flagship, joins, projection, scans, setops, sorts  # noqa: F401
 
-__all__ = ["flagship", "projection", "aggregates", "sorts", "setops", "scans"]
+__all__ = ["flagship", "projection", "aggregates", "joins", "sorts", "setops", "scans"]

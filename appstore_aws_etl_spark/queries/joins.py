@@ -1,0 +1,319 @@
+"""§2.3 Joins (J1-J13).
+
+Join strategy at scale (SURVEY.md §4.1): Catalyst picks broadcast-hash
+for dims under the broadcast threshold, sort-merge for large x large;
+AQE re-plans to broadcast at runtime and splits skewed partitions. The
+queries here only *hint* where the right strategy is knowable a priori
+(broadcast for bounded dims); plan shape is asserted in tests.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..catalog import load
+from ..operators.asof import asof_join
+from ..registry import query
+
+
+@query(
+    "join_inner",
+    oracle="""
+    SELECT o.o_orderkey, o.o_orderdate, l.l_linenumber,
+           round(l.l_extendedprice * (1 - l.l_discount), 4) AS net_price
+    FROM orders o JOIN lineitem l ON o.o_orderkey = l.l_orderkey
+    WHERE o.o_totalprice > 300000
+    """,
+    tags=("join",),
+)
+def join_inner(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """J1 inner equi-join, fact x fact shape (sort-merge at scale).
+
+    The selective orders filter is applied *before* the join — at 100 TB
+    that's the difference between shuffling the full fact table and a
+    few percent of it.
+    """
+    o = load(spark, sf_dir, "orders").filter(F.col("o_totalprice") > 300000)
+    li = load(spark, sf_dir, "lineitem")
+    return o.join(li, o.o_orderkey == li.l_orderkey).select(
+        "o_orderkey",
+        "o_orderdate",
+        "l_linenumber",
+        F.round(F.col("l_extendedprice") * (1 - F.col("l_discount")), 4).alias("net_price"),
+    )
+
+
+@query(
+    "join_broadcast",
+    oracle="""
+    SELECT s.s_name,
+           round(sum(l.l_extendedprice * (1 - l.l_discount)), 2) AS revenue,
+           count(*) AS n_lines
+    FROM lineitem l JOIN supplier s ON l.l_suppkey = s.s_suppkey
+    GROUP BY s.s_name
+    """,
+    tags=("join",),
+)
+def join_broadcast(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """J2 broadcast hash join: bounded dim ships to every executor, the
+    fact table never shuffles for the join (same SQL result as J1-style
+    shuffle join — the hint is physical only)."""
+    li = load(spark, sf_dir, "lineitem")
+    s = load(spark, sf_dir, "supplier")
+    return (
+        li.join(F.broadcast(s), li.l_suppkey == s.s_suppkey)
+        .groupBy("s_name")
+        .agg(
+            F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2).alias(
+                "revenue"
+            ),
+            F.count(F.lit(1)).alias("n_lines"),
+        )
+    )
+
+
+_BIG_ORDERS = "SELECT * FROM orders WHERE o_totalprice > 400000"
+
+
+@query(
+    "join_left",
+    oracle=f"""
+    SELECT c.c_custkey, o.o_orderkey
+    FROM customer c LEFT JOIN ({_BIG_ORDERS}) o ON c.c_custkey = o.o_custkey
+    """,
+    tags=("join",),
+)
+def join_left(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """J3 left outer join — unmatched customers survive with null keys."""
+    c = load(spark, sf_dir, "customer")
+    o = load(spark, sf_dir, "orders").filter(F.col("o_totalprice") > 400000)
+    return c.join(o, c.c_custkey == o.o_custkey, "left").select("c_custkey", "o_orderkey")
+
+
+@query(
+    "join_right",
+    oracle=f"""
+    SELECT o.o_orderkey, c.c_custkey
+    FROM ({_BIG_ORDERS}) o RIGHT JOIN customer c ON c.c_custkey = o.o_custkey
+    """,
+    tags=("join",),
+)
+def join_right(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """J4 right outer join (mirror of J3)."""
+    c = load(spark, sf_dir, "customer")
+    o = load(spark, sf_dir, "orders").filter(F.col("o_totalprice") > 400000)
+    return o.join(c, c.c_custkey == o.o_custkey, "right").select("o_orderkey", "c_custkey")
+
+
+@query(
+    "join_full",
+    oracle="""
+    SELECT b.c_custkey AS building_cust, o.o_custkey AS big_spender_cust, o.o_orderkey
+    FROM (SELECT c_custkey FROM customer WHERE c_mktsegment = 'BUILDING') b
+    FULL JOIN (SELECT o_custkey, o_orderkey FROM orders WHERE o_totalprice > 400000) o
+      ON b.c_custkey = o.o_custkey
+    """,
+    tags=("join",),
+)
+def join_full(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """J5 full outer join — unmatched rows from both sides survive."""
+    b = (
+        load(spark, sf_dir, "customer")
+        .filter(F.col("c_mktsegment") == "BUILDING")
+        .select("c_custkey")
+    )
+    o = (
+        load(spark, sf_dir, "orders")
+        .filter(F.col("o_totalprice") > 400000)
+        .select("o_custkey", "o_orderkey")
+    )
+    return o.join(b, b.c_custkey == o.o_custkey, "full").select(
+        F.col("c_custkey").alias("building_cust"),
+        F.col("o_custkey").alias("big_spender_cust"),
+        "o_orderkey",
+    )
+
+
+@query(
+    "join_semi",
+    oracle="""
+    SELECT c_custkey, c_name FROM customer c
+    WHERE EXISTS (SELECT 1 FROM orders o
+                  WHERE o.o_custkey = c.c_custkey AND o.o_totalprice > 300000)
+    """,
+    tags=("join",),
+)
+def join_semi(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """J6 left semi join = EXISTS. Right side reduced to keys before the
+    join; no row multiplication, no right columns leak."""
+    c = load(spark, sf_dir, "customer")
+    o = load(spark, sf_dir, "orders").filter(F.col("o_totalprice") > 300000)
+    return c.join(o, c.c_custkey == o.o_custkey, "left_semi").select("c_custkey", "c_name")
+
+
+@query(
+    "join_anti",
+    oracle="""
+    SELECT c_custkey, c_name FROM customer c
+    WHERE NOT EXISTS (SELECT 1 FROM orders o
+                      WHERE o.o_custkey = c.c_custkey AND o.o_totalprice > 300000)
+    """,
+    tags=("join",),
+)
+def join_anti(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """J7 left anti join = NOT EXISTS."""
+    c = load(spark, sf_dir, "customer")
+    o = load(spark, sf_dir, "orders").filter(F.col("o_totalprice") > 300000)
+    return c.join(o, c.c_custkey == o.o_custkey, "left_anti").select("c_custkey", "c_name")
+
+
+@query(
+    "join_cross",
+    oracle="""
+    SELECT r.r_name, n.n_name FROM region r CROSS JOIN nation n
+    """,
+    tags=("join",),
+)
+def join_cross(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """J8 Cartesian product — only ever sane on bounded inputs (5 x 25);
+    the engine guards big crosses by requiring explicit crossJoin()."""
+    r = load(spark, sf_dir, "region").select("r_name")
+    n = load(spark, sf_dir, "nation").select("n_name")
+    return r.crossJoin(n)
+
+
+@query(
+    "join_theta",
+    oracle="""
+    SELECT s.s_suppkey, c.c_custkey
+    FROM supplier s JOIN customer c
+      ON s.s_acctbal > c.c_acctbal AND s.s_nationkey <> c.c_nationkey
+    """,
+    tags=("join",),
+)
+def join_theta(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """J9 theta (non-equi) join -> broadcast nested loop; bounded sides
+    by construction (supplier is 10 rows x sf)."""
+    s = load(spark, sf_dir, "supplier")
+    c = load(spark, sf_dir, "customer")
+    cond = (s.s_acctbal > c.c_acctbal) & (s.s_nationkey != c.c_nationkey)
+    return s.join(c, cond).select("s_suppkey", "c_custkey")
+
+
+@query(
+    "join_range",
+    oracle="""
+    SELECT o.o_orderkey, l.l_linenumber, o.o_orderdate, l.l_shipdate
+    FROM orders o JOIN lineitem l
+      ON o.o_orderkey = l.l_orderkey
+     AND l.l_shipdate BETWEEN o.o_orderdate AND o.o_orderdate + INTERVAL 60 DAY
+    """,
+    tags=("join",),
+)
+def join_range(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """J10 range join: equi key + time-interval containment. The equi
+    key drives the shuffle; the range predicate evaluates post-match,
+    so this costs exactly one sort-merge join at any scale."""
+    o = load(spark, sf_dir, "orders")
+    li = load(spark, sf_dir, "lineitem")
+    cond = (
+        (o.o_orderkey == li.l_orderkey)
+        & (li.l_shipdate >= o.o_orderdate)
+        & (li.l_shipdate <= F.col("o_orderdate") + F.expr("INTERVAL 60 DAYS"))
+    )
+    return o.join(li, cond).select("o_orderkey", "l_linenumber", "o_orderdate", "l_shipdate")
+
+
+@query(
+    "join_asof",
+    oracle="""
+    WITH c AS (
+        SELECT user_id, date_trunc('second', ts) AS cts, event_id
+        FROM events WHERE event_type = 'click'
+    ), p AS (
+        SELECT user_id, date_trunc('second', ts) AS pts, event_id
+        FROM events WHERE event_type = 'purchase'
+    )
+    SELECT p.event_id AS purchase_id,
+           p.user_id,
+           p.pts AS purchase_ts,
+           (SELECT max(c.event_id) FROM c
+             WHERE c.user_id = p.user_id AND c.cts <= p.pts
+               AND c.cts = (SELECT max(c2.cts) FROM c c2
+                            WHERE c2.user_id = p.user_id AND c2.cts <= p.pts)
+           ) AS asof_event_id
+    FROM p
+    """,
+    tags=("join", "custom-operator"),
+)
+def join_asof(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """J11 as-of join: each purchase event matched to the user's latest
+    click at-or-before it (operators/asof.py; semantics = DuckDB
+    ASOF JOIN with >=, ties -> greatest event_id).
+
+    Timestamps are truncated to seconds first: the fixture is ns
+    precision and Spark stores µs (SURVEY.md §7.4.3).
+    """
+    ev = load(spark, sf_dir, "events").withColumn(
+        "ts2", F.date_trunc("second", F.col("ts"))
+    )
+    clicks = ev.filter(F.col("event_type") == "click").select(
+        "user_id", F.col("ts2").alias("cts"), "event_id"
+    )
+    purchases = ev.filter(F.col("event_type") == "purchase").select(
+        F.col("event_id").alias("purchase_id"), "user_id", F.col("ts2").alias("purchase_ts")
+    )
+    return asof_join(
+        purchases,
+        clicks,
+        on=["user_id"],
+        left_ts="purchase_ts",
+        right_ts="cts",
+        right_payload=["event_id"],
+        tie_break="event_id",
+    ).select("purchase_id", "user_id", "purchase_ts", "asof_event_id")
+
+
+@query(
+    "join_multikey",
+    oracle="""
+    SELECT a.l_orderkey, a.l_linenumber, a.l_quantity, b.l_extendedprice
+    FROM (SELECT l_orderkey, l_linenumber, l_quantity FROM lineitem) a
+    JOIN (SELECT l_orderkey, l_linenumber, l_extendedprice FROM lineitem) b
+      ON a.l_orderkey = b.l_orderkey AND a.l_linenumber = b.l_linenumber
+    """,
+    tags=("join",),
+)
+def join_multikey(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """J12 composite-key equi-join (both key columns drive one shuffle)."""
+    li = load(spark, sf_dir, "lineitem")
+    a = li.select("l_orderkey", "l_linenumber", "l_quantity")
+    b = li.select("l_orderkey", "l_linenumber", "l_extendedprice")
+    return a.join(b, on=["l_orderkey", "l_linenumber"]).select(
+        "l_orderkey", "l_linenumber", "l_quantity", "l_extendedprice"
+    )
+
+
+@query(
+    "join_self",
+    oracle="""
+    SELECT a.s_suppkey AS supp_a, b.s_suppkey AS supp_b, a.s_nationkey
+    FROM supplier a JOIN supplier b
+      ON a.s_nationkey = b.s_nationkey AND a.s_suppkey < b.s_suppkey
+    """,
+    tags=("join",),
+)
+def join_self(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """J13 self join via aliases: same-nation supplier pairs."""
+    s = load(spark, sf_dir, "supplier")
+    a, b = s.alias("a"), s.alias("b")
+    return a.join(
+        b,
+        (F.col("a.s_nationkey") == F.col("b.s_nationkey"))
+        & (F.col("a.s_suppkey") < F.col("b.s_suppkey")),
+    ).select(
+        F.col("a.s_suppkey").alias("supp_a"),
+        F.col("b.s_suppkey").alias("supp_b"),
+        F.col("a.s_nationkey"),
+    )

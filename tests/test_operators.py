@@ -1,0 +1,82 @@
+"""Unit tests for custom composite operators on tiny literal frames."""
+
+from __future__ import annotations
+
+import datetime as dt
+
+from pyspark.sql import Row
+
+from appstore_aws_etl_spark.operators import asof_join, sessionize
+
+
+def ts(s: str) -> dt.datetime:
+    return dt.datetime.fromisoformat(s)
+
+
+def test_asof_backward_inclusive(spark):
+    left = spark.createDataFrame(
+        [
+            Row(k="a", lts=ts("2024-01-01 10:00:00"), lid=1),
+            Row(k="a", lts=ts("2024-01-01 12:00:00"), lid=2),
+            Row(k="b", lts=ts("2024-01-01 10:00:00"), lid=3),  # no match
+        ]
+    )
+    right = spark.createDataFrame(
+        [
+            Row(k="a", rts=ts("2024-01-01 09:00:00"), rid=10, v=1.0),
+            Row(k="a", rts=ts("2024-01-01 10:00:00"), rid=11, v=2.0),  # exact match
+            Row(k="a", rts=ts("2024-01-01 11:30:00"), rid=12, v=3.0),
+            Row(k="b", rts=ts("2024-01-01 10:00:01"), rid=13, v=4.0),  # after left
+        ]
+    )
+    out = asof_join(
+        left, right, on=["k"], left_ts="lts", right_ts="rts",
+        right_payload=["rid", "v"], tie_break="rid",
+    )
+    got = {r["lid"]: (r["asof_rid"], r["asof_v"]) for r in out.collect()}
+    assert got == {1: (11, 2.0), 2: (12, 3.0), 3: (None, None)}
+
+
+def test_asof_strict_excludes_exact(spark):
+    left = spark.createDataFrame([Row(k="a", lts=ts("2024-01-01 10:00:00"), lid=1)])
+    right = spark.createDataFrame(
+        [
+            Row(k="a", rts=ts("2024-01-01 09:00:00"), rid=10),
+            Row(k="a", rts=ts("2024-01-01 10:00:00"), rid=11),
+        ]
+    )
+    out = asof_join(
+        left, right, on=["k"], left_ts="lts", right_ts="rts",
+        right_payload=["rid"], tie_break="rid", allow_exact_matches=False,
+    )
+    assert out.collect()[0]["asof_rid"] == 10
+
+
+def test_asof_tie_break_takes_greatest(spark):
+    left = spark.createDataFrame([Row(k="a", lts=ts("2024-01-01 10:00:00"), lid=1)])
+    right = spark.createDataFrame(
+        [
+            Row(k="a", rts=ts("2024-01-01 09:00:00"), rid=10),
+            Row(k="a", rts=ts("2024-01-01 09:00:00"), rid=12),
+            Row(k="a", rts=ts("2024-01-01 09:00:00"), rid=11),
+        ]
+    )
+    out = asof_join(
+        left, right, on=["k"], left_ts="lts", right_ts="rts",
+        right_payload=["rid"], tie_break="rid",
+    )
+    assert out.collect()[0]["asof_rid"] == 12
+
+
+def test_sessionize_gap(spark):
+    df = spark.createDataFrame(
+        [
+            Row(u=1, t=ts("2024-01-01 10:00:00")),
+            Row(u=1, t=ts("2024-01-01 10:03:00")),   # same session (<=5min)
+            Row(u=1, t=ts("2024-01-01 10:09:00")),   # gap 6min -> new session
+            Row(u=2, t=ts("2024-01-01 10:00:00")),
+        ]
+    )
+    out = sessionize(df, key="u", ts="t", gap_seconds=300)
+    got = {(r["u"], r["t"].minute): r["session_id"] for r in out.collect()}
+    assert got == {(1, 0): 1, (1, 3): 1, (1, 9): 2, (2, 0): 1}

@@ -6,11 +6,8 @@ These are the properties that make the plans survive a 100x scale-up.
 from __future__ import annotations
 
 import appstore_aws_etl_spark.queries  # noqa: F401
+from appstore_aws_etl_spark.plans import formatted_plan
 from appstore_aws_etl_spark.registry import REGISTRY
-
-
-def formatted_plan(df) -> str:
-    return df._sc._jvm.PythonSQLUtils.explainString(df._jdf.queryExecution(), "formatted")
 
 
 def test_filter_pushdown(spark, sf_dir):
