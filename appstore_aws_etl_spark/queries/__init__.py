@@ -5,6 +5,26 @@ with every implemented query key. Module order mirrors the build plan
 (SURVEY.md §7.1).
 """
 
-from . import aggregates, flagship, joins, projection, scans, setops, sorts  # noqa: F401
+from . import (  # noqa: F401
+    aggregates,
+    flagship,
+    functions,
+    joins,
+    projection,
+    scans,
+    setops,
+    sorts,
+    windows,
+)
 
-__all__ = ["flagship", "projection", "aggregates", "joins", "sorts", "setops", "scans"]
+__all__ = [
+    "flagship",
+    "projection",
+    "aggregates",
+    "joins",
+    "windows",
+    "sorts",
+    "setops",
+    "scans",
+    "functions",
+]

@@ -1,0 +1,391 @@
+"""§2.8 Scalar function surface (F1-F14).
+
+All JVM-side built-ins inside whole-stage codegen — no Python in these
+paths. Each family pins one cross-dialect convention explicitly on both
+sides (SURVEY.md §7.4.4): day-of-week is ISO (Mon=1) via
+``weekday()+1`` <-> ``isodow``; double->int steps through ``trunc``;
+DuckDB's missing ``initcap`` is spelled out; floor/ceil/sign are cast
+to BIGINT because the engines' native return types differ.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+from ..catalog import load
+from ..registry import query
+
+
+@query(
+    "fn_string_basic",
+    oracle="""
+    SELECT c_custkey,
+           upper(c_mktsegment)                  AS seg_up,
+           lower(c_name)                        AS name_lo,
+           trim('  ' || c_mktsegment || ' ')    AS seg_trim,
+           length(c_name)                       AS name_len,
+           substring(c_name, 1, 8)              AS name_head,
+           c_mktsegment || ':' || c_name        AS seg_name
+    FROM customer
+    """,
+    tags=("function", "string"),
+)
+def fn_string_basic(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """F1 string basics (1-based substring in both dialects)."""
+    c = load(spark, sf_dir, "customer")
+    return c.select(
+        "c_custkey",
+        F.upper("c_mktsegment").alias("seg_up"),
+        F.lower("c_name").alias("name_lo"),
+        F.trim(F.concat(F.lit("  "), F.col("c_mktsegment"), F.lit(" "))).alias("seg_trim"),
+        F.length("c_name").alias("name_len"),
+        F.substring("c_name", 1, 8).alias("name_head"),
+        F.concat(F.col("c_mktsegment"), F.lit(":"), F.col("c_name")).alias("seg_name"),
+    )
+
+
+@query(
+    "fn_string_pad",
+    oracle="""
+    SELECT p_partkey,
+           strpos(p_type, 'O')                                        AS pos_o,
+           lpad(CAST(p_size AS VARCHAR), 4, '0')                      AS size_pad,
+           rpad(p_brand, 12, '.')                                     AS brand_pad,
+           upper(substring(lower(p_brand), 1, 1)) || substring(lower(p_brand), 2) AS brand_cap,
+           replace(p_type, ' ', '_')                                  AS type_snake
+    FROM part
+    """,
+    tags=("function", "string"),
+)
+def fn_string_pad(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """F2 search/pad/initcap/replace (initcap hand-rolled in the oracle
+    — DuckDB 1.0 has no initcap; single-token input keeps them equal)."""
+    p = load(spark, sf_dir, "part")
+    return p.select(
+        "p_partkey",
+        F.instr("p_type", "O").alias("pos_o"),
+        F.lpad(F.col("p_size").cast("string"), 4, "0").alias("size_pad"),
+        F.rpad("p_brand", 12, ".").alias("brand_pad"),
+        F.initcap(F.lower("p_brand")).alias("brand_cap"),
+        F.replace("p_type", F.lit(" "), F.lit("_")).alias("type_snake"),
+    )
+
+
+@query(
+    "fn_regex",
+    oracle="""
+    SELECT p_partkey,
+           regexp_extract(p_type, '^([A-Z]+)', 1)            AS first_word,
+           regexp_replace(p_type, '[AEIOU]', '*', 'g')       AS devoweled,
+           CASE WHEN regexp_matches(p_type, 'BRUSHED|POLISHED') THEN 1 ELSE 0 END AS is_finished
+    FROM part
+    """,
+    tags=("function", "string"),
+)
+def fn_regex(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """F3 regex extract/replace/match (patterns restricted to the
+    common Java/RE2 subset; Spark's regexp_replace is global by default,
+    DuckDB needs the 'g' flag)."""
+    p = load(spark, sf_dir, "part")
+    return p.select(
+        "p_partkey",
+        F.regexp_extract("p_type", r"^([A-Z]+)", 1).alias("first_word"),
+        F.regexp_replace("p_type", "[AEIOU]", "*").alias("devoweled"),
+        F.when(F.col("p_type").rlike("BRUSHED|POLISHED"), 1).otherwise(0).alias("is_finished"),
+    )
+
+
+@query(
+    "fn_split",
+    oracle="""
+    SELECT doc_id,
+           len(string_split(text, ' '))                    AS n_tokens,
+           string_split(text, ' ')[1]                      AS first_token,
+           string_split(text, ' ')[-1]                     AS last_token
+    FROM documents
+    """,
+    tags=("function", "string"),
+)
+def fn_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """F4 split to array (+ element access; full explode is F10)."""
+    d = load(spark, sf_dir, "documents")
+    toks = F.split("text", " ")
+    return d.select(
+        "doc_id",
+        F.size(toks).alias("n_tokens"),
+        F.element_at(toks, 1).alias("first_token"),
+        F.element_at(toks, -1).alias("last_token"),
+    )
+
+
+@query(
+    "fn_date_parts",
+    oracle="""
+    SELECT o_orderkey,
+           year(o_orderdate)                      AS yr,
+           month(o_orderdate)                     AS mon,
+           day(o_orderdate)                       AS dom,
+           quarter(o_orderdate)                   AS qtr,
+           isodow(o_orderdate)                    AS iso_dow,
+           CAST(strftime(o_orderdate, '%H') AS INTEGER) AS hr
+    FROM orders
+    """,
+    tags=("function", "date"),
+)
+def fn_date_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """F5 date-part extraction; ISO day-of-week pinned (Mon=1)."""
+    o = load(spark, sf_dir, "orders")
+    return o.select(
+        "o_orderkey",
+        F.year("o_orderdate").alias("yr"),
+        F.month("o_orderdate").alias("mon"),
+        F.dayofmonth("o_orderdate").alias("dom"),
+        F.quarter("o_orderdate").alias("qtr"),
+        (F.weekday("o_orderdate") + 1).alias("iso_dow"),
+        F.hour("o_orderdate").alias("hr"),
+    )
+
+
+@query(
+    "fn_date_arith",
+    oracle="""
+    SELECT o_orderkey,
+           CAST(CAST(o_orderdate AS DATE) + 30 AS TIMESTAMP)                 AS due_date,
+           date_diff('day', CAST(o_orderdate AS DATE), DATE '2002-01-01')    AS days_to_2002,
+           CAST(CAST(o_orderdate AS DATE) + INTERVAL 3 MONTH AS TIMESTAMP)   AS plus3m,
+           CAST(last_day(CAST(o_orderdate AS DATE)) AS TIMESTAMP)            AS month_end
+    FROM orders
+    """,
+    tags=("function", "date"),
+)
+def fn_date_arith(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """F6 date arithmetic (add_months clamps month-end identically in
+    both engines; all DATE results served as midnight timestamps)."""
+    o = load(spark, sf_dir, "orders")
+    return o.select(
+        "o_orderkey",
+        F.date_add(F.col("o_orderdate"), 30).cast("timestamp").alias("due_date"),
+        F.datediff(F.lit("2002-01-01").cast("date"), F.col("o_orderdate")).alias(
+            "days_to_2002"
+        ),
+        F.add_months(F.col("o_orderdate"), 3).cast("timestamp").alias("plus3m"),
+        F.last_day(F.col("o_orderdate")).cast("timestamp").alias("month_end"),
+    )
+
+
+@query(
+    "fn_date_trunc",
+    oracle="""
+    SELECT o_orderkey,
+           CAST(date_trunc('year',  o_orderdate) AS TIMESTAMP) AS y_start,
+           CAST(date_trunc('month', o_orderdate) AS TIMESTAMP) AS m_start,
+           CAST(date_trunc('week',  o_orderdate) AS TIMESTAMP) AS w_start,
+           CAST(date_trunc('day',   o_orderdate) AS TIMESTAMP) AS d_start
+    FROM orders
+    """,
+    tags=("function", "date"),
+)
+def fn_date_trunc(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """F7 truncation to calendar boundaries (week = ISO Monday start in
+    both engines)."""
+    o = load(spark, sf_dir, "orders")
+    return o.select(
+        "o_orderkey",
+        F.date_trunc("year", "o_orderdate").alias("y_start"),
+        F.date_trunc("month", "o_orderdate").alias("m_start"),
+        F.date_trunc("week", "o_orderdate").alias("w_start"),
+        F.date_trunc("day", "o_orderdate").alias("d_start"),
+    )
+
+
+@query(
+    "fn_math",
+    oracle="""
+    SELECT o_orderkey,
+           round(o_totalprice, 1)                        AS price_r1,
+           CAST(floor(o_totalprice) AS BIGINT)           AS price_floor,
+           CAST(ceil(o_totalprice) AS BIGINT)            AS price_ceil,
+           abs(o_totalprice - 200000)                    AS dist_200k,
+           round(pow(o_totalprice / 100000, 2), 6)       AS pow2,
+           round(sqrt(o_totalprice), 6)                  AS root,
+           round(ln(o_totalprice), 6)                    AS log_e,
+           round(exp(o_totalprice / 1000000), 6)         AS exp_m,
+           o_orderkey % 7                                AS key_mod,
+           CAST(sign(o_totalprice - 200000) AS BIGINT)   AS over_under
+    FROM orders
+    """,
+    tags=("function", "math"),
+)
+def fn_math(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """F8 math functions (floor/ceil/sign cast to BIGINT — native
+    return types differ; transcendentals rounded at 6 dp)."""
+    o = load(spark, sf_dir, "orders")
+    price = F.col("o_totalprice")
+    return o.select(
+        "o_orderkey",
+        F.round(price, 1).alias("price_r1"),
+        F.floor(price).alias("price_floor"),
+        F.ceil(price).alias("price_ceil"),
+        F.abs(price - 200000).alias("dist_200k"),
+        F.round(F.pow(price / 100000, 2), 6).alias("pow2"),
+        F.round(F.sqrt(price), 6).alias("root"),
+        F.round(F.log(price), 6).alias("log_e"),
+        F.round(F.exp(price / 1000000), 6).alias("exp_m"),
+        (F.col("o_orderkey") % 7).alias("key_mod"),
+        F.signum(price - 200000).cast("long").alias("over_under"),
+    )
+
+
+@query(
+    "fn_conditional",
+    oracle="""
+    SELECT o_orderkey,
+           CASE WHEN o_totalprice > 300000 THEN 'high'
+                WHEN o_totalprice > 150000 THEN 'mid'
+                ELSE 'low' END                          AS price_band,
+           coalesce(nullif(o_orderstatus, 'O'), 'OPEN') AS status_label,
+           greatest(o_totalprice, 250000.0)             AS floor_price,
+           least(CAST(o_orderkey AS BIGINT), o_custkey) AS min_key
+    FROM orders
+    """,
+    tags=("function", "conditional"),
+)
+def fn_conditional(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """F9 CASE/coalesce/nullif/greatest/least."""
+    o = load(spark, sf_dir, "orders")
+    return o.select(
+        "o_orderkey",
+        F.when(F.col("o_totalprice") > 300000, "high")
+        .when(F.col("o_totalprice") > 150000, "mid")
+        .otherwise("low")
+        .alias("price_band"),
+        F.coalesce(F.nullif(F.col("o_orderstatus"), F.lit("O")), F.lit("OPEN")).alias(
+            "status_label"
+        ),
+        F.greatest(F.col("o_totalprice"), F.lit(250000.0)).alias("floor_price"),
+        F.least(F.col("o_orderkey"), F.col("o_custkey")).alias("min_key"),
+    )
+
+
+@query(
+    "fn_array_explode",
+    oracle="""
+    SELECT doc_id,
+           generate_subscripts(string_split(text, ' '), 1) - 1 AS pos,
+           unnest(string_split(text, ' '))                     AS token
+    FROM documents
+    WHERE doc_id % 10 = 0
+    """,
+    tags=("function", "array"),
+)
+def fn_array_explode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """F10 posexplode of a tokenized column (0-based positions; the
+    oracle zips unnest with generate_subscripts)."""
+    d = load(spark, sf_dir, "documents").filter(F.col("doc_id") % 10 == 0)
+    return d.select("doc_id", F.posexplode(F.split("text", " ")).alias("pos", "token"))
+
+
+@query(
+    "fn_array_hof",
+    oracle="""
+    WITH t AS (SELECT doc_id, string_split(text, ' ') AS toks FROM documents)
+    SELECT doc_id,
+           len(list_filter(toks, x -> length(x) > 5))            AS n_long,
+           CAST(list_sum(list_transform(toks, x -> length(x))) AS BIGINT) AS total_chars,
+           len(list_distinct(toks))                              AS n_distinct,
+           array_to_string(list_slice(list_sort(toks), 1, 3), ',') AS first3
+    FROM t
+    """,
+    tags=("function", "array"),
+)
+def fn_array_hof(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """F11 higher-order array functions: transform/filter/aggregate +
+    distinct/sort/slice, all codegen'd JVM lambdas (no Python)."""
+    d = load(spark, sf_dir, "documents")
+    toks = F.split("text", " ")
+    return d.select(
+        "doc_id",
+        F.size(F.filter(toks, lambda x: F.length(x) > 5)).alias("n_long"),
+        F.aggregate(
+            F.transform(toks, lambda x: F.length(x).cast("long")),
+            F.lit(0).cast("long"),
+            lambda acc, x: acc + x,
+        ).alias("total_chars"),
+        F.size(F.array_distinct(toks)).alias("n_distinct"),
+        F.array_join(F.slice(F.sort_array(toks), 1, 3), ",").alias("first3"),
+    )
+
+
+@query(
+    "fn_map",
+    oracle="""
+    SELECT event_id,
+           'k'                                             AS only_key,
+           CAST(json_extract_string(props, '$.k') AS BIGINT) AS k_value,
+           'k=' || json_extract_string(props, '$.k')       AS entry_str
+    FROM events
+    """,
+    tags=("function", "map"),
+)
+def fn_map(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """F12 map construction and access: props JSON -> MapType, then
+    map_keys/map_values/entries (oracle computes the equivalent values
+    straight from JSON since the key set is fixed)."""
+    ev = load(spark, sf_dir, "events")
+    m = F.from_json("props", T.MapType(T.StringType(), T.LongType()))
+    return ev.select(
+        "event_id",
+        F.element_at(F.map_keys(m), 1).alias("only_key"),
+        F.element_at(m, F.lit("k")).alias("k_value"),
+        F.concat(
+            F.element_at(F.map_keys(m), 1),
+            F.lit("="),
+            F.element_at(F.map_values(m), 1).cast("string"),
+        ).alias("entry_str"),
+    )
+
+
+@query(
+    "fn_json_extract",
+    oracle="""
+    SELECT event_id,
+           CAST(json_extract_string(props, '$.k') AS BIGINT) AS k_typed,
+           json_extract_string(props, '$.k')                 AS k_raw,
+           CAST(json_extract_string(props, '$.missing') AS BIGINT) AS absent
+    FROM events
+    """,
+    tags=("function", "json"),
+)
+def fn_json_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """F13 typed field extraction from a JSON string column."""
+    ev = load(spark, sf_dir, "events")
+    return ev.select(
+        "event_id",
+        F.get_json_object("props", "$.k").cast("long").alias("k_typed"),
+        F.get_json_object("props", "$.k").alias("k_raw"),
+        F.get_json_object("props", "$.missing").cast("long").alias("absent"),
+    )
+
+
+@query(
+    "fn_json_struct",
+    oracle="""
+    SELECT event_id,
+           CAST(json_extract(props, '$.k') AS BIGINT)    AS k_field,
+           '{"k":' || json_extract_string(props, '$.k') || '}' AS rebuilt
+    FROM events
+    """,
+    tags=("function", "json"),
+)
+def fn_json_struct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """F14 from_json -> typed struct -> to_json round trip (compact
+    serialization matches DuckDB's)."""
+    ev = load(spark, sf_dir, "events")
+    parsed = F.from_json("props", T.StructType([T.StructField("k", T.LongType())]))
+    return ev.select(
+        "event_id",
+        parsed.getField("k").alias("k_field"),
+        F.to_json(parsed).alias("rebuilt"),
+    )
