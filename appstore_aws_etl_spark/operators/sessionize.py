@@ -21,14 +21,16 @@ def sessionize(
     ts: str,
     gap_seconds: int,
     session_col: str = "session_id",
+    tie_break: list[str] | None = None,
 ) -> DataFrame:
     """Add a per-key session id column (1-based, ordered by time).
 
-    Ordering must be made deterministic by the caller if ``ts`` has
-    duplicates within a key (pass a pre-deduplicated or tie-broken
-    frame); session *membership* is unaffected by tie order.
+    Pass ``tie_break`` columns (e.g. a unique event id) whenever ``ts``
+    can repeat within a key — they make the window ordering, and hence
+    the session numbering, deterministic (SURVEY.md §7.4.2).
     """
-    w = Window.partitionBy(key).orderBy(F.col(ts).asc())
+    order = [F.col(ts).asc()] + [F.col(c).asc() for c in (tie_break or [])]
+    w = Window.partitionBy(key).orderBy(*order)
     prev_ts = F.lag(ts).over(w)
     new_session = (
         prev_ts.isNull()

@@ -14,6 +14,7 @@ from . import (  # noqa: F401
     scans,
     setops,
     sorts,
+    streaming_batch,
     windows,
 )
 

@@ -1,0 +1,204 @@
+"""§2.9 Streaming operators — batch-equivalent semantics checks.
+
+Streaming *execution* can't hash-match a batch oracle, so each
+streaming operator declares a batch query with identical semantics here
+(hash-matched against DuckDB), while the true ``readStream`` execution
+— watermarks, late data, incremental state — is implemented in
+``streaming/`` and exercised by tests/test_streaming.py
+(SURVEY.md §2.9, §5.2.5).
+
+Timestamps are truncated to seconds before comparison: the fixture is
+ns-precision and Spark truncates to µs (SURVEY.md §7.4.3).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from ..catalog import load
+from ..operators.sessionize import sessionize
+from ..registry import query
+
+
+@query(
+    "stream_tumbling",
+    oracle="""
+    SELECT date_trunc('hour', ts) AS bucket_start,
+           count(*)               AS n_events,
+           round(sum(value), 2)   AS sum_value
+    FROM events
+    GROUP BY date_trunc('hour', ts)
+    """,
+    tags=("streaming",),
+)
+def stream_tumbling(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """T1 tumbling window aggregation via Spark's window() — identical
+    buckets to streaming `groupBy(window(ts, '1 hour'))`."""
+    ev = load(spark, sf_dir, "events")
+    return (
+        ev.groupBy(F.window("ts", "1 hour").alias("w"))
+        .agg(F.count(F.lit(1)).alias("n_events"), F.round(F.sum("value"), 2).alias("sum_value"))
+        .select(F.col("w.start").alias("bucket_start"), "n_events", "sum_value")
+    )
+
+
+@query(
+    "stream_sliding",
+    oracle="""
+    WITH e AS (
+        SELECT value,
+               date_trunc('hour', ts)
+                 + CASE WHEN minute(ts) >= 30 THEN INTERVAL 30 MINUTE
+                        ELSE INTERVAL 0 MINUTE END AS s0
+        FROM events
+    ), u AS (
+        SELECT value, s0 AS wstart FROM e
+        UNION ALL
+        SELECT value, s0 - INTERVAL 30 MINUTE AS wstart FROM e
+    )
+    SELECT wstart, count(*) AS n_events, round(sum(value), 2) AS sum_value
+    FROM u GROUP BY wstart
+    """,
+    tags=("streaming",),
+)
+def stream_sliding(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """T2 sliding window (1 h size, 30 min slide): every event falls in
+    exactly two windows; the oracle materializes both aligned starts."""
+    ev = load(spark, sf_dir, "events")
+    return (
+        ev.groupBy(F.window("ts", "1 hour", "30 minutes").alias("w"))
+        .agg(F.count(F.lit(1)).alias("n_events"), F.round(F.sum("value"), 2).alias("sum_value"))
+        .select(F.col("w.start").alias("wstart"), "n_events", "sum_value")
+    )
+
+
+@query(
+    "stream_session",
+    oracle="""
+    WITH e AS (
+        SELECT user_id, date_trunc('second', ts) AS ts2, event_id, value
+        FROM events
+    ), flagged AS (
+        SELECT user_id, ts2, event_id, value,
+               CASE WHEN lag(ts2) OVER w IS NULL
+                         OR epoch(ts2) - epoch(lag(ts2) OVER w) > 3600
+                    THEN 1 ELSE 0 END AS new_session
+        FROM e
+        WINDOW w AS (PARTITION BY user_id ORDER BY ts2, event_id)
+    ), numbered AS (
+        SELECT user_id, ts2, value,
+               CAST(sum(new_session) OVER (PARTITION BY user_id ORDER BY ts2, event_id
+                                      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                    AS BIGINT) AS session_id
+        FROM flagged
+    )
+    SELECT user_id, session_id,
+           min(ts2)             AS session_start,
+           count(*)             AS n_events,
+           round(sum(value), 2) AS sum_value
+    FROM numbered
+    GROUP BY user_id, session_id
+    """,
+    tags=("streaming", "custom-operator"),
+)
+def stream_session(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """T3 session windows (1 h gap) in batch: the sessionize operator
+    (gaps-and-islands) — semantics of streaming session_window."""
+    ev = (
+        load(spark, sf_dir, "events")
+        .withColumn("ts2", F.date_trunc("second", F.col("ts")))
+        .select("user_id", "ts2", "event_id", "value")
+    )
+    sess = sessionize(ev, key="user_id", ts="ts2", gap_seconds=3600, tie_break=["event_id"])
+    return sess.groupBy("user_id", "session_id").agg(
+        F.min("ts2").alias("session_start"),
+        F.count(F.lit(1)).alias("n_events"),
+        F.round(F.sum("value"), 2).alias("sum_value"),
+    )
+
+
+@query(
+    "stream_dedup",
+    oracle="""
+    SELECT user_id, event_type, event_id, date_trunc('second', ts) AS ts2
+    FROM (
+        SELECT user_id, event_type, event_id, ts,
+               row_number() OVER (
+                   PARTITION BY user_id, event_type
+                   ORDER BY date_trunc('second', ts), event_id) AS rn
+        FROM events
+    ) WHERE rn = 1
+    """,
+    tags=("streaming",),
+)
+def stream_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """T5 dedup semantics: first event per (user, type) — batch twin of
+    streaming dropDuplicatesWithinWatermark."""
+    ev = load(spark, sf_dir, "events").withColumn("ts2", F.date_trunc("second", F.col("ts")))
+    w = Window.partitionBy("user_id", "event_type").orderBy("ts2", "event_id")
+    return (
+        ev.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select("user_id", "event_type", "event_id", "ts2")
+    )
+
+
+@query(
+    "stream_enrich",
+    oracle="""
+    SELECT c.c_mktsegment,
+           e.event_type,
+           count(*)               AS n_events,
+           round(sum(e.value), 2) AS sum_value
+    FROM events e JOIN customer c ON e.user_id = c.c_custkey
+    GROUP BY c.c_mktsegment, e.event_type
+    """,
+    tags=("streaming",),
+)
+def stream_enrich(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """T6 stream-static enrichment: events joined to a broadcast dim —
+    in streaming this join runs per micro-batch with the same plan."""
+    ev = load(spark, sf_dir, "events")
+    c = load(spark, sf_dir, "customer")
+    return (
+        ev.join(F.broadcast(c), ev.user_id == c.c_custkey)
+        .groupBy("c_mktsegment", "event_type")
+        .agg(F.count(F.lit(1)).alias("n_events"), F.round(F.sum("value"), 2).alias("sum_value"))
+    )
+
+
+@query(
+    "stream_funnel",
+    oracle="""
+    WITH e AS (
+        SELECT user_id, event_type,
+               lag(event_type) OVER (
+                   PARTITION BY user_id
+                   ORDER BY date_trunc('second', ts), event_id) AS prev_type
+        FROM events
+    )
+    SELECT user_id,
+           count(*) FILTER (WHERE prev_type = 'view' AND event_type = 'purchase')
+               AS view_to_purchase
+    FROM e GROUP BY user_id
+    """,
+    tags=("streaming", "stateful"),
+)
+def stream_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """T7 batch analogue of the stateful per-user funnel (streaming twin
+    uses applyInPandasWithState in streaming/stateful.py): count
+    view->purchase transitions per user."""
+    ev = load(spark, sf_dir, "events").withColumn("ts2", F.date_trunc("second", F.col("ts")))
+    w = Window.partitionBy("user_id").orderBy("ts2", "event_id")
+    return (
+        ev.withColumn("prev_type", F.lag("event_type").over(w))
+        .groupBy("user_id")
+        .agg(
+            F.count(
+                F.when(
+                    (F.col("prev_type") == "view") & (F.col("event_type") == "purchase"), 1
+                )
+            ).alias("view_to_purchase")
+        )
+    )

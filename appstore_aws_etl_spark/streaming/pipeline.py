@@ -1,0 +1,131 @@
+"""Streaming sources, windowed transforms, and execution helpers.
+
+Design notes for scale (SURVEY.md §2.9):
+
+* Watermarks bound state: every aggregation here carries
+  ``withWatermark`` so the state store evicts windows/keys older than
+  the lateness budget — without it, 100 TB/day of events grows state
+  forever.
+* File sources process incrementally (``maxFilesPerTrigger``) and a
+  production deployment swaps in Kafka by changing only
+  ``stream_events`` — every transform below is source-agnostic.
+* ``trigger(availableNow=True)`` drains the backlog with bounded
+  memory and stops — the pattern both tests and backfills use.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..schemas import EVENTS
+
+
+def stream_events(
+    spark: SparkSession,
+    path: str,
+    max_files_per_trigger: int | None = None,
+) -> DataFrame:
+    """T8/S10 file-source event stream with the explicit EVENTS schema
+    (streams must declare schemas — inference would race the writer)."""
+    reader = spark.readStream.schema(EVENTS)
+    if max_files_per_trigger:
+        reader = reader.option("maxFilesPerTrigger", str(max_files_per_trigger))
+    return reader.parquet(path)
+
+
+def tumbling_counts(events: DataFrame, lateness: str = "10 minutes") -> DataFrame:
+    """T1+T4 watermarked tumbling-window aggregation."""
+    return (
+        events.withWatermark("ts", lateness)
+        .groupBy(F.window("ts", "1 hour").alias("w"))
+        .agg(F.count(F.lit(1)).alias("n_events"), F.round(F.sum("value"), 2).alias("sum_value"))
+        .select(F.col("w.start").alias("bucket_start"), "n_events", "sum_value")
+    )
+
+
+def sliding_counts(events: DataFrame, lateness: str = "10 minutes") -> DataFrame:
+    """T2 watermarked sliding-window aggregation (1 h / 30 min)."""
+    return (
+        events.withWatermark("ts", lateness)
+        .groupBy(F.window("ts", "1 hour", "30 minutes").alias("w"))
+        .agg(F.count(F.lit(1)).alias("n_events"), F.round(F.sum("value"), 2).alias("sum_value"))
+        .select(F.col("w.start").alias("wstart"), "n_events", "sum_value")
+    )
+
+
+def session_counts(events: DataFrame, gap: str = "1 hour", lateness: str = "10 minutes") -> DataFrame:
+    """T3 native streaming session windows (gap-merged state)."""
+    return (
+        events.withWatermark("ts", lateness)
+        .groupBy("user_id", F.session_window("ts", gap).alias("w"))
+        .agg(F.count(F.lit(1)).alias("n_events"), F.round(F.sum("value"), 2).alias("sum_value"))
+        .select("user_id", F.col("w.start").alias("session_start"), "n_events", "sum_value")
+    )
+
+
+def stream_dedup(events: DataFrame, lateness: str = "10 minutes") -> DataFrame:
+    """T5 drop duplicate event_ids; watermark bounds the dedup state to
+    the lateness horizon (exactly-once within it)."""
+    return events.withWatermark("ts", lateness).dropDuplicatesWithinWatermark(["event_id"])
+
+
+def stream_enrich(events: DataFrame, dim: DataFrame) -> DataFrame:
+    """T6 stream-static join: the static dim is broadcast per
+    micro-batch; no streaming state involved."""
+    return events.join(
+        F.broadcast(dim), events.user_id == dim.c_custkey, "inner"
+    ).select("event_id", "ts", "user_id", "event_type", "value", "c_mktsegment")
+
+
+def run_to_memory(
+    stream_df: DataFrame,
+    query_name: str,
+    output_mode: str = "append",
+    checkpoint: str | None = None,
+) -> DataFrame:
+    """T8 drain the stream with availableNow into an in-memory table;
+    returns the batch DataFrame of results (test/backfill harness).
+
+    Pass a ``checkpoint`` directory to resume across calls — the second
+    run processes only newly-arrived files with the carried-over
+    watermark/state, which is how incremental backfills run in
+    production.
+    """
+    writer = (
+        stream_df.writeStream.format("memory")
+        .queryName(query_name)
+        .outputMode(output_mode)
+        .trigger(availableNow=True)
+    )
+    if checkpoint:
+        writer = writer.option("checkpointLocation", checkpoint)
+    q = writer.start()
+    q.awaitTermination()
+    return stream_df.sparkSession.sql(f"SELECT * FROM {query_name}")
+
+
+def run_collecting(
+    stream_df: DataFrame,
+    checkpoint: str,
+    output_mode: str = "append",
+) -> list:
+    """T8 foreachBatch sink draining with availableNow, returning every
+    emitted row. Unlike the memory sink, foreachBatch supports
+    checkpoint recovery, so successive calls with the same checkpoint
+    process only newly-arrived data — the incremental-backfill pattern.
+    """
+    collected: list = []
+
+    def sink(batch_df: DataFrame, _batch_id: int) -> None:
+        collected.extend(batch_df.collect())
+
+    q = (
+        stream_df.writeStream.foreachBatch(sink)
+        .outputMode(output_mode)
+        .option("checkpointLocation", checkpoint)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return collected

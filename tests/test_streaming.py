@@ -1,0 +1,114 @@
+"""True streaming-execution tests (SURVEY.md §5.2.5): semantics the
+batch oracle can't see — incremental processing, watermark-bounded
+state, dedup across micro-batches, stateful updates."""
+
+from __future__ import annotations
+
+import pytest
+
+from pyspark.sql import functions as F
+
+from appstore_aws_etl_spark.catalog import load
+from appstore_aws_etl_spark.streaming import (
+    funnel_counts,
+    run_to_memory,
+    stream_dedup,
+    stream_enrich,
+    stream_events,
+    tumbling_counts,
+)
+from appstore_aws_etl_spark.streaming.pipeline import run_collecting
+
+
+@pytest.fixture(scope="module")
+def event_stream_dir(spark, sf_dir, tmp_path_factory):
+    """events fixture re-landed as multiple µs-precision parquet files,
+    so the file source processes several micro-batches."""
+    path = str(tmp_path_factory.mktemp("events_stream"))
+    load(spark, sf_dir, "events").repartition(4).write.mode("overwrite").parquet(path)
+    return path
+
+
+def test_tumbling_watermark_emits_and_drops_late_data(spark, sf_dir, tmp_path):
+    """Two time-ordered micro-batches: on-time data (day >= 2) first,
+    then day-1 data arriving after the watermark has advanced past it —
+    the watermark must drop every late event and the emitted windows
+    must exactly match the on-time batch aggregation."""
+    import datetime as dt
+
+    ev = load(spark, sf_dir, "events")
+    cutoff = "2024-01-02 00:00:00"
+    ontime = ev.filter(F.col("ts") >= cutoff)
+    late = ev.filter(F.col("ts") < cutoff)
+    path = str(tmp_path / "late_stream")
+    chk = str(tmp_path / "chk")
+    ontime.coalesce(1).write.mode("overwrite").parquet(path)
+
+    # run 1: on-time data only — advances the watermark near max(ts)
+    rows1 = run_collecting(
+        tumbling_counts(stream_events(spark, path), lateness="10 minutes"), chk
+    )
+    # run 2: the day-1 file arrives *after* the watermark passed it
+    late.coalesce(1).write.mode("append").parquet(path)
+    rows2 = run_collecting(
+        tumbling_counts(stream_events(spark, path), lateness="10 minutes"), chk
+    )
+    got_map = {r["bucket_start"]: r["n_events"] for r in rows1 + rows2}
+    assert len(got_map) > 0
+    # every day-1 window was dropped as late
+    assert min(got_map) >= dt.datetime(2024, 1, 2)
+    # every emitted window matches the on-time batch aggregation
+    batch_map = {
+        r["bucket_start"]: r["n_events"]
+        for r in (
+            ontime.groupBy(F.window("ts", "1 hour").alias("w"))
+            .agg(F.count(F.lit(1)).alias("n_events"))
+            .select(F.col("w.start").alias("bucket_start"), "n_events")
+            .collect()
+        )
+    }
+    for k, v in got_map.items():
+        assert batch_map[k] == v
+
+
+def test_stream_dedup_across_microbatches(spark, event_stream_dir, tmp_path):
+    # duplicate every event into a second directory read as one stream
+    dup_dir = str(tmp_path / "dup")
+    base = spark.read.parquet(event_stream_dir)
+    base.write.mode("overwrite").parquet(dup_dir)
+    base.write.mode("append").parquet(dup_dir)  # exact duplicates
+    stream = stream_events(spark, dup_dir, max_files_per_trigger=2)
+    got = run_to_memory(stream_dedup(stream), "t_dedup", output_mode="append")
+    assert got.count() == base.count()  # every duplicate dropped
+    assert got.select("event_id").distinct().count() == base.count()
+
+
+def test_stream_enrich_is_stateless_join(spark, sf_dir, event_stream_dir):
+    dim = load(spark, sf_dir, "customer")
+    stream = stream_events(spark, event_stream_dir)
+    got = run_to_memory(stream_enrich(stream, dim), "t_enrich", output_mode="append")
+    batch_n = (
+        load(spark, sf_dir, "events")
+        .join(dim, F.col("user_id") == F.col("c_custkey"))
+        .count()
+    )
+    assert got.count() == batch_n
+
+
+def test_stateful_funnel_matches_batch_analogue(spark, sf_dir, event_stream_dir):
+    import appstore_aws_etl_spark.queries  # noqa: F401
+    from appstore_aws_etl_spark.registry import REGISTRY
+
+    # single micro-batch: cross-batch per-key ordering is a source
+    # contract (Kafka keyed partitions), not reproducible with unordered
+    # file listings — dedup covers multi-batch state instead
+    stream = stream_events(spark, event_stream_dir)
+    got = run_to_memory(funnel_counts(stream), "t_funnel", output_mode="update")
+    # update mode re-emits per batch: the last row per user is the final state
+    final = (
+        got.groupBy("user_id").agg(F.max("view_to_purchase").alias("view_to_purchase"))
+    )
+    batch = REGISTRY["stream_funnel"].fn(spark, sf_dir)
+    got_map = {r["user_id"]: r["view_to_purchase"] for r in final.collect()}
+    batch_map = {r["user_id"]: r["view_to_purchase"] for r in batch.collect()}
+    assert got_map == batch_map
