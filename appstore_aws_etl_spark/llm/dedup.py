@@ -1,0 +1,227 @@
+"""Deduplication operators: exact, MinHash-LSH, SimHash, n-gram Jaccard.
+
+Scale design (SURVEY.md §2.11 L1-L2, §4.2):
+
+* exact: one hash-partitioned shuffle on the dedup key.
+* MinHash-LSH: shingles -> k deterministic hash permutations -> band
+  signatures -> candidate pairs meet only inside a band bucket. Total
+  work is O(n * k) + O(sum of bucket^2) — never the n^2 cross join.
+* SimHash: 64-bit weighted-projection fingerprint; near-dups share
+  bands of the fingerprint, same bucket-join trick.
+
+All hashing is xxhash64/murmur3 on the JVM — deterministic across
+runs and executors, no Python in the loop.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+# fixed seeds -> reproducible permutations (any change is a breaking
+# change to persisted signatures). Base hash is 32-bit murmur3 and the
+# modulus is the Mersenne prime 2^31-1 so h*a stays inside a 64-bit
+# long under ANSI overflow checking.
+_MINHASH_SEED = 874321
+_MERSENNE = (1 << 31) - 1
+
+
+def exact_dedup(df: DataFrame, keys: list[str], order: list[str]) -> DataFrame:
+    """L1 keep exactly one row per key, the first under ``order``
+    (deterministic survivor, unlike dropDuplicates which keeps an
+    arbitrary row per key)."""
+    w = Window.partitionBy(*keys).orderBy(*order)
+    return (
+        df.withColumn("__rn", F.row_number().over(w))
+        .filter(F.col("__rn") == 1)
+        .drop("__rn")
+    )
+
+
+def _shingles(text_col: str, k: int) -> F.Column:
+    """Character k-shingle array (distinct) of a normalized text col."""
+    canon = F.regexp_replace(F.lower(F.col(text_col)), r"\s+", " ")
+    idx = F.sequence(F.lit(1), F.greatest(F.length(canon) - k + 1, F.lit(1)))
+    return F.array_distinct(F.transform(idx, lambda i: canon.substr(i, F.lit(k))))
+
+
+def minhash_signatures(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    num_hashes: int = 32,
+    shingle_k: int = 5,
+) -> DataFrame:
+    """MinHash signature per document.
+
+    h_i(s) = (a_i * xxhash64(s) + b_i) mod p over character shingles;
+    the signature is the per-i minimum. Arrays stay JVM-side via
+    higher-order functions.
+    """
+    shingled = df.select(id_col, _shingles(text_col, shingle_k).alias("sh"))
+    base = shingled.withColumn(
+        "h0",
+        F.transform("sh", lambda s: F.abs(F.hash(s)).cast("long") % F.lit(_MERSENNE)),
+    )
+    def _perm(a: int, b: int):
+        # closure factory: default-arg lambdas would change the arity
+        # Spark's higher-order functions dispatch on
+        return lambda h: (h * F.lit(a) + F.lit(b)) % F.lit(_MERSENNE)
+
+    sig_cols = []
+    for i in range(num_hashes):
+        a = 2 * ((_MINHASH_SEED * (i + 1)) % _MERSENNE) + 1
+        b = (_MINHASH_SEED * 7919 * (i + 1)) % _MERSENNE
+        sig_cols.append(F.array_min(F.transform("h0", _perm(a, b))).alias(f"mh_{i}"))
+    return base.select(id_col, F.array(*sig_cols).alias("signature"))
+
+
+def minhash_near_dup_pairs(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    num_hashes: int = 32,
+    bands: int = 8,
+    shingle_k: int = 5,
+    jaccard_threshold: float = 0.6,
+) -> DataFrame:
+    """L2 near-duplicate pairs via banded MinHash-LSH.
+
+    Pairs collide if any band of their signatures is identical; the
+    signature-Jaccard estimate then filters candidates. Returns
+    (id_a, id_b, est_jaccard) with id_a < id_b.
+    """
+    rows_per_band = num_hashes // bands
+    sigs = minhash_signatures(df, id_col, text_col, num_hashes, shingle_k)
+    banded = sigs.select(
+        id_col,
+        "signature",
+        F.posexplode(
+            F.transform(
+                F.sequence(F.lit(0), F.lit(bands - 1)),
+                lambda b: F.hash(F.slice("signature", b * rows_per_band + 1, rows_per_band), b),
+            )
+        ).alias("band", "bucket"),
+    )
+    a = banded.select(
+        F.col(id_col).alias("id_a"), F.col("signature").alias("sig_a"), "band", "bucket"
+    )
+    b = banded.select(
+        F.col(id_col).alias("id_b"), F.col("signature").alias("sig_b"), "band", "bucket"
+    )
+    cand = (
+        a.join(b, on=["band", "bucket"])
+        .filter(F.col("id_a") < F.col("id_b"))
+        .select("id_a", "id_b", "sig_a", "sig_b")
+        .distinct()
+    )
+    est = F.aggregate(
+        F.zip_with("sig_a", "sig_b", lambda x, y: (x == y).cast("int")),
+        F.lit(0),
+        lambda acc, v: acc + v,
+    ) / F.lit(num_hashes)
+    return (
+        cand.withColumn("est_jaccard", F.round(est, 4))
+        .filter(F.col("est_jaccard") >= jaccard_threshold)
+        .select("id_a", "id_b", "est_jaccard")
+    )
+
+
+def simhash_buckets(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    bits: int = 64,
+    bands: int = 4,
+) -> DataFrame:
+    """SimHash fingerprint + band keys for near-dup bucketing.
+
+    Token-level simhash: each token votes its hash bits; the sign of
+    the per-bit sum forms the fingerprint. Hamming-close docs share a
+    band value with high probability.
+    """
+    toks = F.array_distinct(F.split(F.lower(F.col(text_col)), r"\s+"))
+    hashed = df.select(id_col, F.transform(toks, lambda t: F.xxhash64(t)).alias("th"))
+    def _vote(i: int):
+        return lambda acc, h: acc + F.when(
+            F.shiftright(h, i).bitwiseAND(F.lit(1)) == 1, 1
+        ).otherwise(-1)
+
+    bit_sums = [
+        F.aggregate("th", F.lit(0), _vote(i)).alias(f"bit_{i}") for i in range(bits)
+    ]
+    with_bits = hashed.select(id_col, *bit_sums)
+    # OR the set bits together (shiftleft at runtime — 1<<63 would
+    # overflow a Python literal into the sign bit anyway)
+    fingerprint = F.aggregate(
+        F.array(
+            *[
+                F.when(
+                    F.col(f"bit_{i}") > 0,
+                    F.shiftleft(F.lit(1).cast("long"), i),
+                ).otherwise(F.lit(0).cast("long"))
+                for i in range(bits)
+            ]
+        ),
+        F.lit(0).cast("long"),
+        lambda acc, v: acc.bitwiseOR(v),
+    )
+    out = with_bits.withColumn("simhash", fingerprint).select(id_col, "simhash")
+    band_bits = bits // bands
+    mask = (1 << band_bits) - 1
+    for b in range(bands):
+        out = out.withColumn(
+            f"band_{b}", F.shiftrightunsigned("simhash", b * band_bits).bitwiseAND(F.lit(mask))
+        )
+    return out
+
+
+def ngram_jaccard_pairs(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    n: int = 3,
+    scope_cols: list[str] | None = None,
+) -> DataFrame:
+    """Exact token-n-gram Jaccard for candidate pairs within a scope
+    (e.g. same source) — the verify pass behind approximate dedup.
+
+    |A ∩ B| comes from a self-join on the n-gram key (shuffle on
+    n-gram, never a cross join); |A ∪ B| = |A| + |B| - |A ∩ B|.
+    """
+    scope_cols = scope_cols or []
+    toks = F.split(F.lower(F.col(text_col)), r"\s+")
+    grams = (
+        df.select(
+            id_col,
+            *scope_cols,
+            F.explode(
+                F.array_distinct(
+                    F.transform(
+                        F.sequence(F.lit(0), F.size(toks) - n),
+                        lambda i: F.concat_ws(" ", *[F.element_at(toks, i + j + 1) for j in range(n)]),
+                    )
+                )
+            ).alias("gram"),
+        )
+    ).distinct()
+    sizes = grams.groupBy(id_col, *scope_cols).agg(F.count(F.lit(1)).alias("n_grams"))
+    a = grams.select(*scope_cols, F.col(id_col).alias("id_a"), "gram")
+    b = grams.select(*scope_cols, F.col(id_col).alias("id_b"), "gram")
+    inter = (
+        a.join(b, on=[*scope_cols, "gram"])
+        .filter(F.col("id_a") < F.col("id_b"))
+        .groupBy("id_a", "id_b")
+        .agg(F.count(F.lit(1)).alias("n_inter"))
+    )
+    sa = sizes.select(F.col(id_col).alias("id_a"), F.col("n_grams").alias("na"))
+    sb = sizes.select(F.col(id_col).alias("id_b"), F.col("n_grams").alias("nb"))
+    return (
+        inter.join(sa, "id_a")
+        .join(sb, "id_b")
+        .withColumn(
+            "jaccard",
+            F.round(F.col("n_inter") / (F.col("na") + F.col("nb") - F.col("n_inter")), 4),
+        )
+        .select("id_a", "id_b", "n_inter", "jaccard")
+    )

@@ -1,0 +1,121 @@
+"""Multimodal column handling (SURVEY.md §2.11 L10).
+
+Model: media are opaque ``binary`` payloads + a typed metadata struct
+(path, mime, n_bytes, content hash), exactly how a 100 TB lakehouse
+stores them (parquet binary columns or ``binaryFile`` pointers). The
+Spark-side plumbing — schemas, Arrow batch shapes, mapInPandas
+signatures, partition sizing — is real and tested; only the actual
+media decoding is stubbed (``decode_image`` raises, and
+``fake_image_features`` derives deterministic pseudo-features from the
+payload bytes) because no image/audio codec libraries exist in this
+container.
+"""
+
+from __future__ import annotations
+
+import hashlib
+from collections.abc import Iterator
+
+import pandas as pd
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+MEDIA_SCHEMA = T.StructType(
+    [
+        T.StructField("media_id", T.LongType(), False),
+        T.StructField("payload", T.BinaryType(), False),
+        T.StructField(
+            "meta",
+            T.StructType(
+                [
+                    T.StructField("path", T.StringType(), False),
+                    T.StructField("mime", T.StringType(), False),
+                    T.StructField("n_bytes", T.LongType(), False),
+                    T.StructField("sha256", T.StringType(), False),
+                ]
+            ),
+            False,
+        ),
+    ]
+)
+
+FEATURE_SCHEMA = T.StructType(
+    [
+        T.StructField("media_id", T.LongType(), False),
+        T.StructField("n_bytes", T.LongType(), False),
+        T.StructField("feature", T.ArrayType(T.FloatType()), False),
+    ]
+)
+
+
+def attach_media_metadata(df: DataFrame, payload_col: str = "payload") -> DataFrame:
+    """Derive the typed metadata struct from a binary column, JVM-side
+    (no Python for hashing/sizing — sha2 and octet length are codegen)."""
+    return df.withColumn(
+        "meta",
+        F.struct(
+            F.col("path").alias("path"),
+            F.col("mime").alias("mime"),
+            F.octet_length(F.col(payload_col)).cast("long").alias("n_bytes"),
+            F.lower(F.sha2(F.col(payload_col), 256)).alias("sha256"),
+        ),
+    )
+
+
+def decode_image(payload: bytes) -> "object":
+    """Real decode hook — requires an image codec library.
+
+    STUB: this container has no PIL/opencv/ffmpeg; swap this function
+    for a real decoder in deployment. The distributed plumbing around
+    it (batching, schema, partitioning) does not change.
+    """
+    raise NotImplementedError(
+        "image decoding requires a codec library (PIL/opencv); "
+        "use fake_image_features for deterministic pipeline tests"
+    )
+
+
+def fake_image_features(payload: bytes, dim: int = 8) -> list[float]:
+    """Deterministic stand-in for a feature extractor: digest bytes ->
+    dim pseudo-features in [0, 1). Same payload => same features on any
+    executor, which is what the pipeline tests need."""
+    digest = hashlib.sha256(payload).digest()
+    return [
+        int.from_bytes(digest[4 * i : 4 * i + 4], "big") / 2**32 for i in range(dim)
+    ]
+
+
+def extract_features(media: DataFrame, batch_limit_bytes: int = 1 << 28) -> DataFrame:
+    """Feature extraction over media payloads via mapInPandas.
+
+    Arrow streams batches into Python; each batch holds whole payloads,
+    so ``spark.sql.execution.arrow.maxRecordsPerBatch`` (and the
+    partition sizing of the upstream scan) bounds executor memory —
+    with ~10 MB images, 256 MB batches mean <=25 rows per batch.
+    """
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            feats = [fake_image_features(p) for p in pdf["payload"]]
+            yield pd.DataFrame(
+                {
+                    "media_id": pdf["media_id"],
+                    "n_bytes": [len(p) for p in pdf["payload"]],
+                    "feature": feats,
+                }
+            )
+
+    return media.mapInPandas(run, schema=FEATURE_SCHEMA)
+
+
+def documents_as_media(docs: DataFrame) -> DataFrame:
+    """Fixture adapter: treat document text bytes as media payloads so
+    the binary pipeline is exercised end-to-end without codec libs."""
+    return docs.select(
+        F.col("doc_id").alias("media_id"),
+        F.encode("text", "UTF-8").alias("payload"),
+        F.concat(F.lit("mem://documents/"), F.col("doc_id")).alias("path"),
+        F.lit("text/plain").alias("mime"),
+    )

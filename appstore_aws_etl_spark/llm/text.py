@@ -1,0 +1,146 @@
+"""Text analysis operators: tokenization, word counts, TF-IDF, n-grams,
+language ID, quality scoring, fingerprinting.
+
+All pure JVM expressions (split/explode/window/groupBy) — the hot path
+stays inside whole-stage codegen; there is no Python UDF anywhere in
+this module.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+
+def tokenize(df: DataFrame, text_col: str = "text", out_col: str = "tokens") -> DataFrame:
+    """Whitespace tokenization to an array column (fixture text is
+    pre-normalized lowercase; real corpora would lower+strip first)."""
+    return df.withColumn(out_col, F.split(F.lower(F.col(text_col)), r"\s+"))
+
+
+def word_counts(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """Corpus-wide token frequencies (explode -> two-phase count)."""
+    return (
+        tokenize(df, text_col)
+        .select(F.explode("tokens").alias("token"))
+        .groupBy("token")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+
+
+def tfidf(df: DataFrame, id_col: str = "doc_id", text_col: str = "text") -> DataFrame:
+    """Per-(doc, term) TF-IDF with the pinned smoothed formula
+    ``tf * (ln((N+1)/(df+1)) + 1)`` (SURVEY.md §2.11 L7).
+
+    Three aggregations, all partial-aggregated before their shuffles;
+    the doc-frequency side is a small term-keyed table joined back on
+    the term key.
+    """
+    terms = tokenize(df, text_col).select(id_col, F.explode("tokens").alias("term"))
+    tf = terms.groupBy(id_col, "term").agg(F.count(F.lit(1)).alias("tf"))
+    docfreq = tf.groupBy("term").agg(F.count(F.lit(1)).alias("df"))
+    n_docs = df.select(F.countDistinct(id_col).alias("n_docs"))
+    return (
+        tf.join(docfreq, "term")
+        .crossJoin(F.broadcast(n_docs))
+        .withColumn(
+            "tfidf",
+            F.col("tf")
+            * (F.log((F.col("n_docs") + 1) / (F.col("df") + 1)) + 1),
+        )
+        .select(id_col, "term", "tf", "df", "tfidf")
+    )
+
+
+def ngrams(
+    df: DataFrame, n: int = 2, id_col: str = "doc_id", text_col: str = "text"
+) -> DataFrame:
+    """Sliding token n-grams with positions (lead-window construction so
+    the per-doc ordering is explicit and deterministic)."""
+    toks = tokenize(df, text_col).select(
+        id_col, F.posexplode("tokens").alias("pos", "token")
+    )
+    w = Window.partitionBy(id_col).orderBy("pos")
+    gram_parts = [F.col("token")] + [F.lead("token", i).over(w) for i in range(1, n)]
+    out = toks.withColumn("__tail", F.lead("token", n - 1).over(w)).withColumn(
+        "ngram", F.concat_ws(" ", *gram_parts)
+    )
+    # drop tail positions whose lookahead ran off the document (window
+    # materialized as a column first — not allowed directly in WHERE)
+    return out.filter(F.col("__tail").isNotNull()).select(id_col, "pos", "ngram")
+
+
+# tiny per-language stopword anchors for the n-gram/stopword heuristic;
+# chosen to be disjoint across the fixture's five languages
+_LANG_MARKERS: dict[str, list[str]] = {
+    "en": ["the", "and", "of"],
+    "de": ["der", "und", "das"],
+    "fr": ["le", "et", "les"],
+    "es": ["el", "y", "los"],
+    "zh": ["de", "shi", "le"],
+}
+
+
+def language_id(
+    df: DataFrame, id_col: str = "doc_id", text_col: str = "text"
+) -> DataFrame:
+    """Heuristic language ID: score = count of language-marker tokens;
+    argmax over languages with a fixed tie order. One pass, no shuffle
+    — each doc scores independently (scales embarrassingly)."""
+    toks = F.split(F.lower(F.col(text_col)), r"\s+")
+    scores = [
+        F.size(F.array_intersect(toks, F.array(*[F.lit(m) for m in markers]))).alias(
+            f"score_{lang}"
+        )
+        for lang, markers in _LANG_MARKERS.items()
+    ]
+    scored = df.select(id_col, *scores)
+    # deterministic argmax: greatest (score, -lang_rank) pair
+    langs = list(_LANG_MARKERS)
+    struct = F.greatest(
+        *[
+            F.struct(
+                F.col(f"score_{lang}").alias("s"),
+                F.lit(len(langs) - i).alias("r"),
+                F.lit(lang).alias("lang"),
+            )
+            for i, lang in enumerate(langs)
+        ]
+    )
+    return scored.withColumn("pred_lang", struct.getField("lang")).select(
+        id_col, "pred_lang", *[f"score_{lang}" for lang in langs]
+    )
+
+
+def quality_scores(
+    df: DataFrame, id_col: str = "doc_id", text_col: str = "text"
+) -> DataFrame:
+    """Pipeline-hygiene quality signals: length, token stats, stopword
+    ratio, alpha ratio, repetition (distinct/total tokens)."""
+    toks = F.split(F.lower(F.col(text_col)), r"\s+")
+    stop = F.array(*[F.lit(s) for s in ("the", "and", "of", "a", "to", "in")])
+    n_tok = F.size(toks)
+    return df.select(
+        id_col,
+        F.length(text_col).alias("n_chars_m"),
+        n_tok.alias("n_tokens"),
+        F.round(F.length(F.regexp_replace(text_col, r"[^a-z ]", "")) / F.length(text_col), 4
+                ).alias("alpha_ratio"),
+        F.round(
+            F.size(F.filter(toks, lambda t: F.array_contains(stop, t))) / n_tok, 4
+        ).alias("stopword_ratio"),
+        F.round(F.size(F.array_distinct(toks)) / n_tok, 4).alias("distinct_ratio"),
+    )
+
+
+def document_fingerprint(
+    df: DataFrame, id_col: str = "doc_id", text_col: str = "text"
+) -> DataFrame:
+    """Canonical-form content fingerprint: collapse whitespace, md5.
+    The join key for exact-content dedup across shards."""
+    canon = F.trim(F.regexp_replace(F.lower(F.col(text_col)), r"\s+", " "))
+    return df.select(
+        id_col,
+        F.md5(canon).alias("fingerprint"),
+        F.sha2(canon, 256).alias("fingerprint_sha"),
+    )

@@ -10,11 +10,13 @@ from . import (  # noqa: F401
     flagship,
     functions,
     joins,
+    llm,
     projection,
     scans,
     setops,
     sorts,
     streaming_batch,
+    udx,
     windows,
 )
 

@@ -1,0 +1,433 @@
+"""§2.11 LLM-data-pipeline query inventory (L1-L11 + extensions).
+
+Each operator from llm/ is registered here with a DuckDB oracle where
+the semantics are exact, rows-only where they are approximate or
+Python-deterministic (MinHash/SimHash bucketing, IVF probing, stubbed
+multimodal features).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..catalog import load
+from ..llm.dedup import (
+    exact_dedup,
+    minhash_near_dup_pairs,
+    ngram_jaccard_pairs,
+    simhash_buckets,
+)
+from ..llm.multimodal import attach_media_metadata, documents_as_media, extract_features
+from ..llm.similarity import brute_force_knn, cosine_pairs, ivf_knn, similarity_join
+from ..llm.text import (
+    document_fingerprint,
+    language_id,
+    ngrams,
+    quality_scores,
+    tfidf,
+    word_counts,
+)
+from ..registry import query
+
+
+# --------------------------------------------------------------------------
+# L1/L2: dedup family
+# --------------------------------------------------------------------------
+
+
+@query(
+    "llm_dedup_exact",
+    oracle="""
+    SELECT doc_id, lang, source, n_chars
+    FROM (
+        SELECT doc_id, lang, source, n_chars,
+               row_number() OVER (PARTITION BY text ORDER BY doc_id) AS rn
+        FROM documents
+    ) WHERE rn = 1
+    """,
+    tags=("llm", "dedup"),
+)
+def llm_dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """L1 exact dedup on content, deterministic survivor (lowest id)."""
+    docs = load(spark, sf_dir, "documents")
+    return exact_dedup(docs, keys=["text"], order=["doc_id"]).select(
+        "doc_id", "lang", "source", "n_chars"
+    )
+
+
+@query("llm_dedup_minhash", oracle=None, tags=("llm", "dedup", "approx"))
+def llm_dedup_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """L2 MinHash-LSH near-dup candidate pairs (approx -> rows-only;
+    recall is unit-tested against planted near-duplicates)."""
+    docs = load(spark, sf_dir, "documents")
+    return minhash_near_dup_pairs(docs, jaccard_threshold=0.5)
+
+
+@query("llm_dedup_simhash", oracle=None, tags=("llm", "dedup", "approx"))
+def llm_dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SimHash fingerprints + band keys (engine-specific hash values ->
+    rows-only; banding behavior unit-tested)."""
+    docs = load(spark, sf_dir, "documents")
+    return simhash_buckets(docs, bits=32, bands=4)
+
+
+@query(
+    "llm_jaccard_ngram",
+    oracle="""
+    WITH toks AS (
+        SELECT doc_id, lang, source, string_split(lower(text), ' ') AS tk
+        FROM documents
+    ), grams AS (
+        SELECT DISTINCT doc_id, lang, source,
+               unnest(list_transform(range(1, len(tk) - 1),
+                                     i -> tk[i] || ' ' || tk[i+1] || ' ' || tk[i+2])) AS gram
+        FROM toks
+    ), sizes AS (
+        SELECT doc_id, count(*) AS n_grams FROM grams GROUP BY doc_id
+    ), inter AS (
+        SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS n_inter
+        FROM grams a JOIN grams b
+          ON a.lang = b.lang AND a.source = b.source AND a.gram = b.gram
+        WHERE a.doc_id < b.doc_id
+        GROUP BY a.doc_id, b.doc_id
+    )
+    SELECT id_a, id_b, n_inter,
+           round(n_inter / (sa.n_grams + sb.n_grams - n_inter), 4) AS jaccard
+    FROM inter
+    JOIN sizes sa ON sa.doc_id = id_a
+    JOIN sizes sb ON sb.doc_id = id_b
+    """,
+    tags=("llm", "dedup"),
+)
+def llm_jaccard_ngram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact token-3-gram Jaccard within (lang, source) scope — the
+    verify pass behind approximate dedup. The intersection comes from a
+    shuffle on the n-gram key, never a cross join."""
+    docs = load(spark, sf_dir, "documents")
+    return ngram_jaccard_pairs(docs, n=3, scope_cols=["lang", "source"])
+
+
+# --------------------------------------------------------------------------
+# L3-L5: similarity
+# --------------------------------------------------------------------------
+
+
+@query(
+    "llm_cosine",
+    oracle="""
+    SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+           round(list_cosine_similarity(a.embedding::DOUBLE[], b.embedding::DOUBLE[]), 4) + 0
+               AS cosine
+    FROM embeddings a JOIN embeddings b
+      ON a.label = b.label AND a.vec_id < b.vec_id
+    """,
+    tags=("llm", "similarity"),
+)
+def llm_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """L3 pairwise cosine within label scope, double-precision math on
+    both sides (storage is float32)."""
+    emb = load(spark, sf_dir, "embeddings")
+    return cosine_pairs(emb, scope_col="label")
+
+
+@query(
+    "llm_knn",
+    oracle="""
+    WITH q AS (SELECT embedding FROM embeddings WHERE vec_id = 0)
+    SELECT e.vec_id,
+           round(list_cosine_similarity(e.embedding::DOUBLE[], q.embedding::DOUBLE[]), 4) + 0
+               AS score
+    FROM embeddings e, q
+    ORDER BY score DESC, e.vec_id
+    LIMIT 10
+    """,
+    tags=("llm", "similarity"),
+)
+def llm_knn(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """L4 exact top-k neighbours of the vec_id=0 vector (brute force:
+    one scan + TakeOrderedAndProject)."""
+    emb = load(spark, sf_dir, "embeddings")
+    qvec = emb.filter(F.col("vec_id") == 0).select("embedding").collect()[0][0]
+    return brute_force_knn(emb, qvec, k=10)
+
+
+@query("llm_knn_ivf", oracle=None, tags=("llm", "similarity", "approx"))
+def llm_knn_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """L4 scale path: IVF-routed approximate kNN (recall vs brute force
+    unit-tested; approx -> rows-only)."""
+    emb = load(spark, sf_dir, "embeddings")
+    qvec = emb.filter(F.col("vec_id") == 0).select("embedding").collect()[0][0]
+    return ivf_knn(emb, qvec, k=10, n_centroids=8, nprobe=3)
+
+
+@query(
+    "llm_sim_join",
+    oracle="""
+    SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+           round(list_cosine_similarity(a.embedding::DOUBLE[], b.embedding::DOUBLE[]), 4) + 0
+               AS cosine
+    FROM embeddings a JOIN embeddings b
+      ON a.label = b.label AND a.vec_id < b.vec_id
+    WHERE round(list_cosine_similarity(a.embedding::DOUBLE[], b.embedding::DOUBLE[]), 4) + 0
+          >= 0.25
+    """,
+    tags=("llm", "similarity"),
+)
+def llm_sim_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """L5 threshold similarity join within label scope (fixture
+    embeddings are near-random, so 0.25 marks the upper tail)."""
+    emb = load(spark, sf_dir, "embeddings")
+    return similarity_join(emb, threshold=0.25, scope_col="label")
+
+
+# --------------------------------------------------------------------------
+# L6-L9, L11: text analysis
+# --------------------------------------------------------------------------
+
+
+@query(
+    "llm_wordcount",
+    oracle="""
+    SELECT token, count(*) AS n
+    FROM (SELECT unnest(string_split(lower(text), ' ')) AS token FROM documents)
+    GROUP BY token
+    """,
+    tags=("llm", "text"),
+)
+def llm_wordcount(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """L6 corpus token frequencies."""
+    return word_counts(load(spark, sf_dir, "documents"))
+
+
+@query(
+    "llm_tfidf",
+    oracle="""
+    WITH terms AS (
+        SELECT doc_id, unnest(string_split(lower(text), ' ')) AS term FROM documents
+    ), tf AS (
+        SELECT doc_id, term, count(*) AS tf FROM terms GROUP BY doc_id, term
+    ), df_ AS (
+        SELECT term, count(*) AS df FROM tf GROUP BY term
+    ), n AS (
+        SELECT count(DISTINCT doc_id) AS n_docs FROM documents
+    )
+    SELECT tf.doc_id, tf.term, tf.tf, df_.df,
+           round(tf.tf * (ln((n.n_docs + 1) / (df_.df + 1)) + 1), 4) AS tfidf
+    FROM tf JOIN df_ USING (term), n
+    WHERE tf.doc_id < 30
+    """,
+    tags=("llm", "text"),
+)
+def llm_tfidf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """L7 smoothed TF-IDF (formula pinned on both sides); document
+    frequencies computed over the full corpus, output sliced."""
+    docs = load(spark, sf_dir, "documents")
+    return (
+        tfidf(docs)
+        .filter(F.col("doc_id") < 30)
+        .withColumn("tfidf", F.round("tfidf", 4))
+    )
+
+
+@query(
+    "llm_ngrams",
+    oracle="""
+    WITH tok AS (
+        SELECT doc_id,
+               unnest(string_split(lower(text), ' '))                  AS token,
+               generate_subscripts(string_split(lower(text), ' '), 1)  AS p
+        FROM documents WHERE doc_id % 25 = 7
+    )
+    SELECT doc_id, p - 1 AS pos,
+           token || ' ' || lead(token) OVER (PARTITION BY doc_id ORDER BY p) AS ngram
+    FROM tok
+    QUALIFY lead(token) OVER (PARTITION BY doc_id ORDER BY p) IS NOT NULL
+    """,
+    tags=("llm", "text"),
+)
+def llm_ngrams(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """L8 token bigrams with positions."""
+    docs = load(spark, sf_dir, "documents").filter(F.col("doc_id") % 25 == 7)
+    return ngrams(docs, n=2)
+
+
+@query(
+    "llm_corpus_stats",
+    oracle="""
+    SELECT lang, source,
+           count(*)                                           AS n_docs,
+           CAST(sum(n_chars) AS BIGINT)                       AS total_chars,
+           round(avg(len(string_split(text, ' '))), 4)        AS avg_tokens,
+           min(doc_id)                                        AS first_doc
+    FROM documents GROUP BY lang, source
+    """,
+    tags=("llm", "text"),
+)
+def llm_corpus_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """L9 per-(lang, source) corpus slice statistics."""
+    docs = load(spark, sf_dir, "documents")
+    return docs.groupBy("lang", "source").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("n_chars").alias("total_chars"),
+        F.round(F.avg(F.size(F.split("text", " "))), 4).alias("avg_tokens"),
+        F.min("doc_id").alias("first_doc"),
+    )
+
+
+_STOPWORDS_SQL = "['the', 'and', 'of', 'a', 'to', 'in']"
+
+
+@query(
+    "llm_quality_filter",
+    oracle=f"""
+    WITH scored AS (
+        SELECT doc_id,
+               length(text)                                   AS n_chars_m,
+               len(string_split(lower(text), ' '))            AS n_tokens,
+               round(length(regexp_replace(text, '[^a-z ]', '', 'g'))
+                     / length(text), 4)                       AS alpha_ratio,
+               round(len(list_filter(string_split(lower(text), ' '),
+                                     t -> list_contains({_STOPWORDS_SQL}, t)))
+                     / len(string_split(lower(text), ' ')), 4) AS stopword_ratio,
+               round(len(list_distinct(string_split(lower(text), ' ')))
+                     / len(string_split(lower(text), ' ')), 4) AS distinct_ratio
+        FROM documents
+    )
+    SELECT * FROM scored
+    WHERE n_tokens BETWEEN 5 AND 2000 AND alpha_ratio >= 0.8 AND distinct_ratio >= 0.2
+    """,
+    tags=("llm", "text"),
+)
+def llm_quality_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """L11 quality scoring + hygiene filter (length band, alpha ratio,
+    repetition)."""
+    docs = load(spark, sf_dir, "documents")
+    return quality_scores(docs).filter(
+        F.col("n_tokens").between(5, 2000)
+        & (F.col("alpha_ratio") >= 0.8)
+        & (F.col("distinct_ratio") >= 0.2)
+    )
+
+
+_MARKER_SQL = {
+    "en": "['the', 'and', 'of']",
+    "de": "['der', 'und', 'das']",
+    "fr": "['le', 'et', 'les']",
+    "es": "['el', 'y', 'los']",
+    "zh": "['de', 'shi', 'le']",
+}
+_SCORES_SQL = ",\n".join(
+    f"""           len(list_filter({markers},
+                     m -> list_contains(string_split(lower(text), ' '), m)))
+               AS score_{lang}"""
+    for lang, markers in _MARKER_SQL.items()
+)
+
+
+@query(
+    "llm_lang_id",
+    oracle=f"""
+    WITH scored AS (
+        SELECT doc_id,
+{_SCORES_SQL}
+        FROM documents
+    )
+    SELECT doc_id,
+           CASE WHEN score_en >= score_de AND score_en >= score_fr
+                     AND score_en >= score_es AND score_en >= score_zh THEN 'en'
+                WHEN score_de >= score_fr AND score_de >= score_es
+                     AND score_de >= score_zh THEN 'de'
+                WHEN score_fr >= score_es AND score_fr >= score_zh THEN 'fr'
+                WHEN score_es >= score_zh THEN 'es'
+                ELSE 'zh' END AS pred_lang,
+           score_en, score_de, score_fr, score_es, score_zh
+    FROM scored
+    """,
+    tags=("llm", "text"),
+)
+def llm_lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Language-ID heuristic: marker-stopword hits per language, argmax
+    with fixed tie precedence (en > de > fr > es > zh)."""
+    return language_id(load(spark, sf_dir, "documents"))
+
+
+@query(
+    "llm_token_count",
+    oracle="""
+    SELECT doc_id,
+           len(string_split(text, ' '))                 AS ws_tokens,
+           len(regexp_extract_all(text, '[a-z]+|[0-9]+')) AS bpe_ish_tokens,
+           length(text)                                 AS n_chars_m
+    FROM documents
+    """,
+    tags=("llm", "text"),
+)
+def llm_token_count(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Token counting: whitespace tokens + a BPE-ish regex token count
+    (alpha runs and digit runs)."""
+    docs = load(spark, sf_dir, "documents")
+    return docs.select(
+        "doc_id",
+        F.size(F.split("text", " ")).alias("ws_tokens"),
+        F.size(F.regexp_extract_all("text", F.lit("[a-z]+|[0-9]+"), 0)).alias(
+            "bpe_ish_tokens"
+        ),
+        F.length("text").alias("n_chars_m"),
+    )
+
+
+@query(
+    "llm_fingerprint",
+    oracle="""
+    SELECT doc_id,
+           md5(trim(regexp_replace(lower(text), '\\s+', ' ', 'g')))    AS fingerprint,
+           sha256(trim(regexp_replace(lower(text), '\\s+', ' ', 'g'))) AS fingerprint_sha
+    FROM documents
+    """,
+    tags=("llm", "text"),
+)
+def llm_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Canonical content fingerprints (md5 + sha256 over collapsed
+    whitespace) — the cross-shard exact-dedup key."""
+    return document_fingerprint(load(spark, sf_dir, "documents"))
+
+
+# --------------------------------------------------------------------------
+# L10: multimodal
+# --------------------------------------------------------------------------
+
+
+@query(
+    "llm_multimodal_meta",
+    oracle="""
+    SELECT doc_id AS media_id,
+           'text/plain'        AS mime,
+           CAST(strlen(text) AS BIGINT) AS n_bytes,
+           sha256(text)        AS payload_sha
+    FROM documents
+    """,
+    tags=("llm", "multimodal"),
+)
+def llm_multimodal_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """L10 binary payload + typed metadata struct, hashed/sized
+    JVM-side (text bytes stand in for media payloads)."""
+    media = attach_media_metadata(documents_as_media(load(spark, sf_dir, "documents")))
+    return media.select(
+        "media_id",
+        F.col("meta.mime").alias("mime"),
+        F.col("meta.n_bytes").alias("n_bytes"),
+        F.col("meta.sha256").alias("payload_sha"),
+    )
+
+
+@query("llm_multimodal_features", oracle=None, tags=("llm", "multimodal"))
+def llm_multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """L10 feature extraction over binary payloads via mapInPandas
+    (decode stage stubbed deterministically — no codec libs here; the
+    Arrow batching, schema, and partitioning are the real article)."""
+    media = documents_as_media(load(spark, sf_dir, "documents"))
+    feats = extract_features(media)
+    return feats.select(
+        "media_id", "n_bytes", F.round(F.element_at("feature", 1), 6).alias("f0")
+    )

@@ -1,0 +1,114 @@
+"""Unit tests for LLM-pipeline operators: behavior the DuckDB oracle
+can't check (approximate recall, hash bucketing, stubbed decode)."""
+
+from __future__ import annotations
+
+import pytest
+
+from pyspark.sql import Row
+from pyspark.sql import functions as F
+
+from appstore_aws_etl_spark.llm.dedup import (
+    minhash_near_dup_pairs,
+    ngram_jaccard_pairs,
+    simhash_buckets,
+)
+from appstore_aws_etl_spark.llm.multimodal import (
+    attach_media_metadata,
+    decode_image,
+    documents_as_media,
+    extract_features,
+    fake_image_features,
+)
+from appstore_aws_etl_spark.llm.similarity import brute_force_knn, ivf_knn
+
+
+@pytest.fixture(scope="module")
+def planted_docs(spark):
+    base = "the quick brown fox jumps over the lazy dog again and again today"
+    near = base.replace("today", "tomorrow")  # one-token edit
+    far = "completely different words about spark engines and parquet files"
+    return spark.createDataFrame(
+        [
+            Row(doc_id=1, text=base),
+            Row(doc_id=2, text=near),
+            Row(doc_id=3, text=far),
+            Row(doc_id=4, text=base),  # exact dup of 1
+        ]
+    )
+
+
+def test_minhash_finds_planted_near_dups(planted_docs):
+    pairs = minhash_near_dup_pairs(
+        planted_docs, num_hashes=32, bands=8, jaccard_threshold=0.5
+    )
+    got = {(r["id_a"], r["id_b"]) for r in pairs.collect()}
+    assert (1, 2) in got  # near dup
+    assert (1, 4) in got  # exact dup
+    assert (1, 3) not in got and (2, 3) not in got  # unrelated
+
+
+def test_minhash_estimate_tracks_true_jaccard(planted_docs):
+    pairs = {
+        (r["id_a"], r["id_b"]): r["est_jaccard"]
+        for r in minhash_near_dup_pairs(
+            planted_docs, num_hashes=32, bands=8, jaccard_threshold=0.0
+        ).collect()
+    }
+    assert pairs[(1, 4)] == 1.0  # identical signature
+    assert pairs[(1, 2)] > 0.5  # high overlap
+
+
+def test_simhash_exact_dup_same_fingerprint(planted_docs):
+    rows = {r["doc_id"]: r for r in simhash_buckets(planted_docs, bits=32).collect()}
+    assert rows[1]["simhash"] == rows[4]["simhash"]
+    # near dup shares at least one band with the original
+    shared = sum(rows[1][f"band_{b}"] == rows[2][f"band_{b}"] for b in range(4))
+    assert shared >= 1
+    # unrelated doc gets a different fingerprint
+    assert rows[1]["simhash"] != rows[3]["simhash"]
+
+
+def test_ngram_jaccard_exact_values(planted_docs):
+    pairs = {
+        (r["id_a"], r["id_b"]): r["jaccard"]
+        for r in ngram_jaccard_pairs(planted_docs, n=3).collect()
+    }
+    assert pairs[(1, 4)] == 1.0
+    assert 0.5 < pairs[(1, 2)] < 1.0
+
+
+def test_ivf_recall_vs_brute_force(spark, sf_dir):
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    qvec = emb.filter(F.col("vec_id") == 0).select("embedding").collect()[0][0]
+    exact = [r["vec_id"] for r in brute_force_knn(emb, qvec, k=10).collect()]
+    approx = [
+        r["vec_id"]
+        for r in ivf_knn(emb, qvec, k=10, n_centroids=8, nprobe=6).collect()
+    ]
+    recall = len(set(exact) & set(approx)) / 10
+    # fixture vectors are ~random (no cluster structure), so expected
+    # recall tracks the probe fraction (6/8); real clustered embeddings
+    # do far better at the same probe budget
+    assert recall >= 0.5
+    assert approx[0] == 0  # the query vector itself always routes home
+
+
+def test_multimodal_metadata_and_features(spark, sf_dir):
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    media = attach_media_metadata(documents_as_media(docs))
+    m = media.limit(5).collect()
+    for r in m:
+        assert r["meta"]["n_bytes"] == len(r["payload"])
+        assert len(r["meta"]["sha256"]) == 64
+    feats = extract_features(media.select("media_id", "payload")).collect()
+    assert len(feats) == docs.count()
+    by_id = {r["media_id"]: r["feature"] for r in feats}
+    # deterministic: recomputing locally gives identical features
+    payload = m[0]["payload"]
+    assert by_id[m[0]["media_id"]] == pytest.approx(fake_image_features(payload))
+
+
+def test_decode_stub_raises():
+    with pytest.raises(NotImplementedError):
+        decode_image(b"\x89PNG...")

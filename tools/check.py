@@ -49,6 +49,7 @@ def normalize(df: pd.DataFrame) -> pd.DataFrame:
         if pd.isna(v) if not isinstance(v, (list, tuple, set, dict)) else False:
             return "<NULL>"
         if isinstance(v, float):
+            v += 0.0  # collapse IEEE negative zero
             if v == int(v) and abs(v) < 1e15:
                 return f"{v:.1f}"
             return repr(v)
