@@ -15,6 +15,11 @@ runs and executors, no Python in the loop.
 
 from __future__ import annotations
 
+import zlib
+
+import numpy as np
+import pandas as pd
+
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
@@ -38,13 +43,6 @@ def exact_dedup(df: DataFrame, keys: list[str], order: list[str]) -> DataFrame:
     )
 
 
-def _shingles(text_col: str, k: int) -> F.Column:
-    """Character k-shingle array (distinct) of a normalized text col."""
-    canon = F.regexp_replace(F.lower(F.col(text_col)), r"\s+", " ")
-    idx = F.sequence(F.lit(1), F.greatest(F.length(canon) - k + 1, F.lit(1)))
-    return F.array_distinct(F.transform(idx, lambda i: canon.substr(i, F.lit(k))))
-
-
 def minhash_signatures(
     df: DataFrame,
     id_col: str = "doc_id",
@@ -54,26 +52,43 @@ def minhash_signatures(
 ) -> DataFrame:
     """MinHash signature per document.
 
-    h_i(s) = (a_i * xxhash64(s) + b_i) mod p over character shingles;
-    the signature is the per-i minimum. Arrays stay JVM-side via
-    higher-order functions.
-    """
-    shingled = df.select(id_col, _shingles(text_col, shingle_k).alias("sh"))
-    base = shingled.withColumn(
-        "h0",
-        F.transform("sh", lambda s: F.abs(F.hash(s)).cast("long") % F.lit(_MERSENNE)),
-    )
-    def _perm(a: int, b: int):
-        # closure factory: default-arg lambdas would change the arity
-        # Spark's higher-order functions dispatch on
-        return lambda h: (h * F.lit(a) + F.lit(b)) % F.lit(_MERSENNE)
+    h_i(s) = (a_i * crc32(s) + b_i) mod p over distinct character
+    k-shingles; the signature is the per-i minimum.
 
-    sig_cols = []
-    for i in range(num_hashes):
-        a = 2 * ((_MINHASH_SEED * (i + 1)) % _MERSENNE) + 1
-        b = (_MINHASH_SEED * 7919 * (i + 1)) % _MERSENNE
-        sig_cols.append(F.array_min(F.transform("h0", _perm(a, b))).alias(f"mh_{i}"))
-    return base.select(id_col, F.array(*sig_cols).alias("signature"))
+    Computed in a vectorized pandas UDF: per-doc work is
+    O(len * num_hashes) dense integer math, where one numpy
+    (num_hashes x n_shingles) broadcast beats Catalyst by orders of
+    magnitude — nested higher-order lambdas at this arity drop out of
+    codegen into interpreted evaluation. crc32 keeps the base hash
+    deterministic across executors and runs (PYTHONHASHSEED-proof).
+    """
+    a = np.array(
+        [2 * ((_MINHASH_SEED * (i + 1)) % _MERSENNE) + 1 for i in range(num_hashes)],
+        dtype=np.int64,
+    )
+    b = np.array(
+        [(_MINHASH_SEED * 7919 * (i + 1)) % _MERSENNE for i in range(num_hashes)],
+        dtype=np.int64,
+    )
+
+    @F.pandas_udf("array<long>")
+    def signature(texts: pd.Series) -> pd.Series:
+        out = []
+        for t in texts:
+            canon = " ".join(t.lower().split())
+            n = max(len(canon) - shingle_k + 1, 1)
+            hs = np.fromiter(
+                {
+                    zlib.crc32(canon[i : i + shingle_k].encode()) % _MERSENNE
+                    for i in range(n)
+                },
+                dtype=np.int64,
+            )
+            # (num_hashes, n_shingles) permutation matrix -> row minima
+            out.append(((a[:, None] * hs[None, :] + b[:, None]) % _MERSENNE).min(axis=1))
+        return pd.Series(out)
+
+    return df.select(id_col, signature(F.col(text_col)).alias("signature"))
 
 
 def minhash_near_dup_pairs(
@@ -92,10 +107,12 @@ def minhash_near_dup_pairs(
     (id_a, id_b, est_jaccard) with id_a < id_b.
     """
     rows_per_band = num_hashes // bands
-    sigs = minhash_signatures(df, id_col, text_col, num_hashes, shingle_k)
+    # signatures are tiny relative to the text (num_hashes longs/doc);
+    # persist so the shingling+permutation work runs once, not once per
+    # join side (at 100 TB this table would be checkpointed to storage)
+    sigs = minhash_signatures(df, id_col, text_col, num_hashes, shingle_k).persist()
     banded = sigs.select(
         id_col,
-        "signature",
         F.posexplode(
             F.transform(
                 F.sequence(F.lit(0), F.lit(bands - 1)),
@@ -103,17 +120,20 @@ def minhash_near_dup_pairs(
             )
         ).alias("band", "bucket"),
     )
-    a = banded.select(
-        F.col(id_col).alias("id_a"), F.col("signature").alias("sig_a"), "band", "bucket"
-    )
-    b = banded.select(
-        F.col(id_col).alias("id_b"), F.col("signature").alias("sig_b"), "band", "bucket"
-    )
+    # candidate ids only through the band join/distinct — shuffling and
+    # deduping full signature arrays is what makes naive LSH slow
     cand = (
-        a.join(b, on=["band", "bucket"])
+        banded.select(F.col(id_col).alias("id_a"), "band", "bucket")
+        .join(banded.select(F.col(id_col).alias("id_b"), "band", "bucket"),
+              on=["band", "bucket"])
         .filter(F.col("id_a") < F.col("id_b"))
-        .select("id_a", "id_b", "sig_a", "sig_b")
+        .select("id_a", "id_b")
         .distinct()
+    )
+    with_sigs = cand.join(
+        sigs.select(F.col(id_col).alias("id_a"), F.col("signature").alias("sig_a")), "id_a"
+    ).join(
+        sigs.select(F.col(id_col).alias("id_b"), F.col("signature").alias("sig_b")), "id_b"
     )
     est = F.aggregate(
         F.zip_with("sig_a", "sig_b", lambda x, y: (x == y).cast("int")),
@@ -121,7 +141,7 @@ def minhash_near_dup_pairs(
         lambda acc, v: acc + v,
     ) / F.lit(num_hashes)
     return (
-        cand.withColumn("est_jaccard", F.round(est, 4))
+        with_sigs.withColumn("est_jaccard", F.round(est, 4))
         .filter(F.col("est_jaccard") >= jaccard_threshold)
         .select("id_a", "id_b", "est_jaccard")
     )
@@ -191,20 +211,25 @@ def ngram_jaccard_pairs(
     """
     scope_cols = scope_cols or []
     toks = F.split(F.lower(F.col(text_col)), r"\s+")
+    # n-grams as zip_with over shifted copies of the token array —
+    # linear per row. (Indexing element_at(toks, i+j) inside a lambda
+    # re-evaluates the split per element: O(len^2) per document.)
+    gram_arr = toks
+    for k in range(1, n):
+        shifted = F.slice(toks, k + 1, F.size(toks))
+        gram_arr = F.zip_with(gram_arr, shifted, lambda x, y: F.concat(x, F.lit(" "), y))
+    gram_arr = F.filter(gram_arr, lambda g: g.isNotNull())
+    # persisted: the gram table feeds both join sides and the size agg —
+    # without it the explode+distinct runs three times
     grams = (
         df.select(
             id_col,
             *scope_cols,
-            F.explode(
-                F.array_distinct(
-                    F.transform(
-                        F.sequence(F.lit(0), F.size(toks) - n),
-                        lambda i: F.concat_ws(" ", *[F.element_at(toks, i + j + 1) for j in range(n)]),
-                    )
-                )
-            ).alias("gram"),
+            F.explode(F.array_distinct(gram_arr)).alias("gram"),
         )
-    ).distinct()
+        .distinct()
+        .persist()
+    )
     sizes = grams.groupBy(id_col, *scope_cols).agg(F.count(F.lit(1)).alias("n_grams"))
     a = grams.select(*scope_cols, F.col(id_col).alias("id_a"), "gram")
     b = grams.select(*scope_cols, F.col(id_col).alias("id_b"), "gram")

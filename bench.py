@@ -1,0 +1,73 @@
+"""Benchmark harness (BASELINE.md protocol).
+
+Runs every registered query at $SPARK_GRAFT_SF_DIR (default sf0.1) on a
+warm local[$SPARK_GRAFT_CPUS] session, AQE on, timing excludes session
+startup. The action is count() over the result (materializes the full
+plan without driver transfer). Prints ONE JSON line:
+
+    {"metric": "...", "value": <total sec>, "unit": "sec",
+     "queries": {"agg_group": sec, ...}, "sf": 0.1}
+
+Flagship (agg_group) runs first and is reported median-of-3; other
+queries run once (the full set keeps per-round wall-clock sane).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import statistics
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+import appstore_aws_etl_spark.queries  # noqa: F401
+from appstore_aws_etl_spark.registry import REGISTRY
+from appstore_aws_etl_spark.session import get_spark
+
+SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+FLAGSHIP = "agg_group"
+
+
+def run_once(spark, name: str) -> float:
+    t0 = time.perf_counter()
+    REGISTRY[name].fn(spark, SF_DIR).count()
+    return time.perf_counter() - t0
+
+
+def main() -> None:
+    only = sys.argv[1:]
+    # sf0.1 is ~20 MB of parquet: 8 post-scan partitions measured best
+    # (32 adds pure task-scheduling overhead). On a real cluster this
+    # is sized to data volume / 128 MB and AQE coalesces the rest.
+    spark = get_spark(
+        "bench", shuffle_partitions=int(os.environ.get("SPARK_GRAFT_SHUFFLE", "8"))
+    )
+    # warm the JVM/codegen paths so no query pays first-run costs
+    run_once(spark, FLAGSHIP)
+
+    timings: dict[str, float] = {}
+    timings[FLAGSHIP] = statistics.median(run_once(spark, FLAGSHIP) for _ in range(3))
+    for name in REGISTRY:
+        if name == FLAGSHIP or (only and name not in only):
+            continue
+        timings[name] = round(run_once(spark, name), 4)
+    timings[FLAGSHIP] = round(timings[FLAGSHIP], 4)
+
+    sf = float(os.path.basename(SF_DIR.rstrip("/")).replace("sf", "") or "0.1")
+    print(
+        json.dumps(
+            {
+                "metric": "engine_wall_clock_total",
+                "value": round(sum(timings.values()), 4),
+                "unit": "sec",
+                "queries": timings,
+                "sf": sf,
+            }
+        )
+    )
+
+
+if __name__ == "__main__":
+    main()
