@@ -32,6 +32,10 @@ def load(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     near whole-µs boundaries). SURVEY.md §7.4.3: oracle comparisons
     bucket to >= second granularity anyway.
     """
+    # timestamps must compare UTC-naive against the DuckDB oracle no
+    # matter what session the caller provides (runtime conf, safe to
+    # set repeatedly)
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
     if name == "events":
         spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
         from pyspark.sql import functions as F

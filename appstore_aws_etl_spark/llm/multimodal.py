@@ -110,6 +110,29 @@ def extract_features(media: DataFrame, batch_limit_bytes: int = 1 << 28) -> Data
     return media.mapInPandas(run, schema=FEATURE_SCHEMA)
 
 
+def read_media_dir(spark, path: str, pattern: str = "*") -> DataFrame:
+    """True binary-object source (SURVEY.md §2.1 S2 read side): each
+    file becomes one row (path, modificationTime, length, content).
+    This is how real image/audio/video objects enter the pipeline; the
+    fixture-backed tests use documents_as_media instead because the
+    container ships no media fixtures.
+
+    ``pathGlobFilter`` prunes at listing time;
+    ``spark.sql.files.maxPartitionBytes`` governs how many objects land
+    in one task — size it to a few payloads for decode-heavy stages.
+    """
+    return (
+        spark.read.format("binaryFile")
+        .option("pathGlobFilter", pattern)
+        .load(path)
+        .select(
+            F.col("path"),
+            F.col("length").cast("long").alias("n_bytes"),
+            F.col("content").alias("payload"),
+        )
+    )
+
+
 def documents_as_media(docs: DataFrame) -> DataFrame:
     """Fixture adapter: treat document text bytes as media payloads so
     the binary pipeline is exercised end-to-end without codec libs."""
