@@ -7,6 +7,7 @@ with every implemented query key. Module order mirrors the build plan
 
 from . import (  # noqa: F401
     aggregates,
+    analytics,
     flagship,
     functions,
     joins,
