@@ -82,6 +82,26 @@ def agg_approx_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@query("agg_approx_percentile", oracle=None, tags=("agg", "approx"))
+def agg_approx_percentile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A4-adjacent: t-digest-style approximate percentiles — the global
+    quantile path at 100 TB (exact percentile on an ungrouped column
+    would sort the world). Oracle-less (sketch-dependent); tolerance vs
+    the exact percentile is unit-tested."""
+    return (
+        load(spark, sf_dir, "lineitem")
+        .groupBy("l_returnflag")
+        .agg(
+            F.approx_percentile("l_extendedprice", F.lit(0.5), F.lit(10000)).alias(
+                "p50_approx"
+            ),
+            F.approx_percentile("l_extendedprice", F.lit(0.95), F.lit(10000)).alias(
+                "p95_approx"
+            ),
+        )
+    )
+
+
 @query(
     "agg_filtered",
     oracle="""

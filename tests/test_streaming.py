@@ -95,6 +95,33 @@ def test_stream_enrich_is_stateless_join(spark, sf_dir, event_stream_dir):
     assert got.count() == batch_n
 
 
+def test_session_window_complete_mode_matches_batch(spark, sf_dir, event_stream_dir):
+    """T3 native streaming session_window + T8 complete output mode:
+    the final complete-mode emission equals the batch gaps-and-islands
+    sessionization (session membership, not ids, compared — numbering
+    is an implementation detail)."""
+    import appstore_aws_etl_spark.queries  # noqa: F401
+    from appstore_aws_etl_spark.registry import REGISTRY
+    from appstore_aws_etl_spark.streaming import session_counts
+
+    stream = stream_events(spark, event_stream_dir)
+    got = run_to_memory(
+        session_counts(stream, gap="1 hour", lateness="10 minutes"),
+        "t_session",
+        output_mode="complete",
+    )
+    # compare (user, session_start-second, n_events) sets
+    got_set = {
+        (r["user_id"], r["session_start"].replace(microsecond=0), r["n_events"])
+        for r in got.collect()
+    }
+    batch_set = {
+        (r["user_id"], r["session_start"], r["n_events"])
+        for r in REGISTRY["stream_session"].fn(spark, sf_dir).collect()
+    }
+    assert got_set == batch_set
+
+
 def test_stateful_funnel_matches_batch_analogue(spark, sf_dir, event_stream_dir):
     import appstore_aws_etl_spark.queries  # noqa: F401
     from appstore_aws_etl_spark.registry import REGISTRY
