@@ -38,13 +38,20 @@ def asof_join(
     right_payload: list[str] | None = None,
     tie_break: str | None = None,
     allow_exact_matches: bool = True,
+    direction: str = "backward",
     payload_prefix: str = "asof_",
 ) -> DataFrame:
-    """For each left row, attach the payload of the latest right row with
-    ``right.ts <= left.ts`` (or ``<`` if not allow_exact_matches) within
-    the same ``on`` key group. Left rows with no match keep nulls
-    (left-outer semantics).
+    """For each left row, attach the payload of the nearest right row
+    within the same ``on`` key group: the latest with
+    ``right.ts <= left.ts`` (direction="backward", default) or the
+    earliest with ``right.ts >= left.ts`` (direction="forward");
+    ``allow_exact_matches=False`` makes the inequality strict. Left
+    rows with no match keep nulls (left-outer semantics). Ties among
+    right rows resolve to the greatest ``tie_break`` (backward) /
+    smallest (forward).
     """
+    if direction not in ("backward", "forward"):
+        raise ValueError(f"direction must be backward|forward, got {direction!r}")
     right_payload = right_payload or [
         c for c in right.columns if c not in on and c != right_ts
     ]
@@ -73,19 +80,34 @@ def asof_join(
     )
     unioned = l_tagged.unionByName(r_tagged)
 
-    # Right rows must sort before left rows at equal ts for inclusive
-    # semantics (so last() sees them), after for strict semantics.
-    side_order = F.col(_SIDE).asc() if allow_exact_matches else F.col(_SIDE).desc()
-    w = (
-        Window.partitionBy(*on)
-        .orderBy(F.col(ts).asc(), side_order, F.col(tie).asc_nulls_first())
-        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    )
+    if direction == "backward":
+        # carry the most recent right payload forward in time: right
+        # rows sort before left at equal ts for inclusive semantics
+        # (so last() sees them), after for strict.
+        side_order = F.col(_SIDE).asc() if allow_exact_matches else F.col(_SIDE).desc()
+        w = (
+            Window.partitionBy(*on)
+            .orderBy(F.col(ts).asc(), side_order, F.col(tie).asc_nulls_first())
+            .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        )
+        carry = F.last
+    else:
+        # forward: carry the next right payload backward in time; left
+        # rows sort before right at equal ts for inclusive semantics
+        # (so first() over the following frame sees them), after for
+        # strict. Tie order ascending -> smallest tie_break wins.
+        side_order = F.col(_SIDE).desc() if allow_exact_matches else F.col(_SIDE).asc()
+        w = (
+            Window.partitionBy(*on)
+            .orderBy(F.col(ts).asc(), side_order, F.col(tie).asc_nulls_last())
+            .rowsBetween(Window.currentRow, Window.unboundedFollowing)
+        )
+        carry = F.first
 
     carried = unioned.select(
         "*",
         *[
-            F.last(f"{payload_prefix}{c}", ignorenulls=True).over(w).alias(f"__carry_{c}")
+            carry(f"{payload_prefix}{c}", ignorenulls=True).over(w).alias(f"__carry_{c}")
             for c in right_payload
         ],
     )

@@ -1,0 +1,58 @@
+"""Time-series gap-filling rollup (hypertable-style continuous
+aggregate, SURVEY.md §4.2 "custom operators").
+
+``gapfill_rollup`` buckets events to a fixed grain per key, then fills
+the empty buckets between each key's first and last activity with
+zero/default rows — the dense series every downstream
+window/forecast/chart consumer wants.
+
+Plan shape: one aggregation shuffle for the rollup + one per-key span
+aggregation + an explode of `sequence(first, last, step)` joined back
+LEFT — the explode generates rows JVM-side, so density costs no Python
+and no driver round-trip. Spans are per-key, so a key active for one
+hour adds one row, not the global time range (critical when keys churn
+across a 100 TB history).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def gapfill_rollup(
+    events: DataFrame,
+    key: str,
+    ts: str,
+    grain: str = "1 hour",
+    agg_col: str | None = None,
+) -> DataFrame:
+    """Dense per-(key, bucket) rollup: n_events (+ sum of ``agg_col``)
+    with zero-filled buckets inside each key's [first, last] span."""
+    step = F.expr(f"INTERVAL {grain}")
+    bucketed = events.select(
+        F.col(key), F.window(ts, grain).start.alias("bucket"),
+        *( [F.col(agg_col)] if agg_col else [] ),
+    )
+    rolled = bucketed.groupBy(key, "bucket").agg(
+        F.count(F.lit(1)).alias("n_events"),
+        *(
+            [F.round(F.sum(agg_col), 2).alias(f"sum_{agg_col}")]
+            if agg_col
+            else []
+        ),
+    )
+    spans = rolled.groupBy(key).agg(
+        F.min("bucket").alias("first_b"), F.max("bucket").alias("last_b")
+    )
+    dense = spans.select(
+        key, F.explode(F.sequence("first_b", "last_b", step)).alias("bucket")
+    )
+    out = dense.join(rolled, on=[key, "bucket"], how="left").withColumn(
+        "n_events", F.coalesce("n_events", F.lit(0))
+    )
+    if agg_col:
+        out = out.withColumn(
+            f"sum_{agg_col}", F.coalesce(f"sum_{agg_col}", F.lit(0.0))
+        )
+    return out

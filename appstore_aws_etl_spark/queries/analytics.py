@@ -13,11 +13,42 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from ..catalog import load
+from ..operators.timeseries import gapfill_rollup
 from ..registry import query
 
 
 def _net(col_price="l_extendedprice", col_disc="l_discount"):
     return F.col(col_price) * (1 - F.col(col_disc))
+
+
+@query(
+    "ts_gapfill_rollup",
+    oracle="""
+    WITH rolled AS (
+        SELECT user_id, date_trunc('hour', ts) AS bucket,
+               count(*) AS n_events, round(sum(value), 2) AS sum_value
+        FROM events GROUP BY user_id, date_trunc('hour', ts)
+    ), spans AS (
+        SELECT user_id, min(bucket) AS f, max(bucket) AS l
+        FROM rolled GROUP BY user_id
+    ), dense AS (
+        SELECT user_id, unnest(generate_series(f, l, INTERVAL 1 HOUR)) AS bucket
+        FROM spans
+    )
+    SELECT d.user_id, d.bucket,
+           coalesce(r.n_events, 0)    AS n_events,
+           coalesce(r.sum_value, 0.0) AS sum_value
+    FROM dense d LEFT JOIN rolled r
+      ON d.user_id = r.user_id AND d.bucket = r.bucket
+    """,
+    tags=("analytics", "timeseries", "custom-operator"),
+)
+def ts_gapfill(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hypertable-style continuous aggregate with gap filling: dense
+    hourly per-user activity, zero rows for silent hours inside each
+    user's activity span (operators/timeseries.py)."""
+    ev = load(spark, sf_dir, "events")
+    return gapfill_rollup(ev, key="user_id", ts="ts", grain="1 hour", agg_col="value")
 
 
 @query(

@@ -348,6 +348,47 @@ def fn_map(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "fn_map_explode",
+    oracle="""
+    SELECT event_id,
+           'k' AS map_key,
+           CAST(json_extract_string(props, '$.k') AS BIGINT) AS map_value
+    FROM events
+    """,
+    tags=("function", "map"),
+)
+def fn_map_explode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """F12 map entry explosion: one row per (key, value) pair (props
+    maps have exactly one key, so the oracle enumerates it)."""
+    ev = load(spark, sf_dir, "events")
+    m = F.from_json("props", T.MapType(T.StringType(), T.LongType()))
+    return ev.select("event_id", F.explode(m).alias("map_key", "map_value"))
+
+
+@query(
+    "fn_variant",
+    oracle="""
+    SELECT event_id,
+           CAST(json_extract_string(props, '$.k') AS BIGINT) AS k_long,
+           json_extract_string(props, '$.k')                 AS k_str
+    FROM events
+    """,
+    tags=("function", "json"),
+)
+def fn_variant(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """F13/F14 Spark 4 VariantType path: parse_json -> typed
+    variant_get extraction (the shredded-JSON model for semi-structured
+    columns at scale; the variant itself never leaves the plan)."""
+    ev = load(spark, sf_dir, "events")
+    v = F.parse_json("props")
+    return ev.select(
+        "event_id",
+        F.try_variant_get(v, "$.k", "bigint").alias("k_long"),
+        F.try_variant_get(v, "$.k", "string").alias("k_str"),
+    )
+
+
+@query(
     "fn_json_extract",
     oracle="""
     SELECT event_id,

@@ -68,6 +68,58 @@ def test_asof_tie_break_takes_greatest(spark):
     assert out.collect()[0]["asof_rid"] == 12
 
 
+def test_asof_forward(spark):
+    left = spark.createDataFrame(
+        [
+            Row(k="a", lts=ts("2024-01-01 10:00:00"), lid=1),
+            Row(k="a", lts=ts("2024-01-01 12:00:00"), lid=2),  # no later right
+        ]
+    )
+    right = spark.createDataFrame(
+        [
+            Row(k="a", rts=ts("2024-01-01 09:00:00"), rid=9),
+            Row(k="a", rts=ts("2024-01-01 10:00:00"), rid=10),  # exact
+            Row(k="a", rts=ts("2024-01-01 10:30:00"), rid=11),
+        ]
+    )
+    inclusive = asof_join(
+        left, right, on=["k"], left_ts="lts", right_ts="rts",
+        right_payload=["rid"], tie_break="rid", direction="forward",
+    )
+    got = {r["lid"]: r["asof_rid"] for r in inclusive.collect()}
+    assert got == {1: 10, 2: None}
+    strict = asof_join(
+        left, right, on=["k"], left_ts="lts", right_ts="rts",
+        right_payload=["rid"], tie_break="rid", direction="forward",
+        allow_exact_matches=False,
+    )
+    got = {r["lid"]: r["asof_rid"] for r in strict.collect()}
+    assert got == {1: 11, 2: None}
+
+
+def test_gapfill_rollup_dense_and_zero_filled(spark):
+    from appstore_aws_etl_spark.operators.timeseries import gapfill_rollup
+
+    ev = spark.createDataFrame(
+        [
+            Row(u=1, t=ts("2024-01-01 10:10:00"), v=1.0),
+            Row(u=1, t=ts("2024-01-01 10:40:00"), v=2.0),
+            # silent hours 11:00 and 12:00
+            Row(u=1, t=ts("2024-01-01 13:05:00"), v=3.0),
+            Row(u=2, t=ts("2024-01-01 00:00:00"), v=5.0),  # single-bucket span
+        ]
+    )
+    out = gapfill_rollup(ev, key="u", ts="t", grain="1 hour", agg_col="v")
+    rows = {(r["u"], r["bucket"].hour): (r["n_events"], r["sum_v"]) for r in out.collect()}
+    assert rows == {
+        (1, 10): (2, 3.0),
+        (1, 11): (0, 0.0),
+        (1, 12): (0, 0.0),
+        (1, 13): (1, 3.0),
+        (2, 0): (1, 5.0),
+    }
+
+
 def test_sessionize_gap(spark):
     df = spark.createDataFrame(
         [
