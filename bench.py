@@ -44,8 +44,11 @@ def main() -> None:
     spark = get_spark(
         "bench", shuffle_partitions=int(os.environ.get("SPARK_GRAFT_SHUFFLE", "8"))
     )
-    # warm the JVM/codegen paths so no query pays first-run costs
+    # warm the JVM/codegen paths AND the Python/Arrow worker pool so no
+    # query pays first-run costs
     run_once(spark, FLAGSHIP)
+    if not only or "udf_pandas" in REGISTRY:
+        run_once(spark, "udf_pandas")
 
     timings: dict[str, float] = {}
     timings[FLAGSHIP] = statistics.median(run_once(spark, FLAGSHIP) for _ in range(3))

@@ -55,6 +55,51 @@ def test_partitioned_sink_prunes_partitions(spark, sf_dir, tmp_path):
     assert back.count() == orders.filter(F.col("order_year") == 1997).count()
 
 
+def test_dynamic_partition_pruning(spark, sf_dir, tmp_path):
+    """DPP: a partitioned fact joined to a *filtered* dim must prune
+    fact partitions at runtime from the dim's filter (the mechanism
+    that keeps star joins from scanning the full 100 TB fact)."""
+    orders = spark.read.parquet(f"{sf_dir}/orders.parquet").withColumn(
+        "order_year", F.year("o_orderdate")
+    )
+    fact_path = str(tmp_path / "orders_by_year")
+    write_parquet(orders, fact_path, partition_by=["order_year"])
+    fact = spark.read.parquet(fact_path)
+    # dim filter on a NON-key column: pruning years are only known at
+    # runtime, so Catalyst must insert a dynamicpruning subquery (a
+    # join-key filter would become *static* pruning via constraint
+    # propagation instead — also verified below)
+    dim = (
+        spark.read.parquet(f"{sf_dir}/orders.parquet")
+        .filter(F.col("o_orderpriority") == "5-LOW")
+        .select(F.year("o_orderdate").alias("y"))
+        .distinct()
+    )
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    spark.conf.set("spark.sql.optimizer.dynamicPartitionPruning.reuseBroadcastOnly", "false")
+    spark.conf.set("spark.sql.optimizer.dynamicPartitionPruning.useStats", "false")
+    try:
+        joined = fact.join(dim, fact.order_year == dim.y)
+        plan = formatted_plan(joined)
+        assert "dynamicpruningexpression" in plan.lower()
+        expected = orders.join(
+            dim.withColumnRenamed("y", "yy"), orders.order_year == F.col("yy")
+        ).count()
+        assert joined.count() == expected
+        # join-key literal filter -> static partition pruning
+        static_plan = formatted_plan(
+            fact.join(dim.filter(F.col("y") == 1996), fact.order_year == dim.y)
+        )
+        part_lines = [ln for ln in static_plan.splitlines() if "PartitionFilters" in ln]
+        assert any("= 1996" in ln for ln in part_lines)
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", str(64 * 1024 * 1024))
+        spark.conf.set(
+            "spark.sql.optimizer.dynamicPartitionPruning.reuseBroadcastOnly", "true"
+        )
+        spark.conf.set("spark.sql.optimizer.dynamicPartitionPruning.useStats", "true")
+
+
 def test_salted_join_matches_plain_join(spark, sf_dir):
     orders = spark.read.parquet(f"{sf_dir}/orders.parquet").select(
         "o_orderkey", "o_custkey"
