@@ -47,8 +47,7 @@ def main() -> None:
     # warm the JVM/codegen paths AND the Python/Arrow worker pool so no
     # query pays first-run costs
     run_once(spark, FLAGSHIP)
-    if not only or "udf_pandas" in REGISTRY:
-        run_once(spark, "udf_pandas")
+    run_once(spark, "udf_pandas")
 
     timings: dict[str, float] = {}
     timings[FLAGSHIP] = statistics.median(run_once(spark, FLAGSHIP) for _ in range(3))
