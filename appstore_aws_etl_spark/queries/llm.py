@@ -421,6 +421,90 @@ def llm_multimodal_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# --------------------------------------------------------------------------
+# sampling / splitting / packing (training-pipeline mechanics)
+# --------------------------------------------------------------------------
+
+
+@query(
+    "llm_split_assign",
+    oracle="""
+    SELECT doc_id,
+           CASE WHEN ((doc_id * 2654435761) % 4294967296) % 10000 < 8000 THEN 'train'
+                WHEN ((doc_id * 2654435761) % 4294967296) % 10000 < 9000 THEN 'val'
+                ELSE 'test' END AS split
+    FROM documents
+    """,
+    tags=("llm", "sampling"),
+)
+def llm_split_assign(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic 80/10/10 train/val/test assignment by Knuth
+    multiplicative key hash — identical on every run/engine/partition
+    layout (llm/sampling.py)."""
+    from ..llm.sampling import split_assign
+
+    docs = load(spark, sf_dir, "documents")
+    return split_assign(
+        docs, "doc_id", {"train": 0.8, "val": 0.1, "test": 0.1}
+    ).select("doc_id", "split")
+
+
+@query(
+    "llm_hash_sample",
+    oracle="""
+    SELECT doc_id, lang FROM documents
+    WHERE ((doc_id * 2654435761) % 4294967296) % 10000 < 2500
+    """,
+    tags=("llm", "sampling"),
+)
+def llm_hash_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic 25% corpus sample by key hash (stable under
+    repartitioning, unlike df.sample)."""
+    from ..llm.sampling import hash_sample
+
+    docs = load(spark, sf_dir, "documents")
+    return hash_sample(docs, "doc_id", 0.25).select("doc_id", "lang")
+
+
+@query(
+    "llm_mix_weighted",
+    oracle="""
+    SELECT doc_id, 'en_heavy' AS mix_source FROM documents
+    WHERE lang = 'en' AND ((doc_id * 2654435761) % 4294967296) % 10000 < 9000
+    UNION ALL
+    SELECT doc_id, 'rest_light' AS mix_source FROM documents
+    WHERE lang <> 'en' AND ((doc_id * 2654435761) % 4294967296) % 10000 < 3000
+    """,
+    tags=("llm", "sampling"),
+)
+def llm_mix_weighted(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Weighted dataset mixing: English docs kept at 90%, the rest at
+    30%, hash-deterministic, tagged by source (llm/sampling.py)."""
+    from ..llm.sampling import weighted_mix
+
+    docs = load(spark, sf_dir, "documents")
+    return weighted_mix(
+        {
+            "en_heavy": (docs.filter(F.col("lang") == "en"), 0.9),
+            "rest_light": (docs.filter(F.col("lang") != "en"), 0.3),
+        },
+        key_col="doc_id",
+    ).select("doc_id", "mix_source")
+
+
+@query("llm_pack_sequences", oracle=None, tags=("llm", "packing"))
+def llm_pack_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Greedy sequence packing into 1024-token bins per source shard
+    (prefix-dependent recurrence -> applyInPandas; invariants
+    unit-tested in tests/test_llm.py)."""
+    from ..llm.packing import pack_documents
+
+    docs = load(spark, sf_dir, "documents").withColumn(
+        "n_tokens", F.size(F.split("text", " "))
+    )
+    return pack_documents(docs, budget=1024)
+
+
 @query("llm_multimodal_features", oracle=None, tags=("llm", "multimodal"))
 def llm_multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     """L10 feature extraction over binary payloads via mapInPandas

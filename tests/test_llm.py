@@ -109,6 +109,46 @@ def test_multimodal_metadata_and_features(spark, sf_dir):
     assert by_id[m[0]["media_id"]] == pytest.approx(fake_image_features(payload))
 
 
+def test_split_assign_deterministic_and_partition_stable(spark, sf_dir):
+    from appstore_aws_etl_spark.llm.sampling import split_assign
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    w = {"train": 0.8, "val": 0.1, "test": 0.1}
+    a = {r["doc_id"]: r["split"] for r in split_assign(docs, "doc_id", w).collect()}
+    b = {
+        r["doc_id"]: r["split"]
+        for r in split_assign(docs.repartition(7), "doc_id", w).collect()
+    }
+    assert a == b  # stable under partition layout
+    frac_train = sum(1 for v in a.values() if v == "train") / len(a)
+    assert 0.7 < frac_train < 0.9
+    assert set(a.values()) == {"train", "val", "test"}
+
+
+def test_pack_documents_invariants(spark):
+    from appstore_aws_etl_spark.llm.packing import pack_documents
+
+    rows = [Row(source="s1", doc_id=i, n_tokens=t) for i, t in enumerate([400, 500, 300, 900, 1200, 100])]
+    rows += [Row(source="s2", doc_id=100, n_tokens=50)]
+    out = pack_documents(spark.createDataFrame(rows), budget=1000).collect()
+    by_bin: dict = {}
+    for r in out:
+        by_bin.setdefault((r["source"], r["bin_id"]), []).append(r)
+    for (src, _bin), members in by_bin.items():
+        total = sum(m["n_tokens"] for m in members)
+        # a bin only exceeds the budget when it is a single oversized doc
+        assert total <= 1000 or len(members) == 1
+        # offsets are a proper prefix layout in doc_id order
+        members.sort(key=lambda m: m["doc_id"])
+        acc = 0
+        for m in members:
+            assert m["offset"] == acc
+            acc += m["n_tokens"]
+    # greedy layout for s1: [400+500], [300], [900], [1200], [100]
+    s1 = sorted((r for r in out if r["source"] == "s1"), key=lambda r: r["doc_id"])
+    assert [r["bin_id"] for r in s1] == [0, 0, 1, 2, 3, 4]
+
+
 def test_decode_stub_raises():
     with pytest.raises(NotImplementedError):
         decode_image(b"\x89PNG...")
