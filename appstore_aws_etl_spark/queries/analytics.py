@@ -14,6 +14,7 @@ from pyspark.sql import functions as F
 
 from ..catalog import load
 from ..operators.timeseries import gapfill_rollup
+from ..operators.upsert import merge_upsert
 from ..registry import query
 
 
@@ -49,6 +50,35 @@ def ts_gapfill(spark: SparkSession, sf_dir: str) -> DataFrame:
     user's activity span (operators/timeseries.py)."""
     ev = load(spark, sf_dir, "events")
     return gapfill_rollup(ev, key="user_id", ts="ts", grain="1 hour", agg_col="value")
+
+
+@query(
+    "etl_merge_upsert",
+    oracle="""
+    WITH source AS (
+        SELECT c_custkey, c_name, c_nationkey,
+               round(c_acctbal * 1.1, 4) AS c_acctbal, c_mktsegment
+        FROM customer WHERE c_custkey % 3 = 0
+    )
+    SELECT
+        coalesce(t.c_custkey, s.c_custkey) AS c_custkey,
+        CASE WHEN s.c_custkey IS NOT NULL THEN s.c_name       ELSE t.c_name       END AS c_name,
+        CASE WHEN s.c_custkey IS NOT NULL THEN s.c_nationkey  ELSE t.c_nationkey  END AS c_nationkey,
+        CASE WHEN s.c_custkey IS NOT NULL THEN s.c_acctbal    ELSE t.c_acctbal    END AS c_acctbal,
+        CASE WHEN s.c_custkey IS NOT NULL THEN s.c_mktsegment ELSE t.c_mktsegment END AS c_mktsegment
+    FROM customer t FULL JOIN source s ON t.c_custkey = s.c_custkey
+    """,
+    tags=("etl", "custom-operator"),
+)
+def etl_merge_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Keyed insert-or-replace serving-table refresh: every third
+    customer arrives as an update with a 10% balance bump; the rest
+    pass through (operators/upsert.py)."""
+    target = load(spark, sf_dir, "customer")
+    source = target.filter(F.col("c_custkey") % 3 == 0).withColumn(
+        "c_acctbal", F.round(F.col("c_acctbal") * 1.1, 4)
+    )
+    return merge_upsert(target, source, keys=["c_custkey"])
 
 
 @query(

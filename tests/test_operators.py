@@ -120,6 +120,19 @@ def test_gapfill_rollup_dense_and_zero_filled(spark):
     }
 
 
+def test_merge_upsert_insert_update_passthrough(spark):
+    from appstore_aws_etl_spark.operators.upsert import merge_upsert
+
+    target = spark.createDataFrame(
+        [Row(k=1, v="a", n=10), Row(k=2, v="b", n=20)]
+    )
+    source = spark.createDataFrame(
+        [Row(k=2, v="B2", n=99), Row(k=3, v="c", n=30)]  # update + insert
+    )
+    out = {r["k"]: (r["v"], r["n"]) for r in merge_upsert(target, source, ["k"]).collect()}
+    assert out == {1: ("a", 10), 2: ("B2", 99), 3: ("c", 30)}
+
+
 def test_sessionize_gap(spark):
     df = spark.createDataFrame(
         [
