@@ -13,9 +13,10 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from ..catalog import load
+from ..operators.scd import scd2_apply, snapshot_diff
 from ..operators.timeseries import gapfill_rollup
 from ..operators.upsert import merge_upsert
-from ..registry import query
+from ..registry import query, sql_query
 
 
 def _net(col_price="l_extendedprice", col_disc="l_discount"):
@@ -79,6 +80,112 @@ def etl_merge_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
         "c_acctbal", F.round(F.col("c_acctbal") * 1.1, 4)
     )
     return merge_upsert(target, source, keys=["c_custkey"])
+
+
+@query(
+    "etl_scd2_history",
+    oracle="""
+    WITH upd AS (
+        SELECT c_custkey, round(c_acctbal + 100, 4) AS c_acctbal
+        FROM customer WHERE c_custkey % 4 = 0
+    )
+    SELECT c.c_custkey, c.c_acctbal,
+           TIMESTAMP '1990-01-01'                                    AS valid_from,
+           CASE WHEN u.c_custkey IS NOT NULL THEN TIMESTAMP '2000-01-01' END AS valid_to,
+           u.c_custkey IS NULL                                       AS is_current
+    FROM customer c LEFT JOIN upd u ON c.c_custkey = u.c_custkey
+    UNION ALL
+    SELECT c_custkey, c_acctbal,
+           TIMESTAMP '2000-01-01' AS valid_from,
+           CAST(NULL AS TIMESTAMP) AS valid_to,
+           TRUE AS is_current
+    FROM upd
+    """,
+    tags=("etl", "custom-operator"),
+)
+def etl_scd2_history(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SCD Type-2 dimension maintenance: a balance-update batch closes
+    each affected customer's open row and appends a new open row
+    (operators/scd.py)."""
+    c = load(spark, sf_dir, "customer")
+    history = c.select(
+        "c_custkey",
+        "c_acctbal",
+        F.lit("1990-01-01 00:00:00").cast("timestamp").alias("valid_from"),
+        F.lit(None).cast("timestamp").alias("valid_to"),
+    )
+    updates = (
+        c.filter(F.col("c_custkey") % 4 == 0)
+        .select(
+            "c_custkey",
+            F.round(F.col("c_acctbal") + 100, 4).alias("c_acctbal"),
+            F.lit("2000-01-01 00:00:00").cast("timestamp").alias("eff_ts"),
+        )
+    )
+    return scd2_apply(history, updates, key="c_custkey", eff_ts_col="eff_ts")
+
+
+@query(
+    "etl_snapshot_diff",
+    oracle="""
+    WITH old AS (
+        SELECT c_custkey, c_acctbal, c_mktsegment FROM customer WHERE c_custkey % 5 <> 4
+    ), new AS (
+        SELECT c_custkey,
+               CASE WHEN c_custkey % 5 = 0 THEN round(c_acctbal + 50, 4)
+                    ELSE c_acctbal END AS c_acctbal,
+               c_mktsegment
+        FROM customer WHERE c_custkey % 5 <> 3
+    )
+    SELECT coalesce(n.c_custkey, o.c_custkey) AS c_custkey,
+           CASE WHEN o.c_custkey IS NULL THEN 'added'
+                WHEN n.c_custkey IS NULL THEN 'removed'
+                WHEN n.c_acctbal = o.c_acctbal AND n.c_mktsegment = o.c_mktsegment
+                     THEN 'unchanged'
+                ELSE 'changed' END AS change,
+           n.c_acctbal, n.c_mktsegment
+    FROM new n FULL JOIN old o ON n.c_custkey = o.c_custkey
+    """,
+    tags=("etl", "custom-operator"),
+)
+def etl_snapshot_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CDC between two dimension snapshots: keys tagged added/removed/
+    changed/unchanged (operators/scd.py). The synthetic snapshots drop
+    one residue class each and bump balances in a third."""
+    c = load(spark, sf_dir, "customer").select("c_custkey", "c_acctbal", "c_mktsegment")
+    old = c.filter(F.col("c_custkey") % 5 != 4)
+    new = c.filter(F.col("c_custkey") % 5 != 3).withColumn(
+        "c_acctbal",
+        F.when(
+            F.col("c_custkey") % 5 == 0, F.round(F.col("c_acctbal") + 50, 4)
+        ).otherwise(F.col("c_acctbal")),
+    )
+    return snapshot_diff(old, new, key="c_custkey")
+
+
+@query(
+    "agg_histogram",
+    oracle="""
+    SELECT CAST(floor(o_totalprice / 50000) AS BIGINT) AS bucket,
+           count(*)                                    AS n,
+           round(min(o_totalprice), 2)                 AS lo,
+           round(max(o_totalprice), 2)                 AS hi
+    FROM orders GROUP BY 1
+    """,
+    tags=("agg",),
+)
+def agg_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fixed-width histogram via arithmetic bucketing (the engine-
+    portable form of width_bucket)."""
+    o = load(spark, sf_dir, "orders")
+    return (
+        o.groupBy(F.floor(F.col("o_totalprice") / 50000).alias("bucket"))
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.round(F.min("o_totalprice"), 2).alias("lo"),
+            F.round(F.max("o_totalprice"), 2).alias("hi"),
+        )
+    )
 
 
 @query(
@@ -206,3 +313,39 @@ def tpch_q10(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.col("revenue").desc(), "c_custkey")
         .limit(20)
     )
+
+
+# Correlated subqueries, registered as the same SQL text on both
+# engines: Catalyst must decorrelate them into semi/aggregate joins
+# (SURVEY.md §4.1 "subquery decorrelation"); the plans are asserted
+# join-shaped by the plan lint (no nested loops).
+sql_query(
+    "sub_scalar_correlated",
+    """
+    SELECT c_custkey, round(c_acctbal, 2) AS acctbal
+    FROM customer c
+    WHERE c_acctbal > (SELECT avg(c2.c_acctbal) FROM customer c2
+                       WHERE c2.c_nationkey = c.c_nationkey)
+    """,
+    tags=("subquery",),
+)
+
+sql_query(
+    "sub_in_subquery",
+    """
+    SELECT o_orderkey, o_totalprice
+    FROM orders
+    WHERE o_custkey IN (SELECT c_custkey FROM customer WHERE c_mktsegment = 'BUILDING')
+      AND o_totalprice > 250000
+    """,
+    tags=("subquery",),
+)
+
+sql_query(
+    "sub_not_in_anti",
+    """
+    SELECT c_custkey FROM customer
+    WHERE c_custkey NOT IN (SELECT o_custkey FROM orders WHERE o_totalprice > 300000)
+    """,
+    tags=("subquery",),
+)
