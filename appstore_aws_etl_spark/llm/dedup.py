@@ -196,6 +196,48 @@ def simhash_buckets(
     return out
 
 
+def embedding_near_dup_pairs(
+    df: DataFrame,
+    threshold: float = 0.95,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    n_buckets: int = 64,
+) -> DataFrame:
+    """Embedding-cosine near-duplicate pairs with a coarse-bucket
+    prefilter.
+
+    Candidates must share a sign-pattern bucket (the signs of the first
+    six components — a 1-bit-per-dim random-hyperplane LSH specialized
+    to the coordinate axes), then exact cosine (double) filters. For
+    truly near-identical vectors the sign pattern matches with
+    overwhelming probability, so recall at high thresholds stays ~1
+    while candidate volume drops by ~2^6. Returns (id_a, id_b, cosine).
+    """
+    from .similarity import cosine_score
+
+    sign_terms = [
+        F.when(F.element_at(F.col(vec_col), i + 1) >= 0, F.lit(1 << i)).otherwise(0)
+        for i in range(6)
+    ]
+    sign_bits = sum(sign_terms[1:], sign_terms[0]).cast("long") % F.lit(n_buckets)
+    bucketed = df.select(
+        F.col(id_col), F.col(vec_col), sign_bits.alias("__bucket")
+    )
+    a = bucketed.select(
+        F.col(id_col).alias("id_a"), F.col(vec_col).alias("vec_a"), "__bucket"
+    )
+    b = bucketed.select(
+        F.col(id_col).alias("id_b"), F.col(vec_col).alias("vec_b"), "__bucket"
+    )
+    return (
+        a.join(b, "__bucket")
+        .filter(F.col("id_a") < F.col("id_b"))
+        .withColumn("cosine", F.round(cosine_score("vec_a", "vec_b"), 4) + F.lit(0.0))
+        .filter(F.col("cosine") >= threshold)
+        .select("id_a", "id_b", "cosine")
+    )
+
+
 def ngram_jaccard_pairs(
     df: DataFrame,
     id_col: str = "doc_id",

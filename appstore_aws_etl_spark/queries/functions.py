@@ -348,6 +348,33 @@ def fn_map(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "fn_bitwise",
+    oracle="""
+    SELECT o_orderkey,
+           o_orderkey & 255        AS low_byte,
+           o_orderkey | 4096       AS with_flag,
+           xor(o_orderkey, 21845)  AS xored,
+           o_orderkey << 2         AS shl,
+           o_orderkey >> 3         AS shr
+    FROM orders
+    """,
+    tags=("function", "math"),
+)
+def fn_bitwise(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """F8-adjacent bitwise ops (key partitioning/bucketing arithmetic)."""
+    o = load(spark, sf_dir, "orders")
+    k = F.col("o_orderkey")
+    return o.select(
+        "o_orderkey",
+        k.bitwiseAND(F.lit(255)).alias("low_byte"),
+        k.bitwiseOR(F.lit(4096)).alias("with_flag"),
+        k.bitwiseXOR(F.lit(21845)).alias("xored"),
+        F.shiftleft(k, 2).alias("shl"),
+        F.shiftright(k, 3).alias("shr"),
+    )
+
+
+@query(
     "fn_map_explode",
     oracle="""
     SELECT event_id,

@@ -72,6 +72,17 @@ def llm_dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     return simhash_buckets(docs, bits=32, bands=4)
 
 
+@query("llm_dedup_embedding", oracle=None, tags=("llm", "dedup", "approx"))
+def llm_dedup_embedding(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding-cosine near-dup pairs (sign-pattern LSH prefilter +
+    exact verify; fixture vectors are near-random so the threshold sits
+    at the upper tail — planted-duplicate recall unit-tested)."""
+    from ..llm.dedup import embedding_near_dup_pairs
+
+    emb = load(spark, sf_dir, "embeddings")
+    return embedding_near_dup_pairs(emb, threshold=0.30)
+
+
 @query(
     "llm_jaccard_ngram",
     oracle="""

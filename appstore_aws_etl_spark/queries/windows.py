@@ -200,6 +200,31 @@ def win_range_frame(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "win_nth_value",
+    oracle="""
+    SELECT l_orderkey, l_linenumber,
+           nth_value(l_extendedprice, 2) OVER (
+               PARTITION BY l_suppkey ORDER BY l_shipdate, l_orderkey, l_linenumber
+               ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING) AS second_price
+    FROM lineitem
+    """,
+    tags=("window",),
+)
+def win_nth_value(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """W9-adjacent nth_value over a full-partition frame."""
+    w = (
+        Window.partitionBy("l_suppkey")
+        .orderBy("l_shipdate", "l_orderkey", "l_linenumber")
+        .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    )
+    return load(spark, sf_dir, "lineitem").select(
+        "l_orderkey",
+        "l_linenumber",
+        F.nth_value("l_extendedprice", 2).over(w).alias("second_price"),
+    )
+
+
+@query(
     "win_first_last",
     oracle="""
     SELECT l_orderkey, l_linenumber,

@@ -109,6 +109,22 @@ def test_multimodal_metadata_and_features(spark, sf_dir):
     assert by_id[m[0]["media_id"]] == pytest.approx(fake_image_features(payload))
 
 
+def test_embedding_near_dup_finds_planted_duplicate(spark):
+    from appstore_aws_etl_spark.llm.dedup import embedding_near_dup_pairs
+
+    base = [0.5, -0.2, 0.1, 0.9, -0.7, 0.3, 0.2, -0.1]
+    near = [x * 1.001 for x in base]          # same direction
+    far = [-x for x in base]                   # opposite
+    df = spark.createDataFrame(
+        [Row(vec_id=1, embedding=base), Row(vec_id=2, embedding=near),
+         Row(vec_id=3, embedding=far)]
+    )
+    pairs = {(r["id_a"], r["id_b"]): r["cosine"]
+             for r in embedding_near_dup_pairs(df, threshold=0.95).collect()}
+    assert (1, 2) in pairs and pairs[(1, 2)] >= 0.999
+    assert (1, 3) not in pairs
+
+
 def test_split_assign_deterministic_and_partition_stable(spark, sf_dir):
     from appstore_aws_etl_spark.llm.sampling import split_assign
 
