@@ -25,6 +25,38 @@ from appstore_aws_etl_spark.registry import REGISTRY
 FLAGSHIP = "agg_group"
 SMOKE_SF_DIR = "/root/testdata/sf0.001"
 
+# Keys the round-1 driver sweep verified (CORRECTNESS_r01.json) — it
+# covered exactly the first 50 registry keys in dict order before its
+# budget ran out.  queries() therefore yields the keys with *no* hard
+# driver evidence yet first (cheapest first, heavy LLM ops at the end
+# of that block), and the already-proven round-1 keys last, so a
+# budgeted sweep maximizes fresh coverage.
+_R1_DRIVER_VERIFIED = frozenset(
+    {
+        "agg_global", "agg_count_distinct", "agg_approx_distinct",
+        "agg_approx_percentile", "agg_filtered", "agg_grouping_sets",
+        "agg_rollup", "agg_cube", "agg_stats", "agg_percentile",
+        "agg_argmax", "agg_collect", "agg_pivot", "agg_topk_group",
+        "ts_gapfill_rollup", "etl_merge_upsert", "etl_scd2_history",
+        "etl_snapshot_diff", "agg_histogram", "tpch_q3_shipping_priority",
+        "tpch_q5_local_supplier_volume", "tpch_q10_returned_items",
+        "sub_scalar_correlated", "sub_in_subquery", "sub_not_in_anti",
+        "agg_group", "fn_string_basic", "fn_string_pad", "fn_regex",
+        "fn_split", "fn_date_parts", "fn_date_arith", "fn_date_trunc",
+        "fn_math", "fn_conditional", "fn_array_explode", "fn_array_hof",
+        "fn_map", "fn_bitwise", "fn_map_explode", "fn_variant",
+        "fn_json_extract", "fn_json_struct", "join_inner", "join_broadcast",
+        "join_left", "join_right", "join_full", "join_semi", "join_anti",
+    }
+)
+# multi-second keys at sf0.01 (LSH signature UDFs, IVF training,
+# gram self-joins) — run after the cheap fresh keys
+_HEAVY = (
+    "llm_dedup_simhash", "llm_dedup_embedding", "llm_pack_sequences",
+    "llm_multimodal_features", "llm_knn_ivf", "llm_jaccard_ngram",
+    "llm_dedup_minhash", "llm_sim_join",
+)
+
 
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship query (TPC-H-Q1-style pricing summary) on sf0.001."""
@@ -32,8 +64,14 @@ def entry(spark: SparkSession) -> DataFrame:
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    """One entry per implemented operator from SURVEY.md §2."""
-    return {name: spec.fn for name, spec in REGISTRY.items()}
+    """One entry per implemented operator from SURVEY.md §2, ordered so
+    a time-budgeted correctness sweep hits driver-unverified keys first."""
+    fresh = [
+        n for n in REGISTRY if n not in _R1_DRIVER_VERIFIED and n not in _HEAVY
+    ]
+    heavy = [n for n in _HEAVY if n in REGISTRY and n not in _R1_DRIVER_VERIFIED]
+    proven = [n for n in REGISTRY if n in _R1_DRIVER_VERIFIED]
+    return {name: REGISTRY[name].fn for name in fresh + heavy + proven}
 
 
 def oracle_sql() -> dict[str, str]:
