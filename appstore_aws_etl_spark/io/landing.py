@@ -36,7 +36,11 @@ _S3_BATCH = 1000  # S3 delete_objects per-request cap
 class LandingZone:
     """A keyed byte-object namespace: ``{root}/{prefix}/{key}``.
 
-    ``root`` is either a local directory or an ``s3://bucket`` URI.
+    ``root`` is either a local directory or an ``s3://bucket[/path]``
+    URI. A path component in the root URI is honored as a base prefix
+    for every operation — earlier revisions silently dropped it, which
+    made ``vacuum()`` on ``s3://bucket/data`` list-and-delete from the
+    bucket *root* (with an empty prefix: the whole bucket).
     """
 
     root: str
@@ -49,18 +53,38 @@ class LandingZone:
     def _local_base(self) -> str:
         return os.path.join(self.root, self.prefix) if self.prefix else self.root
 
+    def _s3_parts(self) -> tuple[str, str]:
+        """(bucket, effective key prefix) — the root URI's path joined
+        with ``self.prefix``."""
+        bucket, _, root_path = self.root[len("s3://") :].partition("/")
+        if not bucket:
+            raise ValueError(f"s3 root has no bucket: {self.root!r}")
+        parts = [p for p in (root_path.strip("/"), self.prefix.strip("/")) if p]
+        return bucket, "/".join(parts)
+
+    def _s3_full_key(self, key: str) -> str:
+        _, base = self._s3_parts()
+        return f"{base}/{key}" if base else key
+
     # -- S1: paginated listing ------------------------------------------------
     def keys(self) -> list[str]:
         """All keys under the prefix, paginated (fixes s3.py:18-20)."""
         if self._is_s3:
             if boto3 is None:
                 raise RuntimeError("boto3 not available for s3:// landing zones")
-            bucket = self.root[len("s3://") :].split("/", 1)[0]
-            client = boto3.client("s3")
-            paginator = client.get_paginator("list_objects_v2")
+            bucket, base = self._s3_parts()
+            root_path = self.root[len("s3://") :].partition("/")[2].strip("/")
+            paginator = boto3.client("s3").get_paginator("list_objects_v2")
             out: list[str] = []
-            for page in paginator.paginate(Bucket=bucket, Prefix=self.prefix):
-                out.extend(obj["Key"] for obj in page.get("Contents", []))
+            for page in paginator.paginate(
+                Bucket=bucket, Prefix=f"{base}/" if base else ""
+            ):
+                for obj in page.get("Contents", []):
+                    k = obj["Key"]
+                    # report keys relative to the root URI (local parity)
+                    if root_path and k.startswith(root_path + "/"):
+                        k = k[len(root_path) + 1 :]
+                    out.append(k)
             return out
         base = self._local_base()
         if not os.path.isdir(base):
@@ -78,8 +102,8 @@ class LandingZone:
         if self._is_s3:
             if boto3 is None:
                 raise RuntimeError("boto3 not available for s3:// landing zones")
-            bucket = self.root[len("s3://") :].split("/", 1)[0]
-            full_key = f"{self.prefix}/{key}" if self.prefix else key
+            bucket, _ = self._s3_parts()
+            full_key = self._s3_full_key(key)
             boto3.client("s3").put_object(Bucket=bucket, Key=full_key, Body=body)
             return f"s3://{bucket}/{full_key}"
         base = self._local_base()
@@ -94,8 +118,8 @@ class LandingZone:
         if self._is_s3:
             if boto3 is None:
                 raise RuntimeError("boto3 not available for s3:// landing zones")
-            bucket = self.root[len("s3://") :].split("/", 1)[0]
-            full_key = f"{self.prefix}/{key}" if self.prefix else key
+            bucket, _ = self._s3_parts()
+            full_key = self._s3_full_key(key)
             return boto3.client("s3").get_object(Bucket=bucket, Key=full_key)["Body"].read()
         base = self._local_base()
         with open(os.path.join(base, key), "rb") as fh:
@@ -112,10 +136,19 @@ class LandingZone:
         if self._is_s3:
             if boto3 is None:
                 raise RuntimeError("boto3 not available for s3:// landing zones")
-            bucket = self.root[len("s3://") :].split("/", 1)[0]
+            bucket, base = self._s3_parts()
+            if not base:
+                # an empty effective prefix means "the whole bucket" —
+                # refuse; vacuum is a prefix operation, not bucket wipe
+                raise ValueError(
+                    "vacuum() with no prefix would delete the entire "
+                    f"bucket {bucket!r}; set a prefix or a root path"
+                )
+            root_path = self.root[len("s3://") :].partition("/")[2].strip("/")
+            full = [f"{root_path}/{k}" if root_path else k for k in keys]
             client = boto3.client("s3")
-            for i in range(0, len(keys), _S3_BATCH):
-                batch = [{"Key": k} for k in keys[i : i + _S3_BATCH]]
+            for i in range(0, len(full), _S3_BATCH):
+                batch = [{"Key": k} for k in full[i : i + _S3_BATCH]]
                 client.delete_objects(Bucket=bucket, Delete={"Objects": batch})
             return len(keys)
         base = self._local_base()

@@ -15,6 +15,8 @@ from .similarity import (  # noqa: F401
     brute_force_knn,
     cosine_pairs,
     ivf_knn,
+    lsh_candidate_pairs,
+    lsh_similarity_join,
     similarity_join,
 )
 from .text import (  # noqa: F401

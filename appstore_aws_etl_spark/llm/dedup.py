@@ -201,40 +201,25 @@ def embedding_near_dup_pairs(
     threshold: float = 0.95,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
-    n_buckets: int = 64,
+    n_planes: int = 12,
+    bands: int = 2,
 ) -> DataFrame:
-    """Embedding-cosine near-duplicate pairs with a coarse-bucket
-    prefilter.
+    """Embedding-cosine near-duplicate pairs: banded seeded
+    random-hyperplane LSH prefilter + exact double-precision cosine
+    verify (delegates to ``similarity.lsh_similarity_join``).
 
-    Candidates must share a sign-pattern bucket (the signs of the first
-    six components — a 1-bit-per-dim random-hyperplane LSH specialized
-    to the coordinate axes), then exact cosine (double) filters. For
-    truly near-identical vectors the sign pattern matches with
-    overwhelming probability, so recall at high thresholds stays ~1
-    while candidate volume drops by ~2^6. Returns (id_a, id_b, cosine).
+    Random hyperplanes, not coordinate-axis signs: axis sign patterns
+    skew buckets badly on correlated embeddings (every vector in a
+    cluster shares the dominant-direction signs -> one giant bucket),
+    while seeded unit-normal planes are rotation-unbiased. Duplicates
+    with the same direction share every band with probability 1, so
+    recall at near-dup thresholds stays ~1 while candidate volume drops
+    by ~2^(n_planes/bands) per band. Returns (id_a, id_b, cosine).
     """
-    from .similarity import cosine_score
+    from .similarity import lsh_similarity_join
 
-    sign_terms = [
-        F.when(F.element_at(F.col(vec_col), i + 1) >= 0, F.lit(1 << i)).otherwise(0)
-        for i in range(6)
-    ]
-    sign_bits = sum(sign_terms[1:], sign_terms[0]).cast("long") % F.lit(n_buckets)
-    bucketed = df.select(
-        F.col(id_col), F.col(vec_col), sign_bits.alias("__bucket")
-    )
-    a = bucketed.select(
-        F.col(id_col).alias("id_a"), F.col(vec_col).alias("vec_a"), "__bucket"
-    )
-    b = bucketed.select(
-        F.col(id_col).alias("id_b"), F.col(vec_col).alias("vec_b"), "__bucket"
-    )
-    return (
-        a.join(b, "__bucket")
-        .filter(F.col("id_a") < F.col("id_b"))
-        .withColumn("cosine", F.round(cosine_score("vec_a", "vec_b"), 4) + F.lit(0.0))
-        .filter(F.col("cosine") >= threshold)
-        .select("id_a", "id_b", "cosine")
+    return lsh_similarity_join(
+        df, threshold, id_col=id_col, vec_col=vec_col, n_planes=n_planes, bands=bands
     )
 
 
@@ -244,12 +229,22 @@ def ngram_jaccard_pairs(
     text_col: str = "text",
     n: int = 3,
     scope_cols: list[str] | None = None,
+    df_cap: int | None = None,
 ) -> DataFrame:
     """Exact token-n-gram Jaccard for candidate pairs within a scope
     (e.g. same source) — the verify pass behind approximate dedup.
 
     |A ∩ B| comes from a self-join on the n-gram key (shuffle on
     n-gram, never a cross join); |A ∪ B| = |A| + |B| - |A ∩ B|.
+
+    ``df_cap`` is the skew guard: a gram shared by k documents emits
+    k^2 join rows, so one stop-gram in 1M docs is 10^12 rows from a
+    single key. Grams with per-scope document frequency > df_cap are
+    dropped *before* the self-join (standard practice — ubiquitous
+    grams carry no Jaccard signal), and both |A ∩ B| and the per-doc
+    sizes are computed over the capped gram universe so the ratio stays
+    internally consistent. The hot-gram list is the skew tail — tiny,
+    broadcast into an anti-join.
     """
     scope_cols = scope_cols or []
     toks = F.split(F.lower(F.col(text_col)), r"\s+")
@@ -272,6 +267,16 @@ def ngram_jaccard_pairs(
         .distinct()
         .persist()
     )
+    if df_cap is not None:
+        hot = (
+            grams.groupBy(*scope_cols, "gram")
+            .agg(F.count(F.lit(1)).alias("__df"))
+            .filter(F.col("__df") > df_cap)
+            .select(*scope_cols, "gram")
+        )
+        grams = grams.join(
+            F.broadcast(hot), on=[*scope_cols, "gram"], how="left_anti"
+        ).persist()
     sizes = grams.groupBy(id_col, *scope_cols).agg(F.count(F.lit(1)).alias("n_grams"))
     a = grams.select(*scope_cols, F.col(id_col).alias("id_a"), "gram")
     b = grams.select(*scope_cols, F.col(id_col).alias("id_b"), "gram")

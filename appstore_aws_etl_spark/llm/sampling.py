@@ -20,10 +20,20 @@ _MOD = 1 << 32
 
 def key_hash(key_col: str, seed: int = 0) -> F.Column:
     """Deterministic uniform-ish bucket in [0, 10000) from an integer
-    key: ((key + seed) * 2654435761 mod 2^32) mod 10000."""
-    return (
-        ((F.col(key_col) + F.lit(seed)) * F.lit(_KNUTH)) % F.lit(_MOD)
-    ) % F.lit(10000)
+    key: pmod(pmod((key + seed) * 2654435761, 2^32), 10000).
+
+    ``pmod`` (not ``%``) so negative keys still land in [0, 10000)
+    instead of collapsing into the first split via a negative bucket.
+    Keys must stay below ~3.47e9 — beyond that ``(key+seed)*K``
+    exceeds int64 (error under ANSI mode, silent wrap otherwise, both
+    diverging from an oracle that errors on BIGINT overflow). Row keys
+    here are surrogate ids well under 2^31; for unbounded or string
+    keys use ``F.xxhash64(key, lit(seed))`` instead (not the default
+    because the published oracle SQL pins this exact Knuth formula)."""
+    return F.pmod(
+        F.pmod((F.col(key_col) + F.lit(seed)) * F.lit(_KNUTH), F.lit(_MOD)),
+        F.lit(10000),
+    )
 
 
 def split_assign(

@@ -1,13 +1,22 @@
 """Similarity search over embedding columns (SURVEY.md §2.11 L3-L5).
 
-Three tiers, all DataFrame-native:
+Four tiers, all DataFrame-native:
 
-* ``cosine_pairs`` / ``similarity_join`` — exact scores via
-  higher-order functions (zip_with dot product in double), candidate
-  sets bounded by a scope key so the join is never an open cross join.
+* ``lsh_similarity_join`` — the 100 TB similarity-join path: seeded
+  random-hyperplane signatures (one numpy matmul per Arrow batch),
+  banded into bucket keys; candidate pairs meet only inside a band
+  bucket (shuffle on the bucket key, never a scope-wide self-join),
+  then exact double-precision cosine verifies every candidate. Recall
+  is governed by (n_planes, bands): a pair at angle θ shares one band
+  of r planes with probability 1-(1-(1-θ/π)^r)^bands, and exact
+  duplicates (same direction) share *all* bands with probability 1.
+* ``cosine_pairs`` / ``similarity_join`` — exact all-pairs scores via
+  higher-order functions (zip_with dot product in double), bounded by
+  a scope key plus an enforced scope-size guard: the quadratic form is
+  the *verify/oracle* path for bounded scopes, never the scale path.
 * ``brute_force_knn`` — exact top-k against a broadcast query vector:
   one scan, one TakeOrderedAndProject; the correctness baseline.
-* ``ivf_knn`` — the 100 TB path: k-means-style coarse quantizer
+* ``ivf_knn`` — the 100 TB kNN path: k-means-style coarse quantizer
   (centroids from a deterministic seeded sample, Lloyd iterations as
   DataFrame joins), vectors routed to their nearest centroid partition,
   queries probe only ``nprobe`` inverted lists. Search cost drops by
@@ -21,6 +30,10 @@ import pandas as pd
 
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
+
+# fixed seed -> reproducible hyperplanes (changing it invalidates any
+# persisted signatures, same contract as the MinHash seeds)
+_LSH_SEED = 723419
 
 
 def _dot(a, b) -> F.Column:
@@ -41,13 +54,134 @@ def cosine_score(a, b) -> F.Column:
     return _dot(a, b) / (_norm(a) * _norm(b))
 
 
+def random_hyperplanes(dim: int, n_planes: int, seed: int = _LSH_SEED) -> np.ndarray:
+    """Seeded unit-normal hyperplanes (n_planes x dim). Deterministic
+    across runs/executors (numpy Generator, not global state) and
+    rotation-unbiased — unlike coordinate-axis sign patterns, which
+    skew buckets on correlated embeddings."""
+    h = np.random.default_rng(seed).standard_normal((n_planes, dim))
+    return h / np.linalg.norm(h, axis=1, keepdims=True)
+
+
+def hyperplane_band_buckets(
+    vec_col,
+    n_planes: int = 24,
+    bands: int = 4,
+    seed: int = _LSH_SEED,
+):
+    """Column: array<long> of ``bands`` LSH bucket keys for a vector.
+
+    bit_i = sign(v . h_i); each band packs n_planes/bands consecutive
+    bits into an integer bucket key. One numpy matmul per Arrow batch —
+    the same dense-linear-algebra argument as ``assign_to_centroids``.
+    Plane count is per-dimension lazy so callers never collect the
+    vector width up front.
+    """
+    if n_planes % bands:
+        raise ValueError(f"n_planes={n_planes} not divisible by bands={bands}")
+    rows_per_band = n_planes // bands
+
+    @F.pandas_udf("array<long>")
+    def buckets(emb: pd.Series) -> pd.Series:
+        x = np.stack(emb.to_numpy()).astype("float64")
+        planes = random_hyperplanes(x.shape[1], n_planes, seed)
+        bits = (x @ planes.T) >= 0  # (n, n_planes)
+        weights = (1 << np.arange(rows_per_band)).astype(np.int64)
+        vals = (bits.reshape(len(x), bands, rows_per_band) * weights).sum(axis=2)
+        return pd.Series(list(vals.astype(np.int64)))
+
+    return buckets(vec_col)
+
+
+def lsh_candidate_pairs(
+    df: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    n_planes: int = 24,
+    bands: int = 4,
+    seed: int = _LSH_SEED,
+) -> DataFrame:
+    """Candidate (id_a, id_b) pairs that collide in >=1 LSH band.
+
+    The join key is (band, bucket) — work is sum over buckets of
+    |bucket|^2, never n^2; only ids shuffle through the join (vectors
+    re-attach later by id). At 100 TB, band/bucket cardinality is the
+    tuning knob: more planes per band -> smaller buckets."""
+    banded = df.select(
+        F.col(id_col),
+        F.posexplode(
+            hyperplane_band_buckets(F.col(vec_col), n_planes, bands, seed)
+        ).alias("band", "bucket"),
+    )
+    a = banded.select(F.col(id_col).alias("id_a"), "band", "bucket")
+    b = banded.select(F.col(id_col).alias("id_b"), "band", "bucket")
+    return (
+        a.join(b, on=["band", "bucket"])
+        .filter(F.col("id_a") < F.col("id_b"))
+        .select("id_a", "id_b")
+        .distinct()
+    )
+
+
+def lsh_similarity_join(
+    df: DataFrame,
+    threshold: float,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    n_planes: int = 24,
+    bands: int = 4,
+    seed: int = _LSH_SEED,
+) -> DataFrame:
+    """L5 scale path: LSH-prefiltered threshold similarity join.
+
+    Candidates from banded random-hyperplane collisions, then exact
+    double-precision cosine keeps only pairs >= threshold — precision
+    is exact by construction, recall is the banded-LSH probability
+    (1 for same-direction duplicates, which share every band)."""
+    cand = lsh_candidate_pairs(df, id_col, vec_col, n_planes, bands, seed)
+    va = df.select(F.col(id_col).alias("id_a"), F.col(vec_col).alias("vec_a"))
+    vb = df.select(F.col(id_col).alias("id_b"), F.col(vec_col).alias("vec_b"))
+    return (
+        cand.join(va, "id_a")
+        .join(vb, "id_b")
+        .withColumn("cosine", F.round(cosine_score("vec_a", "vec_b"), 4) + F.lit(0.0))
+        .filter(F.col("cosine") >= threshold)
+        .select("id_a", "id_b", "cosine")
+    )
+
+
 def cosine_pairs(
     df: DataFrame,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     scope_col: str | None = "label",
+    max_scope_rows: int | None = None,
 ) -> DataFrame:
-    """L3 pairwise cosine within a scope key (id_a < id_b)."""
+    """L3 pairwise cosine within a scope key (id_a < id_b).
+
+    Inherently quadratic in scope size — that is the operator's
+    contract (all scores, not a thresholded subset), so it is only
+    safe for bounded scopes. ``max_scope_rows`` turns that bound into
+    an enforced runtime guard: scopes above the limit fail fast (a
+    plan-embedded assert) instead of melting the cluster; unbounded /
+    thresholded similarity belongs to ``lsh_similarity_join``."""
+    if scope_col and max_scope_rows is not None:
+        counts = df.groupBy(scope_col).agg(F.count(F.lit(1)).alias("__scope_n"))
+        # assert_true yields NULL on pass; routing it through the filter
+        # keeps Catalyst from pruning the check away
+        df = (
+            df.join(F.broadcast(counts), scope_col)
+            .filter(
+                F.assert_true(
+                    F.col("__scope_n") <= F.lit(max_scope_rows),
+                    F.lit(
+                        f"cosine_pairs scope exceeds {max_scope_rows} rows; "
+                        "use lsh_similarity_join for unbounded scopes"
+                    ),
+                ).isNull()
+            )
+            .drop("__scope_n")
+        )
     a = df.select(
         *( [scope_col] if scope_col else [] ),
         F.col(id_col).alias("id_a"),
@@ -75,9 +209,13 @@ def similarity_join(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     scope_col: str | None = "label",
+    max_scope_rows: int | None = None,
 ) -> DataFrame:
-    """L5 all pairs above a cosine threshold within a scope."""
-    return cosine_pairs(df, id_col, vec_col, scope_col).filter(
+    """Exact all-pairs threshold join within a bounded scope — the
+    sf-bounded oracle/verify twin of ``lsh_similarity_join`` (which is
+    the deployment path; this form inherits cosine_pairs' quadratic
+    scope cost and its scope-size guard)."""
+    return cosine_pairs(df, id_col, vec_col, scope_col, max_scope_rows).filter(
         F.col("cosine") >= threshold
     )
 

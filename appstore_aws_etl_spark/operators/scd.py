@@ -14,7 +14,7 @@ join + column comparison).
 
 from __future__ import annotations
 
-from pyspark.sql import Column, DataFrame
+from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
 
@@ -33,8 +33,23 @@ def scd2_apply(
     attribute columns + ``eff_ts_col``. Every update key closes its
     open row at the effective timestamp and appends a new open row;
     keys absent from history simply insert.
+
+    Contract: ONE effective row per key per batch. A batch carrying
+    several updates for a key is collapsed to the latest ``eff_ts_col``
+    row before the join (without this, N updates fan every history row
+    of that key out N times and append N simultaneously-open rows). To
+    retain every intermediate version, apply batches in timestamp
+    order, one effective timestamp per batch.
     """
     attrs = [c for c in history.columns if c not in (key, valid_from, valid_to)]
+    latest = Window.partitionBy(key).orderBy(
+        F.col(eff_ts_col).desc(), *[F.col(c).desc_nulls_last() for c in attrs]
+    )
+    updates = (
+        updates.withColumn("__rn", F.row_number().over(latest))
+        .filter(F.col("__rn") == 1)
+        .drop("__rn")
+    )
     upd_keys = updates.select(
         F.col(key), F.col(eff_ts_col).alias("__eff")
     )

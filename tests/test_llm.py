@@ -78,6 +78,25 @@ def test_ngram_jaccard_exact_values(planted_docs):
     assert 0.5 < pairs[(1, 2)] < 1.0
 
 
+def test_ngram_jaccard_df_cap_bounds_hot_gram_pairs(spark):
+    # ten docs share one stop-gram; each also has a unique tail.
+    # Uncapped, the stop-gram alone emits C(10,2)=45 intersection pairs;
+    # with df_cap below 10 it is dropped and only the two true
+    # near-dups (same unique tail) intersect.
+    rows = [
+        Row(doc_id=i, text=f"aaa bbb ccc unique{i} tail{i} end{i}") for i in range(10)
+    ]
+    rows.append(Row(doc_id=100, text="aaa bbb ccc unique0 tail0 end0"))  # dup of 0
+    df = spark.createDataFrame(rows)
+    uncapped = ngram_jaccard_pairs(df, n=3).collect()
+    assert len(uncapped) >= 45  # hot gram blows up the pair count
+    capped = ngram_jaccard_pairs(df, n=3, df_cap=5).collect()
+    got = {(r["id_a"], r["id_b"]) for r in capped}
+    assert got == {(0, 100)}  # only the true dup survives the cap
+    (pair,) = capped
+    assert pair["jaccard"] == 1.0  # consistent ratio over the capped universe
+
+
 def test_ivf_recall_vs_brute_force(spark, sf_dir):
     emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
     qvec = emb.filter(F.col("vec_id") == 0).select("embedding").collect()[0][0]

@@ -145,3 +145,38 @@ def test_sessionize_gap(spark):
     out = sessionize(df, key="u", ts="t", gap_seconds=300)
     got = {(r["u"], r["t"].minute): r["session_id"] for r in out.collect()}
     assert got == {(1, 0): 1, (1, 3): 1, (1, 9): 2, (2, 0): 1}
+
+
+def test_scd2_collapses_multi_update_batches(spark):
+    from datetime import datetime
+
+    from appstore_aws_etl_spark.operators.scd import scd2_apply
+
+    hist = spark.createDataFrame(
+        [Row(k=1, attr="v0", valid_from=datetime(2024, 1, 1), valid_to=None)],
+        "k int, attr string, valid_from timestamp, valid_to timestamp",
+    )
+    # two updates for the same key in one batch: only the latest lands
+    upd = spark.createDataFrame(
+        [
+            Row(k=1, attr="v1", eff=datetime(2024, 2, 1)),
+            Row(k=1, attr="v2", eff=datetime(2024, 3, 1)),
+        ],
+        "k int, attr string, eff timestamp",
+    )
+    out = scd2_apply(hist, upd, key="k", eff_ts_col="eff").collect()
+    assert len(out) == 2  # closed original + one new open row (no fan-out)
+    open_rows = [r for r in out if r["is_current"]]
+    assert len(open_rows) == 1 and open_rows[0]["attr"] == "v2"
+    closed = [r for r in out if not r["is_current"]]
+    assert closed[0]["valid_to"] == datetime(2024, 3, 1)
+
+
+def test_landing_s3_root_path_parsing():
+    from appstore_aws_etl_spark.io.landing import LandingZone
+
+    z = LandingZone("s3://bkt/data/raw", prefix="events")
+    assert z._s3_parts() == ("bkt", "data/raw/events")
+    assert z._s3_full_key("f.json") == "data/raw/events/f.json"
+    assert LandingZone("s3://bkt")._s3_parts() == ("bkt", "")
+    assert LandingZone("s3://bkt/data/")._s3_parts() == ("bkt", "data")

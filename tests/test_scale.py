@@ -107,12 +107,35 @@ def test_salted_join_matches_plain_join(spark, sf_dir):
     lineitem = spark.read.parquet(f"{sf_dir}/lineitem.parquet").select(
         F.col("l_orderkey").alias("o_orderkey"), "l_quantity"
     )
-    salted = salted_join(lineitem, orders, on="o_orderkey", salt_buckets=4)
+    # threshold 2 -> every multi-line order is "hot": both paths exercised
+    salted = salted_join(
+        lineitem, orders, on="o_orderkey", salt_buckets=4, hot_key_threshold=2
+    )
     plain = lineitem.join(orders, "o_orderkey")
     assert salted.count() == plain.count()
     s = salted.agg(F.round(F.sum("l_quantity"), 2).alias("q")).collect()[0]["q"]
     p = plain.agg(F.round(F.sum("l_quantity"), 2).alias("q")).collect()[0]["q"]
     assert s == p
+
+
+def test_salted_join_left_outer_nulls_and_guard(spark):
+    from pyspark.sql import Row
+
+    left = spark.createDataFrame(
+        [Row(k=1, v="a")] * 6 + [Row(k=2, v="b"), Row(k=3, v="miss"), Row(k=None, v="n")]
+    )
+    right = spark.createDataFrame([Row(k=1, w=10), Row(k=2, w=20), Row(k=9, w=90)])
+    for how in ("left", "inner", "left_semi", "left_anti"):
+        got = salted_join(
+            left, right, on="k", salt_buckets=3, how=how, hot_keys=[1]
+        ).collect()
+        want = left.join(right, on="k", how=how).collect()
+        key = lambda r: tuple((f, repr(r[f])) for f in sorted(r.asDict()))
+        assert sorted(map(key, got)) == sorted(map(key, want)), how
+    with pytest.raises(ValueError, match="outer"):
+        salted_join(left, right, on="k", how="full")
+    with pytest.raises(ValueError, match="outer"):
+        salted_join(left, right, on="k", how="right")
 
 
 def test_secret_resolution_env_and_file(tmp_path, monkeypatch):
