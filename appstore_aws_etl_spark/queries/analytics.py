@@ -349,3 +349,42 @@ sql_query(
     """,
     tags=("subquery",),
 )
+
+
+@query(
+    "agg_decimal_money",
+    oracle="""
+    SELECT l_returnflag,
+           count(*) AS n,
+           CAST(CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2)))
+                     AS DECIMAL(18,2)) AS VARCHAR)                    AS sum_price,
+           CAST(CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))
+                         * CAST(l_quantity AS DECIMAL(12,0)))
+                     AS DECIMAL(18,2)) AS VARCHAR)                    AS sum_charge,
+           CAST(min(CAST(l_extendedprice AS DECIMAL(18,2))) AS VARCHAR) AS min_price,
+           CAST(max(CAST(l_extendedprice AS DECIMAL(18,2))) AS VARCHAR) AS max_price
+    FROM lineitem GROUP BY l_returnflag
+    """,
+    tags=("aggregate", "decimal"),
+)
+def agg_decimal_money(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Money-typed aggregation end-to-end in DecimalType (SURVEY.md
+    §1.2; the Redshift-serving shape of reference README.md:2).
+
+    Prices become DECIMAL(18,2) at the scan, the charge product runs
+    under SQL decimal precision rules (scale 2 preserved exactly —
+    no float drift), and group sums stay decimal through the
+    aggregation. The final render casts to VARCHAR on both engines
+    because pandas widens Spark decimals to Decimal objects but DuckDB
+    decimals to float64 — the string form compares the exact decimal
+    digits, which is the point of the type."""
+    li = load(spark, sf_dir, "lineitem")
+    price = F.col("l_extendedprice").cast("decimal(18,2)")
+    qty = F.col("l_quantity").cast("decimal(12,0)")
+    return li.groupBy("l_returnflag").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(price).cast("decimal(18,2)").cast("string").alias("sum_price"),
+        F.sum(price * qty).cast("decimal(18,2)").cast("string").alias("sum_charge"),
+        F.min(price).cast("string").alias("min_price"),
+        F.max(price).cast("string").alias("max_price"),
+    )

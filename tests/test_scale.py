@@ -156,3 +156,25 @@ def test_secret_resolution_env_and_file(tmp_path, monkeypatch):
     # credential/endpoint error with it — either way it must raise
     with pytest.raises(Exception):
         get_secret("missing-secret-name")
+
+
+def test_jdbc_sink_roundtrip_derby(spark):
+    # the Spark distro ships embedded Derby (its Hive-metastore store),
+    # so S9 gets a real in-process JDBC round-trip, no server needed
+    from appstore_aws_etl_spark.io.sinks import write_jdbc
+
+    url = "jdbc:derby:memory:etlsmoke;create=true"
+    opts = {"driver": "org.apache.derby.jdbc.EmbeddedDriver"}
+    df = spark.range(100).select(
+        F.col("id").cast("long").alias("k"), (F.col("id") * 2).cast("double").alias("v")
+    )
+    write_jdbc(df, url, "smoke_t", options=opts, mode="overwrite")
+    back = (
+        spark.read.format("jdbc")
+        .option("url", url)
+        .option("dbtable", "smoke_t")
+        .option("driver", opts["driver"])
+        .load()
+    )
+    assert back.count() == 100
+    assert back.agg(F.sum("v").alias("s")).collect()[0]["s"] == sum(2 * i for i in range(100))
