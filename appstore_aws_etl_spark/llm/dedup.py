@@ -297,3 +297,101 @@ def ngram_jaccard_pairs(
         )
         .select("id_a", "id_b", "n_inter", "jaccard")
     )
+
+
+def cross_split_contamination(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    n: int = 5,
+    train_max_bucket: int = 8000,
+    test_min_bucket: int = 9000,
+) -> DataFrame:
+    """Train/test contamination check: for every *test*-split document,
+    how many of its distinct token n-grams also appear anywhere in the
+    *train* split (the n-gram-collision detection standard for LLM
+    eval-set leakage).
+
+    Splits come from the same deterministic key hash as
+    ``sampling.split_assign`` so the check matches the real split
+    assignment. Scale shape: the train side collapses to DISTINCT
+    grams before the join — one row per gram, so a gram shared by k
+    train docs costs 1 join row, not k (no hot-gram blowup by
+    construction); the join shuffles on the gram key only.
+    """
+    from .sampling import key_hash
+
+    toks = F.split(F.lower(F.col(text_col)), r"\s+")
+    gram_arr = toks
+    for k in range(1, n):
+        shifted = F.slice(toks, k + 1, F.size(toks))
+        gram_arr = F.zip_with(gram_arr, shifted, lambda x, y: F.concat(x, F.lit(" "), y))
+    gram_arr = F.filter(gram_arr, lambda g: g.isNotNull())
+    grams = df.select(
+        id_col,
+        key_hash(id_col).alias("__bucket"),
+        F.explode(F.array_distinct(gram_arr)).alias("gram"),
+    ).persist()
+    train_grams = (
+        grams.filter(F.col("__bucket") < train_max_bucket).select("gram").distinct()
+    )
+    test_grams = grams.filter(F.col("__bucket") >= test_min_bucket)
+    shared = (
+        test_grams.join(train_grams, "gram")
+        .groupBy(id_col)
+        .agg(F.count(F.lit(1)).alias("n_shared"))
+    )
+    sizes = test_grams.groupBy(id_col).agg(F.count(F.lit(1)).alias("n_grams"))
+    return (
+        shared.join(sizes, id_col)
+        .withColumn("ratio", F.round(F.col("n_shared") / F.col("n_grams"), 4))
+        .select(id_col, "n_shared", "n_grams", "ratio")
+    )
+
+
+def connected_dedup_clusters(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    max_iter: int = 4,
+) -> DataFrame:
+    """Duplicate clusters as connected components: every document gets
+    ``cluster_id`` = the minimum id among all documents with identical
+    content — union-find at Spark scale.
+
+    Edges are the *chain* of consecutive ids per content fingerprint
+    (linear in group size — never the clique), and labels converge by
+    iterative min-label propagation: each round is one join + one
+    grouped min, all shuffles on bounded keys. Rounds needed = graph
+    diameter; production-size components use pointer doubling
+    (label := label's label) for O(log n) rounds — here duplicate
+    chains are short and ``max_iter`` bounds the walk. Labels persist
+    per round so lineage stays flat (checkpoint at real scale).
+    """
+    fp = df.select(
+        F.col(id_col).alias("node"), F.md5(F.col(text_col)).alias("__fp")
+    ).persist()
+    w = Window.partitionBy("__fp").orderBy("node")
+    chain = fp.withColumn("__prev", F.lag("node").over(w))
+    edges = chain.filter(F.col("__prev").isNotNull()).select(
+        F.col("__prev").alias("src"), F.col("node").alias("dst")
+    )
+    und = edges.union(
+        edges.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
+    ).persist()
+    labels = fp.select("node", F.col("node").alias("cluster_id"))
+    for _ in range(max_iter):
+        msgs = und.join(
+            labels.withColumnRenamed("node", "src"), "src"
+        ).select(F.col("dst").alias("node"), F.col("cluster_id").alias("nbr_label"))
+        mins = msgs.groupBy("node").agg(F.min("nbr_label").alias("nbr_min"))
+        labels = (
+            labels.join(mins, "node", "left")
+            .withColumn(
+                "cluster_id",
+                F.least("cluster_id", F.coalesce("nbr_min", "cluster_id")),
+            )
+            .select("node", "cluster_id")
+            .persist()
+        )
+    return labels.select(F.col("node").alias(id_col), "cluster_id")

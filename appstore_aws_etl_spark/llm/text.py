@@ -144,3 +144,34 @@ def document_fingerprint(
         F.md5(canon).alias("fingerprint"),
         F.sha2(canon, 256).alias("fingerprint_sha"),
     )
+
+
+# Java-regex/RE2 common subset: the pattern must behave identically on
+# the JVM (Spark) and RE2 (DuckDB oracle) — no backrefs, no lookaround.
+EMAIL_RE = r"[a-z0-9._%+-]+@[a-z0-9.-]+\.[a-z]{2,}"
+PHONE_RE = r"\b[0-9]{3}[-.][0-9]{3}[-.][0-9]{4}\b"
+
+
+def pii_redact(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    out_col: str = "redacted",
+) -> DataFrame:
+    """PII scrubbing pass: replace email addresses and phone-shaped
+    numbers with typed placeholder tokens, reporting per-document match
+    counts. Pure JVM regex — embarrassingly parallel, no shuffle; the
+    patterns stay inside the Java/RE2 common subset so the DuckDB
+    oracle reproduces them byte-for-byte."""
+    emails = F.size(F.regexp_extract_all(text_col, F.lit(EMAIL_RE), 0))
+    phones = F.size(F.regexp_extract_all(text_col, F.lit(PHONE_RE), 0))
+    scrubbed = F.regexp_replace(
+        F.regexp_replace(text_col, EMAIL_RE, "<EMAIL>"), PHONE_RE, "<PHONE>"
+    )
+    return df.select(
+        id_col,
+        emails.alias("n_emails"),
+        phones.alias("n_phones"),
+        F.md5(scrubbed).alias(f"{out_col}_md5"),
+        (emails + phones > 0).alias("was_redacted"),
+    )

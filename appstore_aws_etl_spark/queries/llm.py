@@ -569,3 +569,147 @@ def llm_multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     return feats.select(
         "media_id", "n_bytes", F.round(F.element_at("feature", 1), 6).alias("f0")
     )
+
+
+# --------------------------------------------------------------------------
+# training-pipeline hygiene: contamination / redaction / dup clusters
+# --------------------------------------------------------------------------
+
+
+@query(
+    "llm_contamination",
+    oracle="""
+    WITH split AS (
+        SELECT doc_id, text,
+               ((doc_id * 2654435761) % 4294967296) % 10000 AS b
+        FROM documents
+    ), toks AS (
+        SELECT doc_id, b, string_split(lower(text), ' ') AS tk FROM split
+    ), grams AS (
+        SELECT DISTINCT doc_id, b,
+               unnest(list_transform(range(1, len(tk) - 3),
+                      i -> list_aggregate(tk[i:i+4], 'string_agg', ' '))) AS gram
+        FROM toks
+    ), train AS (
+        SELECT DISTINCT gram FROM grams WHERE b < 8000
+    ), test AS (
+        SELECT doc_id, gram FROM grams WHERE b >= 9000
+    ), shared AS (
+        SELECT doc_id, count(*) AS n_shared
+        FROM test JOIN train USING (gram) GROUP BY doc_id
+    ), sizes AS (
+        SELECT doc_id, count(*) AS n_grams FROM test GROUP BY doc_id
+    )
+    SELECT doc_id, n_shared, n_grams,
+           round(n_shared / CAST(n_grams AS DOUBLE), 4) AS ratio
+    FROM shared JOIN sizes USING (doc_id)
+    """,
+    tags=("llm", "hygiene"),
+)
+def llm_contamination(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Eval-set contamination: test-split documents sharing token
+    5-grams with any train-split document (the n-gram collision
+    standard for LLM leakage detection). Train grams collapse to
+    DISTINCT before the join — one row per gram regardless of how many
+    train docs carry it, so there is no hot-gram blowup by
+    construction."""
+    from ..llm.dedup import cross_split_contamination
+
+    docs = load(spark, sf_dir, "documents")
+    return cross_split_contamination(docs, n=5)
+
+
+@query(
+    "llm_pii_redact",
+    oracle="""
+    WITH planted AS (
+        SELECT doc_id,
+               CASE WHEN doc_id % 10 = 0
+                    THEN text || ' contact user' || CAST(doc_id AS VARCHAR)
+                         || '@example.com or 555-867-5309 now'
+                    ELSE text END AS text
+        FROM documents
+    )
+    SELECT doc_id,
+           len(regexp_extract_all(text, '[a-z0-9._%+-]+@[a-z0-9.-]+\\.[a-z]{2,}'))
+               AS n_emails,
+           len(regexp_extract_all(text, '\\b[0-9]{3}[-.][0-9]{3}[-.][0-9]{4}\\b'))
+               AS n_phones,
+           md5(regexp_replace(
+                   regexp_replace(text, '[a-z0-9._%+-]+@[a-z0-9.-]+\\.[a-z]{2,}',
+                                  '<EMAIL>', 'g'),
+                   '\\b[0-9]{3}[-.][0-9]{3}[-.][0-9]{4}\\b', '<PHONE>', 'g'))
+               AS redacted_md5,
+           (len(regexp_extract_all(text, '[a-z0-9._%+-]+@[a-z0-9.-]+\\.[a-z]{2,}'))
+            + len(regexp_extract_all(text, '\\b[0-9]{3}[-.][0-9]{3}[-.][0-9]{4}\\b')))
+               > 0 AS was_redacted
+    FROM planted
+    """,
+    tags=("llm", "hygiene"),
+)
+def llm_pii_redact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PII scrubbing over the corpus. The fixture text carries no PII,
+    so every tenth document gets a deterministic planted email + phone
+    first (planted-PII evaluation, mirrored in the oracle); the redact
+    pass then replaces matches with typed placeholders and reports
+    match counts + the scrubbed-content digest. Pure JVM regex, no
+    shuffle."""
+    from ..llm.text import pii_redact
+
+    docs = load(spark, sf_dir, "documents")
+    planted = docs.withColumn(
+        "text",
+        F.when(
+            F.col("doc_id") % 10 == 0,
+            F.concat(
+                F.col("text"),
+                F.lit(" contact user"),
+                F.col("doc_id").cast("string"),
+                F.lit("@example.com or 555-867-5309 now"),
+            ),
+        ).otherwise(F.col("text")),
+    )
+    return pii_redact(planted)
+
+
+@query(
+    "llm_dedup_clusters",
+    oracle="""
+    WITH aug AS (
+        SELECT doc_id, text FROM documents
+        UNION ALL
+        SELECT doc_id + 100000, text FROM documents WHERE doc_id % 10 = 0
+        UNION ALL
+        SELECT doc_id + 200000, text FROM documents WHERE doc_id % 20 = 0
+    )
+    SELECT doc_id, min(doc_id) OVER (PARTITION BY text) AS cluster_id
+    FROM aug
+    """,
+    tags=("llm", "dedup"),
+)
+def llm_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Duplicate clustering as connected components (union-find at
+    scale). Fixture texts are all distinct, so duplicate chains are
+    planted first (copies at +100000 / +200000 for every 10th / 20th
+    doc — components of size up to 3); iterative min-label propagation
+    over per-fingerprint chain edges then converges to cluster_id =
+    min(doc_id) per component, which is exactly what the oracle's
+    window expresses. The iterative DataFrame loop is the real
+    operator; the window SQL is only checkable because components here
+    are content-identical."""
+    from ..llm.dedup import connected_dedup_clusters
+
+    docs = load(spark, sf_dir, "documents").select("doc_id", "text")
+    aug = (
+        docs.unionByName(
+            docs.filter(F.col("doc_id") % 10 == 0).select(
+                (F.col("doc_id") + 100000).alias("doc_id"), "text"
+            )
+        )
+        .unionByName(
+            docs.filter(F.col("doc_id") % 20 == 0).select(
+                (F.col("doc_id") + 200000).alias("doc_id"), "text"
+            )
+        )
+    )
+    return connected_dedup_clusters(aug, max_iter=4)
