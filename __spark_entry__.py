@@ -50,11 +50,12 @@ _R1_DRIVER_VERIFIED = frozenset(
     }
 )
 # multi-second keys at sf0.01 (LSH signature UDFs, IVF training,
-# gram self-joins) — run after the cheap fresh keys
+# gram self-joins, iterative label propagation) — run after the cheap
+# fresh keys
 _HEAVY = (
     "llm_dedup_simhash", "llm_dedup_embedding", "llm_pack_sequences",
-    "llm_multimodal_features", "llm_knn_ivf", "llm_jaccard_ngram",
-    "llm_dedup_minhash", "llm_sim_join",
+    "llm_multimodal_features", "llm_dedup_clusters", "llm_contamination",
+    "llm_knn_ivf", "llm_jaccard_ngram", "llm_dedup_minhash", "llm_sim_join",
 )
 
 

@@ -232,7 +232,7 @@ def llm_sim_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         ),
     )
     aug = emb.select("vec_id", "embedding").unionByName(copies)
-    return lsh_similarity_join(aug, threshold=0.95, n_planes=24, bands=4)
+    return lsh_similarity_join(aug, threshold=0.95, n_planes=32, bands=4)
 
 
 # --------------------------------------------------------------------------

@@ -74,3 +74,16 @@ def scan_json(spark: SparkSession, sf_dir: str) -> DataFrame:
         .json(path)
         .select("n_nationkey", "n_name", "n_regionkey")
     )
+
+
+@query(
+    "scan_orc",
+    oracle="SELECT n_nationkey, n_name, n_regionkey FROM nation",
+    tags=("scan",),
+)
+def scan_orc(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ORC ingest round-trip (the other columnar format warehouses
+    exchange); native vectorized reader, schema carried by the file."""
+    path = os.path.join(CACHE_DIR, "scan_orc", os.path.basename(sf_dir.rstrip("/")))
+    load(spark, sf_dir, "nation").coalesce(1).write.mode("overwrite").orc(path)
+    return spark.read.orc(path).select("n_nationkey", "n_name", "n_regionkey")

@@ -202,3 +202,52 @@ def stream_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("view_to_purchase")
         )
     )
+
+
+@query(
+    "stream_join",
+    oracle="""
+    SELECT p.event_id AS purchase_id, v.event_id AS view_id, p.user_id,
+           date_trunc('second', p.ts) AS p_ts,
+           date_trunc('second', v.ts) AS v_ts,
+           round(p.value, 2) AS purchase_value
+    FROM (SELECT * FROM events WHERE event_type = 'purchase') p
+    JOIN (SELECT * FROM events WHERE event_type = 'view') v
+      ON v.user_id = p.user_id
+     AND v.ts <= p.ts
+     AND v.ts >= p.ts - INTERVAL 1 HOUR
+    """,
+    tags=("streaming",),
+)
+def stream_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """T9 stream-stream join, batch-equivalent semantics: purchases
+    attributed to the same user's views in the preceding hour. The
+    streaming twin (streaming/pipeline.py stream_stream_join) runs the
+    identical condition with watermarks on both sides so join state
+    stays bounded; true incremental execution is exercised in
+    tests/test_streaming.py."""
+    ev = load(spark, sf_dir, "events")
+    v = ev.filter(F.col("event_type") == "view").select(
+        F.col("user_id").alias("v_user"),
+        F.col("ts").alias("v_ts_raw"),
+        F.col("event_id").alias("view_id"),
+    )
+    p = ev.filter(F.col("event_type") == "purchase").select(
+        "user_id",
+        F.col("ts").alias("p_ts_raw"),
+        F.col("event_id").alias("purchase_id"),
+        "value",
+    )
+    cond = (
+        (F.col("v_user") == F.col("user_id"))
+        & (F.col("v_ts_raw") <= F.col("p_ts_raw"))
+        & (F.col("v_ts_raw") >= F.col("p_ts_raw") - F.expr("INTERVAL 1 HOUR"))
+    )
+    return v.join(p, cond).select(
+        "purchase_id",
+        "view_id",
+        "user_id",
+        F.date_trunc("second", "p_ts_raw").alias("p_ts"),
+        F.date_trunc("second", "v_ts_raw").alias("v_ts"),
+        F.round("value", 2).alias("purchase_value"),
+    )

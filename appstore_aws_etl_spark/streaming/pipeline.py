@@ -130,3 +130,39 @@ def run_collecting(
     )
     q.awaitTermination()
     return collected
+
+
+def stream_stream_join(
+    views: DataFrame,
+    purchases: DataFrame,
+    horizon: str = "1 hour",
+    lateness: str = "10 minutes",
+) -> DataFrame:
+    """T9 stream-stream inner join: each purchase attributed to the
+    same user's prior view within ``horizon``.
+
+    Both inputs carry watermarks AND the join condition bounds the
+    event-time distance — that pair is what lets the state store evict
+    buffered rows once the watermark passes view_ts + horizon. A
+    stream-stream join without the time bound buffers both streams
+    forever; at 100 TB/day that is the difference between bounded state
+    and an OOM'd cluster."""
+    v = views.withWatermark("ts", lateness).select(
+        F.col("user_id").alias("v_user"),
+        F.col("ts").alias("v_ts"),
+        F.col("event_id").alias("view_id"),
+    )
+    p = purchases.withWatermark("ts", lateness).select(
+        "user_id",
+        F.col("ts").alias("p_ts"),
+        F.col("event_id").alias("purchase_id"),
+        "value",
+    )
+    cond = (
+        (F.col("v_user") == F.col("user_id"))
+        & (F.col("v_ts") <= F.col("p_ts"))
+        & (F.col("v_ts") >= F.col("p_ts") - F.expr(f"INTERVAL {horizon}"))
+    )
+    return v.join(p, cond).select(
+        "purchase_id", "view_id", "user_id", "p_ts", "v_ts", "value"
+    )

@@ -139,3 +139,45 @@ def test_stateful_funnel_matches_batch_analogue(spark, sf_dir, event_stream_dir)
     got_map = {r["user_id"]: r["view_to_purchase"] for r in final.collect()}
     batch_map = {r["user_id"]: r["view_to_purchase"] for r in batch.collect()}
     assert got_map == batch_map
+
+
+def test_stream_stream_join_matches_batch(spark, event_stream_dir, tmp_path):
+    """T9: the watermarked stream-stream join over the full backlog must
+    equal the identical batch join (availableNow drains everything, so
+    no rows are lost to the watermark here; state-bounding behavior is
+    the condition's job and is structural)."""
+    from appstore_aws_etl_spark.streaming.pipeline import stream_stream_join
+
+    ev = stream_events(spark, event_stream_dir)
+    views = ev.filter(F.col("event_type") == "view")
+    purchases = ev.filter(F.col("event_type") == "purchase")
+    got = run_collecting(
+        stream_stream_join(views, purchases, horizon="1 hour"),
+        str(tmp_path / "ssj_chk"),
+    )
+    b = spark.read.parquet(event_stream_dir)
+    bv = b.filter(F.col("event_type") == "view").select(
+        F.col("user_id").alias("v_user"),
+        F.col("ts").alias("v_ts"),
+        F.col("event_id").alias("view_id"),
+    )
+    bp = b.filter(F.col("event_type") == "purchase").select(
+        "user_id",
+        F.col("ts").alias("p_ts"),
+        F.col("event_id").alias("purchase_id"),
+        "value",
+    )
+    want = (
+        bv.join(
+            bp,
+            (F.col("v_user") == F.col("user_id"))
+            & (F.col("v_ts") <= F.col("p_ts"))
+            & (F.col("v_ts") >= F.col("p_ts") - F.expr("INTERVAL 1 HOUR")),
+        )
+        .select("purchase_id", "view_id")
+        .collect()
+    )
+    assert len(got) > 0
+    assert sorted((r["purchase_id"], r["view_id"]) for r in got) == sorted(
+        (r["purchase_id"], r["view_id"]) for r in want
+    )
