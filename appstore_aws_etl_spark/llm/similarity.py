@@ -344,3 +344,19 @@ def ivf_knn(
         .orderBy(F.col("score").desc(), F.col(id_col))
         .limit(k)
     )
+
+
+def label_centroids(df: DataFrame, vec_col: str = "embedding", label_col: str = "label") -> DataFrame:
+    """Per-label element-wise mean vector (cluster centroid), emitted in
+    exploded (label, dim, centroid) form.
+
+    Scale shape: posexplode turns k-dim vectors into k rows, then one
+    shuffle on (label, dim) with map-side partial averaging — never
+    collects vectors to the driver, and dimension fan-out keeps every
+    reduce key small even when one label dominates the corpus.
+    """
+    return (
+        df.select(label_col, F.posexplode(vec_col).alias("dim", "v"))
+        .groupBy(label_col, "dim")
+        .agg((F.round(F.avg("v"), 6) + F.lit(0.0)).alias("centroid"))
+    )

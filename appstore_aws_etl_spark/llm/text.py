@@ -175,3 +175,51 @@ def pii_redact(
         F.md5(scrubbed).alias(f"{out_col}_md5"),
         (emails + phones > 0).alias("was_redacted"),
     )
+
+
+def chunk_documents(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    chunk_chars: int = 200,
+    stride: int = 150,
+) -> DataFrame:
+    """Overlapping fixed-size character chunking — the pre-tokenization
+    split step of a training pipeline (chunk i covers
+    [i*stride, i*stride + chunk_chars)).
+
+    Scale shape: pure per-row explode, no shuffle; chunk count is
+    ceil(len/stride) so output size is bounded by a constant factor of
+    input bytes regardless of document-length skew.
+    """
+    n = F.length(F.col(text_col))
+    n_chunks = F.ceil(n / F.lit(float(stride))).cast("long")
+    return df.select(
+        id_col,
+        F.posexplode(F.sequence(F.lit(0), n_chunks - 1)).alias("_p", "chunk_id"),
+        F.col(text_col),
+    ).select(
+        id_col,
+        "chunk_id",
+        F.substring(
+            F.col(text_col), F.col("chunk_id") * stride + 1, chunk_chars
+        ).alias("chunk_text"),
+    )
+
+
+def repetition_scores(
+    df: DataFrame, id_col: str = "doc_id", text_col: str = "text"
+) -> DataFrame:
+    """Gopher-style repetition signal: the fraction of a document's
+    tokens taken by its single most frequent token. High values flag
+    degenerate/boilerplate text for corpus filtering.
+
+    Scale shape: explode -> per-(doc, token) count -> per-doc ratio;
+    both aggregations key on doc_id so the second reuses the first's
+    partitioning (one logical shuffle over token-exploded rows).
+    """
+    tok = df.select(id_col, F.explode(F.split(F.lower(F.col(text_col)), " ")).alias("token"))
+    cnt = tok.groupBy(id_col, "token").agg(F.count(F.lit(1)).alias("c"))
+    return cnt.groupBy(id_col).agg(
+        (F.round(F.max("c") / F.sum("c"), 4) + F.lit(0.0)).alias("top_token_ratio")
+    )

@@ -697,3 +697,146 @@ def tpch_q22(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round(F.sum("c_acctbal"), 2).alias("totacctbal"),
         )
     )
+
+
+@query(
+    "tpch_q8_market_share",
+    oracle="""
+    SELECT o_year,
+           round(sum(CASE WHEN supp_nation = 'NATION_5' THEN volume
+                          ELSE 0 END) / sum(volume), 6) + 0.0 AS mkt_share
+    FROM (
+        SELECT year(o_orderdate) AS o_year,
+               l_extendedprice * (1 - l_discount) AS volume,
+               n2.n_name AS supp_nation
+        FROM lineitem
+        JOIN part     ON p_partkey = l_partkey
+        JOIN supplier ON s_suppkey = l_suppkey
+        JOIN orders   ON o_orderkey = l_orderkey
+        JOIN customer ON c_custkey = o_custkey
+        JOIN nation n1 ON c_nationkey = n1.n_nationkey
+        JOIN region   ON n1.n_regionkey = r_regionkey
+        JOIN nation n2 ON s_nationkey = n2.n_nationkey
+        WHERE r_name = 'ASIA'
+          AND p_type = 'PROMO'
+          AND o_orderdate >= TIMESTAMP '1995-01-01'
+          AND o_orderdate <  TIMESTAMP '1997-01-01'
+    )
+    GROUP BY o_year
+    """,
+    tags=("analytics",),
+)
+def tpch_q8(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Q8 national market share: NATION_5's slice of PROMO-part revenue
+    sold into ASIA, by order year (fixture nations are NATION_N).
+
+    Scale shape: part/supplier/customer/nation/region are broadcast
+    dims; the only big shuffle is orders<->lineitem on orderkey, and
+    the share is a two-measure conditional aggregate over one pass —
+    never two scans of the fact."""
+    li = load(spark, sf_dir, "lineitem")
+    p = load(spark, sf_dir, "part").filter(F.col("p_type") == "PROMO")
+    s = load(spark, sf_dir, "supplier")
+    o = load(spark, sf_dir, "orders").filter(
+        (F.col("o_orderdate") >= F.lit("1995-01-01").cast("timestamp"))
+        & (F.col("o_orderdate") < F.lit("1997-01-01").cast("timestamp"))
+    )
+    c = load(spark, sf_dir, "customer")
+    n1 = load(spark, sf_dir, "nation").alias("n1")
+    n2 = load(spark, sf_dir, "nation").alias("n2")
+    r = load(spark, sf_dir, "region").filter(F.col("r_name") == "ASIA")
+    vol = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    joined = (
+        li.join(F.broadcast(p), li.l_partkey == p.p_partkey)
+        .join(F.broadcast(s), li.l_suppkey == s.s_suppkey)
+        .join(o, li.l_orderkey == o.o_orderkey)
+        .join(c, o.o_custkey == c.c_custkey)
+        .join(F.broadcast(n1), c.c_nationkey == F.col("n1.n_nationkey"))
+        .join(F.broadcast(r), F.col("n1.n_regionkey") == r.r_regionkey)
+        .join(F.broadcast(n2), s.s_nationkey == F.col("n2.n_nationkey"))
+        .select(
+            F.year(o.o_orderdate).alias("o_year"),
+            vol.alias("volume"),
+            F.col("n2.n_name").alias("supp_nation"),
+        )
+    )
+    nat_vol = F.when(F.col("supp_nation") == "NATION_5", F.col("volume")).otherwise(
+        F.lit(0.0)
+    )
+    return joined.groupBy("o_year").agg(
+        (F.round(F.sum(nat_vol) / F.sum("volume"), 6) + 0.0).alias("mkt_share")
+    )
+
+
+@query(
+    "tpch_q13_customer_distribution",
+    oracle="""
+    SELECT c_count, count(*) AS custdist
+    FROM (
+        SELECT c_custkey, count(o_orderkey) AS c_count
+        FROM customer LEFT JOIN orders
+          ON c_custkey = o_custkey AND o_orderpriority <> '1-URGENT'
+        GROUP BY c_custkey
+    )
+    GROUP BY c_count
+    """,
+    tags=("analytics",),
+)
+def tpch_q13(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Q13 customer order-count distribution (fixture has no order
+    comments, so the excluded class is '1-URGENT' priority instead of
+    'special requests'; the exclusion lives in the JOIN predicate, not
+    a WHERE, so order-less customers still count as 0).
+
+    Scale shape: one shuffle joining customer<->filtered orders on
+    custkey, a per-customer count riding the same partitioning, then a
+    tiny distribution aggregate."""
+    c = load(spark, sf_dir, "customer")
+    o = load(spark, sf_dir, "orders").filter(
+        F.col("o_orderpriority") != "1-URGENT"
+    )
+    return (
+        c.join(o, c.c_custkey == o.o_custkey, "left")
+        .groupBy("c_custkey")
+        .agg(F.count("o_orderkey").alias("c_count"))
+        .groupBy("c_count")
+        .agg(F.count(F.lit(1)).alias("custdist"))
+    )
+
+
+@query(
+    "tpch_q17_small_quantity_revenue",
+    oracle="""
+    SELECT round(sum(l_extendedprice) / 7.0, 2) AS avg_yearly
+    FROM lineitem JOIN part ON p_partkey = l_partkey
+    WHERE p_brand = 'Brand#23'
+      AND l_quantity < (
+          SELECT 0.2 * avg(l_quantity) FROM lineitem l2
+          WHERE l2.l_partkey = p_partkey
+      )
+    """,
+    tags=("analytics",),
+)
+def tpch_q17(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Q17 small-quantity-order revenue (fixture has no p_container, so
+    the part slice is brand-only). The correlated scalar subquery is
+    decorrelated by hand: per-part average quantity computed once over
+    the brand-filtered fact, joined back on partkey.
+
+    Scale shape: the brand filter broadcasts to prune lineitem before
+    anything shuffles; the avg and the probe reuse that pruned slice,
+    so the heavy table is read once and shuffled once on partkey."""
+    p = load(spark, sf_dir, "part").filter(F.col("p_brand") == "Brand#23").select(
+        "p_partkey"
+    )
+    li = load(spark, sf_dir, "lineitem").join(
+        F.broadcast(p), F.col("l_partkey") == F.col("p_partkey")
+    )
+    thresh = li.groupBy(F.col("l_partkey").alias("t_partkey")).agg(
+        (0.2 * F.avg("l_quantity")).alias("qty_thresh")
+    )
+    return (
+        li.join(F.broadcast(thresh), F.col("l_partkey") == F.col("t_partkey"))
+        .filter(F.col("l_quantity") < F.col("qty_thresh"))
+        .agg(F.round(F.sum("l_extendedprice") / 7.0, 2).alias("avg_yearly"))
+    )

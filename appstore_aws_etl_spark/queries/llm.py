@@ -713,3 +713,66 @@ def llm_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     )
     return connected_dedup_clusters(aug, max_iter=4)
+
+
+@query(
+    "llm_doc_chunk",
+    oracle="""
+    WITH idx AS (
+        SELECT doc_id, text,
+               unnest(range(0, CAST(ceil(length(text) / 150.0) AS BIGINT))) AS chunk_id
+        FROM documents
+    )
+    SELECT doc_id, chunk_id,
+           substring(text, CAST(chunk_id * 150 + 1 AS INT), 200) AS chunk_text
+    FROM idx
+    """,
+    tags=("llm", "text"),
+)
+def llm_doc_chunk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Training-pipeline chunking: 200-char windows at stride 150
+    (50-char overlap) per document (llm/text.py chunk_documents)."""
+    from ..llm.text import chunk_documents
+
+    return chunk_documents(load(spark, sf_dir, "documents"))
+
+
+@query(
+    "llm_repetition_score",
+    oracle="""
+    WITH tok AS (
+        SELECT doc_id, unnest(string_split(lower(text), ' ')) AS token FROM documents
+    ), cnt AS (
+        SELECT doc_id, token, count(*) AS c FROM tok GROUP BY doc_id, token
+    )
+    SELECT doc_id, round(max(c) * 1.0 / sum(c), 4) + 0.0 AS top_token_ratio
+    FROM cnt GROUP BY doc_id
+    """,
+    tags=("llm", "text", "quality"),
+)
+def llm_repetition_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gopher-style repetition filter signal: most-frequent-token mass
+    fraction per document (llm/text.py repetition_scores)."""
+    from ..llm.text import repetition_scores
+
+    return repetition_scores(load(spark, sf_dir, "documents"))
+
+
+@query(
+    "llm_vector_centroid",
+    oracle="""
+    SELECT label, dim, round(avg(v), 6) + 0.0 AS centroid
+    FROM (SELECT label, unnest(embedding) AS v,
+                 generate_subscripts(embedding, 1) - 1 AS dim
+          FROM embeddings)
+    GROUP BY label, dim
+    """,
+    tags=("llm", "similarity"),
+)
+def llm_vector_centroid(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-label embedding centroid in exploded (label, dim, centroid)
+    form — the cluster-statistics step of IVF training / corpus
+    analysis (llm/similarity.py label_centroids)."""
+    from ..llm.similarity import label_centroids
+
+    return label_centroids(load(spark, sf_dir, "embeddings"))
