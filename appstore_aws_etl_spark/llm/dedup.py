@@ -15,8 +15,6 @@ runs and executors, no Python in the loop.
 
 from __future__ import annotations
 
-import zlib
-
 import numpy as np
 import pandas as pd
 
@@ -71,19 +69,26 @@ def minhash_signatures(
         dtype=np.int64,
     )
 
+    # polynomial rolling-hash coefficients for k-byte shingles: hash =
+    # sum(byte_j * 257^(k-1-j)) mod p — computed for ALL windows at once
+    # via a sliding-window matmul (the per-shingle crc32 loop this
+    # replaces was the only Python-rate inner loop in the pipeline)
+    pw = np.empty(shingle_k, dtype=np.int64)
+    pw[-1] = 1
+    for j in range(shingle_k - 2, -1, -1):
+        pw[j] = (pw[j + 1] * 257) % _MERSENNE
+
     @F.pandas_udf("array<long>")
     def signature(texts: pd.Series) -> pd.Series:
         out = []
         for t in texts:
-            canon = " ".join(t.lower().split())
-            n = max(len(canon) - shingle_k + 1, 1)
-            hs = np.fromiter(
-                {
-                    zlib.crc32(canon[i : i + shingle_k].encode()) % _MERSENNE
-                    for i in range(n)
-                },
-                dtype=np.int64,
-            )
+            canon = " ".join(t.lower().split()).encode()
+            arr = np.frombuffer(canon, dtype=np.uint8)
+            if arr.size < shingle_k:
+                arr = np.pad(arr, (0, shingle_k - arr.size))
+            win = np.lib.stride_tricks.sliding_window_view(arr, shingle_k)
+            # byte<256 * coeff<p keeps every partial sum within int64
+            hs = np.unique((win.astype(np.int64) @ pw) % _MERSENNE)
             # (num_hashes, n_shingles) permutation matrix -> row minima
             out.append(((a[:, None] * hs[None, :] + b[:, None]) % _MERSENNE).min(axis=1))
         return pd.Series(out)
@@ -257,16 +262,14 @@ def ngram_jaccard_pairs(
         gram_arr = F.zip_with(gram_arr, shifted, lambda x, y: F.concat(x, F.lit(" "), y))
     gram_arr = F.filter(gram_arr, lambda g: g.isNotNull())
     # persisted: the gram table feeds both join sides and the size agg —
-    # without it the explode+distinct runs three times
-    grams = (
-        df.select(
-            id_col,
-            *scope_cols,
-            F.explode(F.array_distinct(gram_arr)).alias("gram"),
-        )
-        .distinct()
-        .persist()
-    )
+    # without it the explode runs three times. Rows are already unique:
+    # array_distinct dedups within a doc and id_col rides every row, so
+    # no distinct (= no extra shuffle) is needed here.
+    grams = df.select(
+        id_col,
+        *scope_cols,
+        F.explode(F.array_distinct(gram_arr)).alias("gram"),
+    ).persist()
     if df_cap is not None:
         hot = (
             grams.groupBy(*scope_cols, "gram")

@@ -290,16 +290,23 @@ def train_centroids(
     centroids: Centroids = [(i, [float(x) for x in r["v"]]) for i, r in enumerate(init)]
     for _ in range(iterations):
         assigned = assign_to_centroids(df, centroids, vec_col)
+        # new means via posexplode -> (centroid, dim) avg: dim separate
+        # avg(element_at(vec, i)) columns would fall out of whole-stage
+        # codegen into interpreted evaluation at this arity (SURVEY
+        # §7.4.2); the exploded agg stays codegen'd and collects only
+        # n_centroids x dim scalars
         rows = (
-            assigned.groupBy("centroid_id")
-            .agg(
-                F.array(
-                    *[F.avg(F.element_at(F.col(vec_col), i + 1)) for i in range(dim)]
-                ).alias("c_vec")
-            )
+            assigned.select("centroid_id", F.posexplode(vec_col).alias("pos", "x"))
+            .groupBy("centroid_id", "pos")
+            .agg(F.avg("x").alias("m"))
             .collect()
         )
-        centroids = sorted((r["centroid_id"], list(r["c_vec"])) for r in rows)
+        by_c: dict[int, dict[int, float]] = {}
+        for r in rows:
+            by_c.setdefault(r["centroid_id"], {})[r["pos"]] = float(r["m"])
+        centroids = sorted(
+            (cid, [d[p] for p in range(dim)]) for cid, d in by_c.items()
+        )
     return centroids
 
 

@@ -39,6 +39,7 @@ def main() -> None:
     for name, spec in REGISTRY.items():
         if name == FLAGSHIP or spec.oracle is None:
             continue
+        run_once(name)  # warm-then-time, mirroring bench.py's protocol
         timings[name] = round(run_once(name), 4)
     timings[FLAGSHIP] = round(timings[FLAGSHIP], 4)
 
