@@ -142,3 +142,58 @@ def documents_as_media(docs: DataFrame) -> DataFrame:
         F.concat(F.lit("mem://documents/"), F.col("doc_id")).alias("path"),
         F.lit("text/plain").alias("mime"),
     )
+
+
+FRAME_SCHEMA = T.StructType(
+    [
+        T.StructField("media_id", T.LongType(), False),
+        T.StructField("frame_idx", T.IntegerType(), False),
+        T.StructField("frame_ts_ms", T.LongType(), False),
+        T.StructField("n_frame_bytes", T.LongType(), False),
+        T.StructField("frame_sha256", T.StringType(), False),
+    ]
+)
+
+
+def sample_frames(
+    media: DataFrame,
+    frame_bytes: int = 256,
+    stride_bytes: int = 256,
+    max_frames: int = 4,
+    fps: int = 25,
+) -> DataFrame:
+    """Video-style frame sampling over binary payloads via mapInPandas.
+
+    Each payload yields up to ``max_frames`` evenly-strided frames; the
+    "decode" is a deterministic byte-slice stand-in (this container has
+    no ffmpeg — swap the slice for a real frame decoder in deployment;
+    the plumbing is the real part). Output is one row per frame, i.e.
+    the batch SHAPE changes (1 row in -> k rows out) — exactly the
+    contract mapInPandas has and a scalar pandas UDF does not.
+
+    Scale shape: embarrassingly parallel, no shuffle; frames per task
+    are bounded by max_frames x rows-per-Arrow-batch, so executor
+    memory is governed by the same batch-size math as
+    ``extract_features``.
+    """
+    import hashlib as _hashlib
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out: dict[str, list] = {
+                "media_id": [], "frame_idx": [], "frame_ts_ms": [],
+                "n_frame_bytes": [], "frame_sha256": [],
+            }
+            for mid, payload in zip(pdf["media_id"], pdf["payload"]):
+                n = len(payload)
+                k = min(max_frames, max(1, -(-n // stride_bytes)))
+                for i in range(k):
+                    frame = bytes(payload[i * stride_bytes : i * stride_bytes + frame_bytes])
+                    out["media_id"].append(mid)
+                    out["frame_idx"].append(i)
+                    out["frame_ts_ms"].append(i * 1000 // fps)
+                    out["n_frame_bytes"].append(len(frame))
+                    out["frame_sha256"].append(_hashlib.sha256(frame).hexdigest())
+            yield pd.DataFrame(out)
+
+    return media.mapInPandas(run, schema=FRAME_SCHEMA)

@@ -776,3 +776,37 @@ def llm_vector_centroid(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..llm.similarity import label_centroids
 
     return label_centroids(load(spark, sf_dir, "embeddings"))
+
+
+@query(
+    "llm_multimodal_frames",
+    oracle="""
+    WITH media AS (
+        SELECT doc_id AS media_id, text, length(text) AS n
+        FROM documents
+    ), idx AS (
+        SELECT media_id, text,
+               unnest(range(0, least(4, greatest(1, CAST(ceil(n / 256.0) AS BIGINT)))))
+                   AS frame_idx
+        FROM media
+    )
+    SELECT media_id,
+           CAST(frame_idx AS INT)                              AS frame_idx,
+           CAST(frame_idx * 1000 // 25 AS BIGINT)              AS frame_ts_ms,
+           CAST(length(substring(text, CAST(frame_idx * 256 + 1 AS INT), 256)) AS BIGINT)
+               AS n_frame_bytes,
+           sha256(substring(text, CAST(frame_idx * 256 + 1 AS INT), 256)) AS frame_sha256
+    FROM idx
+    """,
+    tags=("llm", "multimodal"),
+)
+def llm_multimodal_frames(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """L10 frame sampling: up to 4 strided 256-byte "frames" per media
+    payload with fake 25 fps timestamps (llm/multimodal.py
+    sample_frames; the byte-slice decode is the documented codec stub —
+    fixture text is ASCII so the DuckDB VARCHAR-substring oracle slices
+    the same bytes)."""
+    from ..llm.multimodal import documents_as_media, sample_frames
+
+    media = documents_as_media(load(spark, sf_dir, "documents"))
+    return sample_frames(media)
