@@ -56,7 +56,7 @@ _HEAVY = (
     "llm_dedup_simhash", "llm_dedup_embedding", "llm_pack_sequences",
     "llm_multimodal_features", "llm_multimodal_frames", "llm_dedup_clusters",
     "llm_contamination", "llm_knn_ivf", "llm_jaccard_ngram",
-    "llm_dedup_minhash", "llm_sim_join",
+    "llm_edit_distance_verify", "llm_dedup_minhash", "llm_sim_join",
 )
 
 

@@ -10,7 +10,7 @@ any engine (and the DuckDB oracle) reproduces bit-for-bit.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame
+from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
 # Knuth's multiplicative constant (golden ratio of 2^32)
@@ -85,3 +85,29 @@ def weighted_mix(
         )
         out = part if out is None else out.unionByName(part)
     return out
+
+
+def stratified_sample(
+    df: DataFrame,
+    strata_cols: list[str],
+    key_col: str,
+    fraction: float,
+    seed: int = 0,
+) -> DataFrame:
+    """Exact-proportion stratified sample: ceil(fraction * n) rows per
+    stratum, selected by key-hash order (deterministic, partition-
+    layout-stable; ties broken by key). Unlike ``hash_sample``, small
+    strata are never over/under-shot by hash variance — the per-stratum
+    quota is exact, which is what training-mix proportions need.
+
+    Scale shape: one shuffle on the strata key; the count rides the
+    same window partitioning as the row_number, so no second pass.
+    """
+    w = Window.partitionBy(*strata_cols).orderBy(key_hash(key_col, seed), key_col)
+    n = Window.partitionBy(*strata_cols)
+    return (
+        df.withColumn("__rn", F.row_number().over(w))
+        .withColumn("__n", F.count(F.lit(1)).over(n))
+        .filter(F.col("__rn") <= F.ceil(F.lit(fraction) * F.col("__n")))
+        .drop("__rn", "__n")
+    )

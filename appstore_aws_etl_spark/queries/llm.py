@@ -810,3 +810,89 @@ def llm_multimodal_frames(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     media = documents_as_media(load(spark, sf_dir, "documents"))
     return sample_frames(media)
+
+
+@query(
+    "llm_stratified_sample",
+    oracle="""
+    SELECT doc_id, lang FROM (
+        SELECT doc_id, lang,
+               row_number() OVER (
+                   PARTITION BY lang
+                   ORDER BY ((doc_id * 2654435761) % 4294967296) % 10000, doc_id
+               ) AS rn,
+               count(*) OVER (PARTITION BY lang) AS n
+        FROM documents
+    ) WHERE rn <= ceil(0.2 * n)
+    """,
+    tags=("llm", "sampling"),
+)
+def llm_stratified_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact-proportion 20% sample per language stratum, key-hash
+    ordered (llm/sampling.py stratified_sample) — hash_sample's
+    variance-free sibling for training-mix proportions."""
+    from ..llm.sampling import stratified_sample
+
+    docs = load(spark, sf_dir, "documents")
+    return stratified_sample(docs, ["lang"], "doc_id", 0.2).select("doc_id", "lang")
+
+
+@query(
+    "llm_edit_distance_verify",
+    oracle="""
+    WITH toks AS (
+        SELECT doc_id, lang, source, string_split(lower(text), ' ') AS tk
+        FROM documents
+    ), grams_all AS (
+        SELECT DISTINCT doc_id, lang, source,
+               unnest(list_transform(range(1, len(tk) - 1),
+                                     i -> tk[i] || ' ' || tk[i+1] || ' ' || tk[i+2])) AS gram
+        FROM toks
+    ), grams AS (
+        SELECT * FROM (
+            SELECT g.*, count(*) OVER (PARTITION BY lang, source, gram) AS df
+            FROM grams_all g
+        ) WHERE df <= 100
+    ), cand AS (
+        SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+        FROM grams a JOIN grams b
+          ON a.lang = b.lang AND a.source = b.source AND a.gram = b.gram
+        WHERE a.doc_id < b.doc_id
+    )
+    SELECT id_a, id_b,
+           levenshtein(da.text, db.text) AS lev_dist,
+           round(1.0 - levenshtein(da.text, db.text)
+                       / greatest(length(da.text), length(db.text)), 4) + 0.0 AS lev_sim
+    FROM cand
+    JOIN documents da ON da.doc_id = id_a
+    JOIN documents db ON db.doc_id = id_b
+    """,
+    tags=("llm", "dedup"),
+)
+def llm_edit_distance_verify(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Edit-distance verify stage over scale-safe candidates: pairs
+    sharing any df-capped 3-gram (the same candidate generator as
+    llm_jaccard_ngram — never all-pairs) scored with JVM levenshtein
+    and a length-normalized similarity."""
+    docs = load(spark, sf_dir, "documents")
+    cand = ngram_jaccard_pairs(
+        docs, n=3, scope_cols=["lang", "source"], df_cap=100
+    ).select("id_a", "id_b")
+    ta = docs.select(F.col("doc_id").alias("id_a"), F.col("text").alias("text_a"))
+    tb = docs.select(F.col("doc_id").alias("id_b"), F.col("text").alias("text_b"))
+    lev = F.levenshtein("text_a", "text_b")
+    return (
+        cand.join(ta, "id_a")
+        .join(tb, "id_b")
+        .select(
+            "id_a",
+            "id_b",
+            lev.alias("lev_dist"),
+            (
+                F.round(
+                    1.0 - lev / F.greatest(F.length("text_a"), F.length("text_b")), 4
+                )
+                + F.lit(0.0)
+            ).alias("lev_sim"),
+        )
+    )
