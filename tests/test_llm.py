@@ -187,3 +187,61 @@ def test_pack_documents_invariants(spark):
 def test_decode_stub_raises():
     with pytest.raises(NotImplementedError):
         decode_image(b"\x89PNG...")
+
+
+def test_chunking_covers_text_and_overlaps(spark):
+    from appstore_aws_etl_spark.llm.text import chunk_documents
+
+    docs = spark.createDataFrame(
+        [Row(doc_id=1, text="a" * 10), Row(doc_id=2, text="b" * 451)]
+    )
+    rows = chunk_documents(docs, chunk_chars=200, stride=150).collect()
+    by_doc = {}
+    for r in rows:
+        by_doc.setdefault(r.doc_id, {})[r.chunk_id] = r.chunk_text
+    # short doc: one chunk, the whole text
+    assert by_doc[1] == {0: "a" * 10}
+    # 451 chars at stride 150 -> ceil(451/150) = 4 chunks, contiguous ids
+    assert sorted(by_doc[2]) == [0, 1, 2, 3]
+    # stride < chunk means adjacent chunks overlap by chunk-stride chars
+    assert by_doc[2][0][150:200] == by_doc[2][1][:50]
+    # last chunk is the tail remainder
+    assert by_doc[2][3] == "b" * (451 - 3 * 150)
+
+
+def test_frame_sampling_bounds_and_determinism(spark):
+    import hashlib
+
+    from appstore_aws_etl_spark.llm.multimodal import documents_as_media, sample_frames
+
+    docs = spark.createDataFrame(
+        [Row(doc_id=1, text="x" * 100), Row(doc_id=2, text="y" * 2000)]
+    )
+    rows = sample_frames(documents_as_media(docs)).collect()
+    frames = {}
+    for r in rows:
+        frames.setdefault(r.media_id, []).append(r)
+    # short payload: a single (padded-by-truncation) frame
+    assert [f.frame_idx for f in frames[1]] == [0]
+    assert frames[1][0].n_frame_bytes == 100
+    # long payload: capped at max_frames, 25fps timestamps
+    assert [f.frame_idx for f in sorted(frames[2], key=lambda f: f.frame_idx)] == [0, 1, 2, 3]
+    assert sorted(f.frame_ts_ms for f in frames[2]) == [0, 40, 80, 120]
+    # frame hash equals hashing the byte slice directly
+    assert frames[2][0].frame_sha256 == hashlib.sha256(b"y" * 256).hexdigest()
+
+
+def test_stratified_sample_exact_quota(spark):
+    from appstore_aws_etl_spark.llm.sampling import stratified_sample
+
+    df = spark.createDataFrame(
+        [Row(doc_id=i, lang="en" if i % 10 else "de") for i in range(1, 101)]
+    )
+    out = stratified_sample(df, ["lang"], "doc_id", 0.2).groupBy("lang").count()
+    counts = {r["lang"]: r["count"] for r in out.collect()}
+    # en has 90 rows -> exactly ceil(18), de has 10 -> exactly 2
+    assert counts == {"en": 18, "de": 2}
+    # deterministic: a rerun picks the identical rows
+    a = sorted(r.doc_id for r in stratified_sample(df, ["lang"], "doc_id", 0.2).collect())
+    b = sorted(r.doc_id for r in stratified_sample(df, ["lang"], "doc_id", 0.2).collect())
+    assert a == b
