@@ -63,3 +63,68 @@ def test_semi_anti_partition_left(spark, data):
     semi = df.join(right, "k", "left_semi").count()
     anti = df.join(right, "k", "left_anti").count()
     assert semi + anti == df.count()
+
+
+asof_side = st.lists(
+    st.tuples(
+        st.integers(min_value=0, max_value=2),    # join key
+        st.integers(min_value=0, max_value=20),   # ts
+        st.integers(min_value=-99, max_value=99), # payload / tie-break
+    ),
+    min_size=1,
+    max_size=15,
+)
+
+
+@given(left=asof_side, right=asof_side)
+@settings(**_SETTINGS)
+def test_asof_join_matches_pandas_merge_asof(spark, left, right):
+    """Backward inclusive as-of join == pandas.merge_asof (the widely
+    used reference semantics), including key groups with no match and
+    same-timestamp ties (ours: greatest tie_break; pandas: last row in
+    sort order, so sorting right by (ts, payload) aligns the two)."""
+    import pandas as pd
+
+    from appstore_aws_etl_spark.operators.asof import asof_join
+
+    ldf = spark.createDataFrame(left, schema="k int, ts int, lv int")
+    rdf = spark.createDataFrame(right, schema="k int, ts int, rv int")
+    got = {
+        (r["k"], r["ts"], r["lv"], r["asof_rv"])
+        for r in asof_join(
+            ldf, rdf, on=["k"], left_ts="ts", right_ts="ts",
+            right_payload=["rv"], tie_break="rv",
+        ).collect()
+    }
+    lp = pd.DataFrame(left, columns=["k", "ts", "lv"]).sort_values(["ts", "k", "lv"])
+    rp = pd.DataFrame(right, columns=["k", "ts", "rv"]).sort_values(["ts", "rv"])
+    ref_pdf = pd.merge_asof(lp, rp, on="ts", by="k", direction="backward")
+    ref = {
+        (int(r.k), int(r.ts), int(r.lv), None if pd.isna(r.rv) else int(r.rv))
+        for r in ref_pdf.itertuples()
+    }
+    assert got == ref
+
+
+@given(data=rows, frac=st.sampled_from([0.1, 0.25, 0.5, 1.0]))
+@settings(**_SETTINGS)
+def test_stratified_sample_quota_exact(spark, data, frac):
+    """Every stratum contributes exactly ceil(frac * n) rows, for any
+    stratum distribution and fraction."""
+    import math
+
+    from appstore_aws_etl_spark.llm.sampling import stratified_sample
+
+    uniq = {(k, v) for k, v in data}
+    df = spark.createDataFrame(
+        [(k, i) for i, (k, _) in enumerate(uniq)], schema="k int, id int"
+    )
+    expected = {}
+    for k, _ in uniq:
+        expected[k] = expected.get(k, 0) + 1
+    expected = {k: math.ceil(frac * n) for k, n in expected.items()}
+    got = {
+        r["k"]: r["count"]
+        for r in stratified_sample(df, ["k"], "id", frac).groupBy("k").count().collect()
+    }
+    assert got == expected
