@@ -840,3 +840,88 @@ def tpch_q17(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("l_quantity") < F.col("qty_thresh"))
         .agg(F.round(F.sum("l_extendedprice") / 7.0, 2).alias("avg_yearly"))
     )
+
+
+@query(
+    "analytics_cohort_retention",
+    oracle="""
+    WITH firsts AS (
+        SELECT user_id,
+               CAST(min(date_trunc('week', ts)) AS TIMESTAMP) AS cohort_week
+        FROM events GROUP BY user_id
+    ), activity AS (
+        SELECT DISTINCT e.user_id, f.cohort_week,
+               CAST(date_diff('day', f.cohort_week,
+                              CAST(date_trunc('week', e.ts) AS TIMESTAMP)) // 7
+                    AS BIGINT) AS week_offset
+        FROM events e JOIN firsts f ON e.user_id = f.user_id
+    )
+    SELECT cohort_week, week_offset, count(*) AS n_users
+    FROM activity GROUP BY cohort_week, week_offset
+    """,
+    tags=("analytics", "events"),
+)
+def analytics_cohort_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cohort retention over the event stream: users grouped by
+    first-activity week, counted in each later week they reappear —
+    the standard growth-analytics rollup.
+
+    Scale shape: one shuffle on user_id for the first-week aggregate
+    (broadcast back — it is one row per user, small relative to
+    events), a distinct on (user, cohort, offset), then a tiny final
+    aggregate; weeks are Monday-truncated identically on both engines."""
+    ev = load(spark, sf_dir, "events")
+    firsts = ev.groupBy("user_id").agg(
+        F.min(F.date_trunc("week", F.col("ts"))).alias("cohort_week")
+    )
+    activity = (
+        ev.join(firsts, "user_id")
+        .select(
+            "user_id",
+            "cohort_week",
+            (
+                F.datediff(F.date_trunc("week", F.col("ts")), F.col("cohort_week"))
+                / 7
+            ).cast("long").alias("week_offset"),
+        )
+        .distinct()
+    )
+    return activity.groupBy("cohort_week", "week_offset").agg(
+        F.count(F.lit(1)).alias("n_users")
+    )
+
+
+@query(
+    "util_table_profile",
+    oracle="""
+    SELECT count(*)                                   AS n_rows,
+           count(DISTINCT l_partkey)                  AS ndv_partkey,
+           count(DISTINCT l_returnflag)               AS ndv_returnflag,
+           count(*) - count(l_extendedprice)          AS nulls_extendedprice,
+           round(min(l_extendedprice), 2)             AS min_extendedprice,
+           round(max(l_extendedprice), 2)             AS max_extendedprice,
+           round(avg(l_quantity), 4)                  AS avg_quantity,
+           CAST(min(l_shipdate) AS TIMESTAMP)         AS min_shipdate,
+           CAST(max(l_shipdate) AS TIMESTAMP)         AS max_shipdate
+    FROM lineitem
+    """,
+    tags=("analytics", "util"),
+)
+def util_table_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ANALYZE-style table profile in one pass: row count, per-column
+    distinct counts, null counts, min/max/avg — the stats a cost-based
+    optimizer or data-quality monitor collects. One scan, one partial-
+    aggregated exchange; at 100 TB the exact NDVs would switch to
+    approx_count_distinct (registered separately as agg_approx_distinct)."""
+    li = load(spark, sf_dir, "lineitem")
+    return li.agg(
+        F.count(F.lit(1)).alias("n_rows"),
+        F.countDistinct("l_partkey").alias("ndv_partkey"),
+        F.countDistinct("l_returnflag").alias("ndv_returnflag"),
+        (F.count(F.lit(1)) - F.count("l_extendedprice")).alias("nulls_extendedprice"),
+        F.round(F.min("l_extendedprice"), 2).alias("min_extendedprice"),
+        F.round(F.max("l_extendedprice"), 2).alias("max_extendedprice"),
+        F.round(F.avg("l_quantity"), 4).alias("avg_quantity"),
+        F.min("l_shipdate").alias("min_shipdate"),
+        F.max("l_shipdate").alias("max_shipdate"),
+    )
