@@ -925,3 +925,56 @@ def util_table_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.min("l_shipdate").alias("min_shipdate"),
         F.max("l_shipdate").alias("max_shipdate"),
     )
+
+
+@query(
+    "analytics_dau_wau",
+    oracle="""
+    WITH daily AS (
+        SELECT DISTINCT CAST(date_trunc('day', ts) AS TIMESTAMP) AS day, user_id
+        FROM events
+    ), dau AS (
+        SELECT day, count(*) AS dau FROM daily GROUP BY day
+    ), wau AS (
+        SELECT d.day, count(DISTINCT a.user_id) AS wau
+        FROM (SELECT DISTINCT day FROM daily) d
+        JOIN daily a
+          ON a.day <= d.day AND a.day >= d.day - INTERVAL 6 DAY
+        GROUP BY d.day
+    )
+    SELECT dau.day, dau.dau, wau.wau,
+           round(dau.dau * 1.0 / wau.wau, 4) + 0.0 AS stickiness
+    FROM dau JOIN wau ON dau.day = wau.day
+    """,
+    tags=("analytics", "events"),
+)
+def analytics_dau_wau(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Daily/weekly active users and DAU-over-WAU stickiness.
+
+    Trailing-window distinct counts don't decompose into window frames
+    (COUNT(DISTINCT) OVER RANGE isn't supported by either engine), so
+    the scale-correct shape is: dedup to day grain first (events ->
+    at most days x users rows), then a bounded 7-day range join on the
+    tiny day-grain table — never a window over raw events."""
+    ev = load(spark, sf_dir, "events")
+    daily = ev.select(
+        F.date_trunc("day", F.col("ts")).alias("day"), "user_id"
+    ).distinct()
+    dau = daily.groupBy("day").agg(F.count(F.lit(1)).alias("dau"))
+    days = daily.select("day").distinct()
+    d2 = daily.select(F.col("day").alias("a_day"), "user_id")
+    wau = (
+        days.join(
+            d2,
+            (F.col("a_day") <= F.col("day"))
+            & (F.col("a_day") >= F.col("day") - F.expr("INTERVAL 6 DAY")),
+        )
+        .groupBy("day")
+        .agg(F.countDistinct("user_id").alias("wau"))
+    )
+    return dau.join(wau, "day").select(
+        "day",
+        "dau",
+        "wau",
+        (F.round(F.col("dau") / F.col("wau"), 4) + F.lit(0.0)).alias("stickiness"),
+    )
