@@ -952,23 +952,29 @@ def analytics_dau_wau(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Daily/weekly active users and DAU-over-WAU stickiness.
 
     Trailing-window distinct counts don't decompose into window frames
-    (COUNT(DISTINCT) OVER RANGE isn't supported by either engine), so
-    the scale-correct shape is: dedup to day grain first (events ->
-    at most days x users rows), then a bounded 7-day range join on the
-    tiny day-grain table — never a window over raw events."""
+    (COUNT(DISTINCT) OVER RANGE isn't supported by either engine), and
+    a day-range theta join would plan as a nested loop. The scale shape
+    here: dedup events to day grain, then *explode each activity day
+    into the 7 window-end days it contributes to* — a constant 7x
+    fan-out that turns the trailing window into a plain equi-join/
+    aggregation on the day key (the standard shift-and-union trick for
+    sliding distinct counts)."""
     ev = load(spark, sf_dir, "events")
     daily = ev.select(
         F.date_trunc("day", F.col("ts")).alias("day"), "user_id"
     ).distinct()
     dau = daily.groupBy("day").agg(F.count(F.lit(1)).alias("dau"))
     days = daily.select("day").distinct()
-    d2 = daily.select(F.col("day").alias("a_day"), "user_id")
+    contrib = daily.select(
+        F.col("day").alias("a_day"),
+        "user_id",
+        F.explode(F.sequence(F.lit(0), F.lit(6))).alias("i"),
+    ).select(
+        F.expr("a_day + make_interval(0, 0, 0, cast(i AS int))").alias("day"),
+        "user_id",
+    )
     wau = (
-        days.join(
-            d2,
-            (F.col("a_day") <= F.col("day"))
-            & (F.col("a_day") >= F.col("day") - F.expr("INTERVAL 6 DAY")),
-        )
+        contrib.join(days, "day")
         .groupBy("day")
         .agg(F.countDistinct("user_id").alias("wau"))
     )
