@@ -984,3 +984,86 @@ def analytics_dau_wau(spark: SparkSession, sf_dir: str) -> DataFrame:
         "wau",
         (F.round(F.col("dau") / F.col("wau"), 4) + F.lit(0.0)).alias("stickiness"),
     )
+
+
+@query(
+    "analytics_event_transitions",
+    oracle="""
+    WITH seq AS (
+        SELECT user_id, event_type,
+               lead(event_type) OVER (
+                   PARTITION BY user_id ORDER BY ts, event_id
+               ) AS next_type
+        FROM events
+    )
+    SELECT event_type, next_type, count(*) AS n
+    FROM seq WHERE next_type IS NOT NULL
+    GROUP BY event_type, next_type
+    """,
+    tags=("analytics", "events"),
+)
+def analytics_event_transitions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Event-to-event transition counts (the Markov matrix behind
+    user-journey analysis): per-user time-ordered lead window, then one
+    tiny aggregate over (from, to) pairs. Ties at identical timestamps
+    break on event_id so both engines order identically."""
+    from pyspark.sql import Window
+
+    ev = load(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    return (
+        ev.withColumn("next_type", F.lead("event_type").over(w))
+        .filter(F.col("next_type").isNotNull())
+        .groupBy("event_type", "next_type")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+
+
+@query(
+    "analytics_rfm",
+    oracle="""
+    WITH base AS (
+        SELECT c_custkey,
+               max(o_orderdate)               AS last_order,
+               count(*)                       AS frequency,
+               round(sum(o_totalprice), 2)    AS monetary
+        FROM orders JOIN customer ON o_custkey = c_custkey
+        GROUP BY c_custkey
+    )
+    SELECT c_custkey, last_order, frequency, monetary,
+           ntile(4) OVER (ORDER BY last_order DESC, c_custkey) AS r_quartile,
+           ntile(4) OVER (ORDER BY frequency DESC, c_custkey)  AS f_quartile,
+           ntile(4) OVER (ORDER BY monetary DESC, c_custkey)   AS m_quartile
+    FROM base
+    """,
+    tags=("analytics",),
+)
+def analytics_rfm(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RFM segmentation: per-customer recency/frequency/monetary with
+    quartile scores — the classic CRM rollup. One shuffle on custkey
+    for the base aggregate; the three global ntiles are driver-bounded
+    (one row per customer, single-partition windows — at 100 TB these
+    become approx percentile cutoffs joined back, trading exact ranks
+    for a broadcastable 3-number boundary set)."""
+    from pyspark.sql import Window
+
+    o = load(spark, sf_dir, "orders")
+    c = load(spark, sf_dir, "customer")
+    base = (
+        o.join(c, o.o_custkey == c.c_custkey)
+        .groupBy("c_custkey")
+        .agg(
+            F.max("o_orderdate").alias("last_order"),
+            F.count(F.lit(1)).alias("frequency"),
+            F.round(F.sum("o_totalprice"), 2).alias("monetary"),
+        )
+    )
+    return base.select(
+        "c_custkey",
+        "last_order",
+        "frequency",
+        "monetary",
+        F.ntile(4).over(Window.orderBy(F.col("last_order").desc(), "c_custkey")).alias("r_quartile"),
+        F.ntile(4).over(Window.orderBy(F.col("frequency").desc(), "c_custkey")).alias("f_quartile"),
+        F.ntile(4).over(Window.orderBy(F.col("monetary").desc(), "c_custkey")).alias("m_quartile"),
+    )
