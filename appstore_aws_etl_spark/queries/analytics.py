@@ -1067,3 +1067,66 @@ def analytics_rfm(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.ntile(4).over(Window.orderBy(F.col("frequency").desc(), "c_custkey")).alias("f_quartile"),
         F.ntile(4).over(Window.orderBy(F.col("monetary").desc(), "c_custkey")).alias("m_quartile"),
     )
+
+
+@query(
+    "util_zorder_layout",
+    oracle="""
+    WITH base AS (
+        SELECT l_orderkey, l_linenumber, l_partkey, l_suppkey,
+               l_partkey & 65535 AS p, l_suppkey & 65535 AS s
+        FROM lineitem WHERE l_orderkey < 1000
+    ), s1 AS (
+        SELECT *, (p | (p << 8)) & 16711935 AS pa, (s | (s << 8)) & 16711935 AS sa FROM base
+    ), s2 AS (
+        SELECT *, (pa | (pa << 4)) & 252645135 AS pb, (sa | (sa << 4)) & 252645135 AS sb FROM s1
+    ), s3 AS (
+        SELECT *, (pb | (pb << 2)) & 858993459 AS pc, (sb | (sb << 2)) & 858993459 AS sc FROM s2
+    ), s4 AS (
+        SELECT *, (pc | (pc << 1)) & 1431655765 AS pd, (sc | (sc << 1)) & 1431655765 AS sd FROM s3
+    )
+    SELECT l_orderkey, l_linenumber, l_partkey, l_suppkey,
+           pd | (sd << 1) AS zval
+    FROM s4
+    """,
+    tags=("util", "layout", "custom-operator"),
+)
+def util_zorder_layout(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Z-order (Morton) clustering key over (partkey, suppkey) — the
+    lakehouse OPTIMIZE ZORDER layout step (operators/layout.py). The
+    interleave is pure shift/mask arithmetic, bit-identical on any
+    engine; the write path sorts by it via repartitionByRange so both
+    dimensions get min/max file-statistics locality."""
+    from ..operators.layout import zvalue
+
+    li = load(spark, sf_dir, "lineitem").filter(F.col("l_orderkey") < 1000)
+    return li.select(
+        "l_orderkey",
+        "l_linenumber",
+        "l_partkey",
+        "l_suppkey",
+        zvalue(F.col("l_partkey"), F.col("l_suppkey")).alias("zval"),
+    )
+
+
+@query("agg_hll_rollup", oracle=None, tags=("agg", "approx", "sketch"))
+def agg_hll_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mergeable-sketch distinct rollup: per-day HLL sketches of active
+    users unioned into weekly distinct estimates — the incremental
+    pattern for distinct counts at 100 TB (daily sketches persist;
+    weekly/monthly rollups merge sketches instead of rescanning raw
+    events). Engine-specific estimates -> rows-only; accuracy vs exact
+    is unit-tested (tests/test_llm.py-style tolerance)."""
+    ev = load(spark, sf_dir, "events")
+    daily = ev.groupBy(
+        F.date_trunc("week", F.col("ts")).alias("week"),
+        F.date_trunc("day", F.col("ts")).alias("day"),
+    ).agg(F.hll_sketch_agg("user_id").alias("sketch"))
+    return (
+        daily.groupBy("week")
+        .agg(F.hll_union_agg("sketch").alias("wsketch"))
+        .select(
+            "week",
+            F.hll_sketch_estimate("wsketch").alias("approx_users"),
+        )
+    )
