@@ -336,3 +336,40 @@ def agg_topk_group(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("rn") <= 3)
         .select("l_returnflag", "l_orderkey", "l_linenumber", "l_extendedprice")
     )
+
+
+@query(
+    "agg_unpivot",
+    oracle="""
+    WITH wide AS (
+        SELECT l_returnflag,
+               round(sum(l_quantity), 2)      AS sum_qty,
+               round(sum(l_extendedprice), 2) AS sum_price,
+               round(avg(l_discount), 4)      AS avg_disc
+        FROM lineitem GROUP BY l_returnflag
+    )
+    SELECT l_returnflag, 'sum_qty' AS metric, sum_qty AS value FROM wide
+    UNION ALL
+    SELECT l_returnflag, 'sum_price', sum_price FROM wide
+    UNION ALL
+    SELECT l_returnflag, 'avg_disc', avg_disc FROM wide
+    """,
+    tags=("agg",),
+)
+def agg_unpivot(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A13's inverse: melt a wide per-flag aggregate into long
+    (key, metric, value) form via DataFrame.unpivot — the
+    serving-layer reshape for metric stores. Unpivot is a zero-shuffle
+    projection (each input row fans out to one row per value column)."""
+    li = load(spark, sf_dir, "lineitem")
+    wide = li.groupBy("l_returnflag").agg(
+        F.round(F.sum("l_quantity"), 2).alias("sum_qty"),
+        F.round(F.sum("l_extendedprice"), 2).alias("sum_price"),
+        F.round(F.avg("l_discount"), 4).alias("avg_disc"),
+    )
+    return wide.unpivot(
+        ids=["l_returnflag"],
+        values=["sum_qty", "sum_price", "avg_disc"],
+        variableColumnName="metric",
+        valueColumnName="value",
+    )

@@ -317,3 +317,40 @@ def join_self(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("b.s_suppkey").alias("supp_b"),
         F.col("a.s_nationkey"),
     )
+
+
+@query(
+    "join_null_safe",
+    oracle="""
+    SELECT c.c_custkey, c.grp AS c_grp, o.o_orderkey
+    FROM (
+        SELECT c_custkey, nullif(c_custkey % 7, 6) AS grp
+        FROM customer WHERE c_custkey < 200
+    ) c
+    JOIN (
+        SELECT o_orderkey, nullif(o_orderkey % 7, 6) AS grp
+        FROM orders WHERE o_orderkey < 100
+    ) o
+      ON c.grp IS NOT DISTINCT FROM o.grp
+    """,
+    tags=("join",),
+)
+def join_null_safe(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Null-safe equality join (<=> / IS NOT DISTINCT FROM): NULL keys
+    match each other instead of vanishing — the semantics MERGE and CDC
+    key-comparisons need. Catalyst plans <=> as a hash join on the
+    key's null-wrapped form, so it stays shuffle-on-key (never a
+    nested loop)."""
+    c = (
+        load(spark, sf_dir, "customer")
+        .filter(F.col("c_custkey") < 200)
+        .select("c_custkey", F.nullif(F.col("c_custkey") % 7, F.lit(6)).alias("c_grp"))
+    )
+    o = (
+        load(spark, sf_dir, "orders")
+        .filter(F.col("o_orderkey") < 100)
+        .select("o_orderkey", F.nullif(F.col("o_orderkey") % 7, F.lit(6)).alias("o_grp"))
+    )
+    return c.join(o, c["c_grp"].eqNullSafe(o["o_grp"])).select(
+        "c_custkey", "c_grp", "o_orderkey"
+    )
