@@ -457,3 +457,84 @@ def fn_json_struct(spark: SparkSession, sf_dir: str) -> DataFrame:
         parsed.getField("k").alias("k_field"),
         F.to_json(parsed).alias("rebuilt"),
     )
+
+
+@query(
+    "fn_array_setops",
+    oracle="""
+    WITH s AS (
+        SELECT o_custkey,
+               coalesce(list_sort(list_distinct(
+                   list(o_orderpriority) FILTER (o_orderstatus = 'O'))), []) AS open_prio,
+               coalesce(list_sort(list_distinct(
+                   list(o_orderpriority) FILTER (o_orderstatus = 'F'))), []) AS closed_prio
+        FROM orders WHERE o_custkey < 100
+        GROUP BY o_custkey
+    )
+    SELECT o_custkey,
+           coalesce(array_to_string(list_sort(list_distinct(
+               list_concat(open_prio, closed_prio))), ','), '') AS prio_union,
+           coalesce(array_to_string(list_sort(list_filter(open_prio,
+               x -> list_contains(closed_prio, x))), ','), '')  AS prio_both,
+           coalesce(array_to_string(list_sort(list_filter(open_prio,
+               x -> NOT list_contains(closed_prio, x))), ','), '')
+               AS prio_only_open
+    FROM s
+    """,
+    tags=("function", "array"),
+)
+def fn_array_setops(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Array set algebra (union/intersect/except) over per-customer
+    priority sets, canonically sorted so both engines hash-match.
+    Spark's array_union/array_intersect/array_except are codegen'd
+    JVM expressions — no shuffle beyond the grouping."""
+    o = load(spark, sf_dir, "orders").filter(F.col("o_custkey") < 100)
+    open_p = F.array_sort(
+        F.array_distinct(
+            F.collect_list(
+                F.when(F.col("o_orderstatus") == "O", F.col("o_orderpriority"))
+            )
+        )
+    )
+    closed_p = F.array_sort(
+        F.array_distinct(
+            F.collect_list(
+                F.when(F.col("o_orderstatus") == "F", F.col("o_orderpriority"))
+            )
+        )
+    )
+    s = o.groupBy("o_custkey").agg(
+        open_p.alias("open_prio"), closed_p.alias("closed_prio")
+    )
+    # arrays serve as comma-joined strings (the registry's convention
+    # for array outputs — the driver compare is scalar-typed)
+    return s.select(
+        "o_custkey",
+        F.concat_ws(",", F.array_sort(F.array_union("open_prio", "closed_prio"))).alias("prio_union"),
+        F.concat_ws(",", F.array_sort(F.array_intersect("open_prio", "closed_prio"))).alias("prio_both"),
+        F.concat_ws(",", F.array_sort(F.array_except("open_prio", "closed_prio"))).alias("prio_only_open"),
+    )
+
+
+@query(
+    "agg_string_agg",
+    oracle="""
+    SELECT r_name, string_agg(n_name, ',' ORDER BY n_name) AS nations
+    FROM nation JOIN region ON n_regionkey = r_regionkey
+    GROUP BY r_name
+    """,
+    tags=("agg", "function"),
+)
+def agg_string_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LISTAGG/string_agg: per-region comma-joined sorted nation names
+    (sorted collect -> concat_ws pins the order that string_agg's
+    ORDER BY pins on the oracle side)."""
+    n = load(spark, sf_dir, "nation")
+    r = load(spark, sf_dir, "region")
+    return (
+        n.join(F.broadcast(r), n.n_regionkey == r.r_regionkey)
+        .groupBy("r_name")
+        .agg(
+            F.concat_ws(",", F.array_sort(F.collect_list("n_name"))).alias("nations")
+        )
+    )
