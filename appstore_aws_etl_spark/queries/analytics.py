@@ -9,7 +9,7 @@ result.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from ..catalog import load
@@ -1128,5 +1128,208 @@ def agg_hll_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select(
             "week",
             F.hll_sketch_estimate("wsketch").alias("approx_users"),
+        )
+    )
+
+
+@query(
+    "analytics_mom_growth",
+    oracle="""
+    WITH monthly AS (
+        SELECT date_trunc('month', o_orderdate) AS order_month,
+               round(sum(o_totalprice), 2) AS revenue,
+               count(*) AS n_orders
+        FROM orders GROUP BY date_trunc('month', o_orderdate)
+    )
+    SELECT order_month, revenue, n_orders,
+           lag(revenue) OVER (ORDER BY order_month) AS prev_revenue,
+           round((revenue - lag(revenue) OVER (ORDER BY order_month))
+                 / lag(revenue) OVER (ORDER BY order_month) * 100, 2) AS growth_pct
+    FROM monthly
+    """,
+    tags=("analytics", "window"),
+)
+def analytics_mom_growth(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Period-over-period (month-over-month) revenue growth: aggregate
+    the fact table to month grain, then lag-window the tiny monthly
+    series. Scale shape: the only big shuffle is the month-key
+    aggregation (partial agg map-side); the global-order window runs
+    over one row per month — dimension-sized, never the fact table."""
+    o = load(spark, sf_dir, "orders")
+    monthly = o.groupBy(F.date_trunc("month", F.col("o_orderdate")).alias("order_month")).agg(
+        F.round(F.sum("o_totalprice"), 2).alias("revenue"),
+        F.count(F.lit(1)).alias("n_orders"),
+    )
+    w = Window.orderBy("order_month")
+    prev = F.lag("revenue").over(w)
+    return monthly.select(
+        "order_month",
+        "revenue",
+        "n_orders",
+        prev.alias("prev_revenue"),
+        F.round((F.col("revenue") - prev) / prev * 100, 2).alias("growth_pct"),
+    )
+
+
+@query(
+    "analytics_abc_class",
+    oracle="""
+    WITH part_rev AS (
+        SELECT l_partkey, round(sum(l_extendedprice * (1 - l_discount)), 4) AS revenue
+        FROM lineitem GROUP BY l_partkey
+    ), ranked AS (
+        SELECT l_partkey, revenue,
+               sum(revenue) OVER (ORDER BY revenue DESC, l_partkey
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum_rev
+        FROM part_rev
+    ), total AS (
+        SELECT *, max(cum_rev) OVER () AS total_rev FROM ranked
+    )
+    SELECT l_partkey, revenue,
+           round(cum_rev / total_rev, 6) AS cum_share,
+           CASE WHEN cum_rev / total_rev <= 0.80 THEN 'A'
+                WHEN cum_rev / total_rev <= 0.95 THEN 'B'
+                ELSE 'C' END AS abc_class
+    FROM total
+    """,
+    tags=("analytics", "window"),
+)
+def analytics_abc_class(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ABC / Pareto classification: parts ranked by revenue, cumulative
+    revenue share, classified A (first 80%), B (to 95%), C (tail).
+
+    Determinism: per-part revenue is rounded at 2dp before the ordered
+    window so group-aggregation order noise can't leak into the cumsum;
+    the corpus total is taken as max(cum_rev) — the final value of the
+    deterministic ordered running sum — rather than an unordered
+    sum() OVER (), so both engines add in the same sequence.
+    Scale shape: the fact shuffle reduces to one row per part; the
+    global ordered window runs on the part-dimension aggregate. For a
+    dimension too large for one partition, swap in a range-partitioned
+    two-phase prefix sum (partition-local cumsum + broadcast offsets)."""
+    li = load(spark, sf_dir, "lineitem")
+    part_rev = li.groupBy("l_partkey").agg(
+        F.round(F.sum(_net()), 4).alias("revenue")
+    )
+    w = (
+        Window.orderBy(F.col("revenue").desc(), "l_partkey")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    ranked = part_rev.withColumn("cum_rev", F.sum("revenue").over(w))
+    total = ranked.withColumn(
+        "total_rev", F.max("cum_rev").over(Window.rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing))
+    )
+    share = F.col("cum_rev") / F.col("total_rev")
+    return total.select(
+        "l_partkey",
+        "revenue",
+        F.round(share, 6).alias("cum_share"),
+        F.when(share <= 0.80, "A").when(share <= 0.95, "B").otherwise("C").alias("abc_class"),
+    )
+
+
+@query(
+    "analytics_streaks",
+    oracle="""
+    WITH days AS (
+        SELECT DISTINCT user_id, date_trunc('day', ts) AS day FROM events
+    ), nums AS (
+        SELECT user_id, day,
+               date_diff('day', TIMESTAMP '1970-01-01', day)
+                 - row_number() OVER (PARTITION BY user_id ORDER BY day) AS anchor
+        FROM days
+    ), streaks AS (
+        SELECT user_id, anchor, count(*) AS streak_len, min(day) AS streak_start
+        FROM nums GROUP BY user_id, anchor
+    )
+    SELECT user_id,
+           count(*) AS n_streaks,
+           max(streak_len) AS longest_streak,
+           CAST(sum(streak_len) AS BIGINT) AS active_days,
+           min(streak_start) AS first_active_day
+    FROM streaks GROUP BY user_id
+    """,
+    tags=("analytics", "window"),
+)
+def analytics_streaks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gaps-and-islands: consecutive-active-day streaks per user. The
+    island anchor is (epoch-day - row_number) — constant within a run of
+    consecutive days — so streaks fall out of a plain group-by, no
+    iterative logic. Scale shape: distinct + window + two aggs all
+    partition by user_id, one shuffle key end-to-end."""
+    ev = load(spark, sf_dir, "events")
+    days = ev.select(
+        "user_id", F.date_trunc("day", F.col("ts")).alias("day")
+    ).distinct()
+    w = Window.partitionBy("user_id").orderBy("day")
+    nums = days.withColumn(
+        "anchor",
+        F.datediff(F.col("day"), F.lit("1970-01-01").cast("timestamp")) - F.row_number().over(w),
+    )
+    streaks = nums.groupBy("user_id", "anchor").agg(
+        F.count(F.lit(1)).alias("streak_len"), F.min("day").alias("streak_start")
+    )
+    return streaks.groupBy("user_id").agg(
+        F.count(F.lit(1)).alias("n_streaks"),
+        F.max("streak_len").alias("longest_streak"),
+        F.sum("streak_len").alias("active_days"),
+        F.min("streak_start").alias("first_active_day"),
+    )
+
+
+@query(
+    "analytics_market_basket",
+    oracle="""
+    WITH op AS (
+        SELECT DISTINCT l_orderkey, l_partkey FROM lineitem
+    ), n AS (
+        SELECT count(DISTINCT l_orderkey) AS n_orders FROM lineitem
+    ), freq AS (
+        SELECT l_partkey, count(*) AS cnt FROM op GROUP BY l_partkey
+    ), pairs AS (
+        SELECT a.l_partkey AS part_a, b.l_partkey AS part_b, count(*) AS pair_count
+        FROM op a JOIN op b
+          ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+        GROUP BY a.l_partkey, b.l_partkey
+    )
+    SELECT p.part_a, p.part_b, p.pair_count,
+           round(p.pair_count * n.n_orders / (fa.cnt * fb.cnt), 4) AS lift
+    FROM pairs p CROSS JOIN n
+    JOIN freq fa ON fa.l_partkey = p.part_a
+    JOIN freq fb ON fb.l_partkey = p.part_b
+    WHERE p.pair_count >= 2
+    """,
+    tags=("analytics", "join"),
+)
+def analytics_market_basket(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Market-basket co-occurrence with lift: pairs of parts appearing
+    in the same order, kept when seen together >= 2 times. Scale shape:
+    the self-join key is l_orderkey, whose per-key fanout is bounded by
+    lines-per-order (~7 in TPC-H), so pair generation is linear in the
+    fact table — never an all-pairs part join. Part frequencies are a
+    dimension-sized broadcast; the order count is a 1-row broadcast."""
+    li = load(spark, sf_dir, "lineitem")
+    op = li.select("l_orderkey", "l_partkey").distinct()
+    n_orders = li.agg(F.countDistinct("l_orderkey").alias("n_orders"))
+    freq = op.groupBy("l_partkey").agg(F.count(F.lit(1)).alias("cnt"))
+    a = op.alias("a")
+    b = op.alias("b")
+    pairs = (
+        a.join(b, (F.col("a.l_orderkey") == F.col("b.l_orderkey")) & (F.col("a.l_partkey") < F.col("b.l_partkey")))
+        .groupBy(F.col("a.l_partkey").alias("part_a"), F.col("b.l_partkey").alias("part_b"))
+        .agg(F.count(F.lit(1)).alias("pair_count"))
+        .filter(F.col("pair_count") >= 2)
+    )
+    fa = F.broadcast(freq.select(F.col("l_partkey").alias("part_a"), F.col("cnt").alias("cnt_a")))
+    fb = F.broadcast(freq.select(F.col("l_partkey").alias("part_b"), F.col("cnt").alias("cnt_b")))
+    return (
+        pairs.crossJoin(F.broadcast(n_orders))
+        .join(fa, "part_a")
+        .join(fb, "part_b")
+        .select(
+            "part_a",
+            "part_b",
+            "pair_count",
+            F.round(F.col("pair_count") * F.col("n_orders") / (F.col("cnt_a") * F.col("cnt_b")), 4).alias("lift"),
         )
     )
