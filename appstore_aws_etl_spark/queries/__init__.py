@@ -10,6 +10,7 @@ from . import (  # noqa: F401
     analytics,
     flagship,
     functions,
+    graph,
     joins,
     llm,
     projection,

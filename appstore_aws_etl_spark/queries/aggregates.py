@@ -373,3 +373,34 @@ def agg_unpivot(spark: SparkSession, sf_dir: str) -> DataFrame:
         variableColumnName="metric",
         valueColumnName="value",
     )
+
+
+@query(
+    "agg_mad_robust",
+    oracle="""
+    WITH med AS (
+        SELECT c_mktsegment, median(c_acctbal) AS seg_median
+        FROM customer GROUP BY c_mktsegment
+    )
+    SELECT c.c_mktsegment,
+           round(max(m.seg_median), 4)                        AS seg_median,
+           round(median(abs(c.c_acctbal - m.seg_median)), 4)  AS mad
+    FROM customer c JOIN med m ON c.c_mktsegment = m.c_mktsegment
+    GROUP BY c.c_mktsegment
+    """,
+    tags=("agg", "stats"),
+)
+def agg_mad_robust(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Robust dispersion: median absolute deviation per segment. Two
+    passes over the same grouping key — per-group median, broadcast
+    back (segment dimension is tiny), then median of absolute
+    deviations. Both engines compute the exact interpolated median, so
+    the result is deterministic, unlike mean/stddev whose summation
+    order drifts."""
+    c = load(spark, sf_dir, "customer")
+    med = c.groupBy("c_mktsegment").agg(F.median("c_acctbal").alias("seg_median"))
+    joined = c.join(F.broadcast(med), "c_mktsegment")
+    return joined.groupBy("c_mktsegment").agg(
+        F.round(F.max("seg_median"), 4).alias("seg_median"),
+        F.round(F.median(F.abs(F.col("c_acctbal") - F.col("seg_median"))), 4).alias("mad"),
+    )

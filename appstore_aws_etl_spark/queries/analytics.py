@@ -1333,3 +1333,73 @@ def analytics_market_basket(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round(F.col("pair_count") * F.col("n_orders") / (F.col("cnt_a") * F.col("cnt_b")), 4).alias("lift"),
         )
     )
+
+
+@query(
+    "util_data_quality",
+    oracle="""
+    WITH n AS (SELECT count(*) AS n_rows FROM orders),
+    checks AS (
+        SELECT 'null_custkey' AS rule,
+               CAST(count(*) FILTER (WHERE o_custkey IS NULL) AS BIGINT) AS n_violations
+        FROM orders
+        UNION ALL
+        SELECT 'nonpositive_price', count(*) FILTER (WHERE o_totalprice <= 0) FROM orders
+        UNION ALL
+        SELECT 'bad_status', count(*) FILTER (WHERE o_orderstatus NOT IN ('O', 'F', 'P')) FROM orders
+        UNION ALL
+        SELECT 'dup_orderkey', count(*) - count(DISTINCT o_orderkey) FROM orders
+        UNION ALL
+        SELECT 'price_outlier_400k', count(*) FILTER (WHERE o_totalprice > 400000) FROM orders
+        UNION ALL
+        SELECT 'orphan_custkey', count(*)
+        FROM orders o
+        WHERE NOT EXISTS (SELECT 1 FROM customer c WHERE c.c_custkey = o.o_custkey)
+    )
+    SELECT c.rule, c.n_violations, n.n_rows,
+           round(c.n_violations * 1.0 / n.n_rows, 6) AS violation_rate
+    FROM checks c CROSS JOIN n
+    """,
+    tags=("util", "quality"),
+)
+def util_data_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Declarative data-quality audit (dbt-test / Deequ shape): null
+    checks, domain checks, uniqueness, referential integrity, and an
+    outlier rule, reported as one row per rule with violation rates.
+    Scale shape: the five scan rules fold into ONE conditional-
+    aggregate pass over the fact table (then unpivot via stack); the
+    referential rule is a broadcast anti-join — two fact scans total,
+    regardless of rule count."""
+    o = load(spark, sf_dir, "orders")
+    cust = load(spark, sf_dir, "customer")
+    wide = o.agg(
+        F.sum(F.when(F.col("o_custkey").isNull(), 1).otherwise(0)).alias("v_null"),
+        F.sum(F.when(F.col("o_totalprice") <= 0, 1).otherwise(0)).alias("v_price"),
+        F.sum(F.when(~F.col("o_orderstatus").isin("O", "F", "P"), 1).otherwise(0)).alias("v_status"),
+        (F.count(F.lit(1)) - F.countDistinct("o_orderkey")).alias("v_dup"),
+        F.sum(F.when(F.col("o_totalprice") > 400000, 1).otherwise(0)).alias("v_outlier"),
+        F.count(F.lit(1)).alias("n_rows"),
+    )
+    scan_rules = wide.select(
+        F.expr(
+            "stack(5, 'null_custkey', v_null, 'nonpositive_price', v_price, "
+            "'bad_status', v_status, 'dup_orderkey', v_dup, "
+            "'price_outlier_400k', v_outlier) AS (rule, n_violations)"
+        )
+    )
+    orphans = (
+        o.join(F.broadcast(cust), o.o_custkey == cust.c_custkey, "left_anti")
+        .agg(F.count(F.lit(1)).alias("n_violations"))
+        .select(F.lit("orphan_custkey").alias("rule"), "n_violations")
+    )
+    n_df = wide.select("n_rows")
+    return (
+        scan_rules.unionByName(orphans)
+        .crossJoin(F.broadcast(n_df))
+        .select(
+            "rule",
+            "n_violations",
+            "n_rows",
+            F.round(F.col("n_violations") * 1.0 / F.col("n_rows"), 6).alias("violation_rate"),
+        )
+    )

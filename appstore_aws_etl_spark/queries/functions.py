@@ -538,3 +538,36 @@ def agg_string_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.concat_ws(",", F.array_sort(F.collect_list("n_name"))).alias("nations")
         )
     )
+
+
+@query(
+    "fn_hash_encode",
+    oracle="""
+    SELECT c_custkey,
+           md5(c_name)                                   AS name_md5,
+           sha256(c_name)                                AS name_sha256,
+           lower(hex(c_name))                            AS name_hex,
+           to_base64(encode(c_name))                     AS name_b64,
+           decode(from_base64(to_base64(encode(c_name)))) = c_name AS roundtrip_ok,
+           printf('%d-%s', c_custkey, c_mktsegment)      AS tagged
+    FROM customer
+    """,
+    tags=("function", "hash"),
+)
+def fn_hash_encode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hashing and binary-encoding family: md5 / sha-256 digests, hex
+    and base64 of the UTF-8 bytes, a base64 round-trip proof, and
+    printf-style formatting. All JVM built-ins — no shuffle, fully
+    codegen'd, and the digests are the content-addressing primitives
+    the dedup/fingerprint operators build on."""
+    c = load(spark, sf_dir, "customer")
+    name = F.col("c_name")
+    return c.select(
+        "c_custkey",
+        F.md5(name).alias("name_md5"),
+        F.sha2(name, 256).alias("name_sha256"),
+        F.lower(F.hex(name)).alias("name_hex"),
+        F.base64(name.cast("binary")).alias("name_b64"),
+        (F.decode(F.unbase64(F.base64(name.cast("binary"))), "UTF-8") == name).alias("roundtrip_ok"),
+        F.format_string("%d-%s", F.col("c_custkey"), F.col("c_mktsegment")).alias("tagged"),
+    )
