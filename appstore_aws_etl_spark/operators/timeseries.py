@@ -56,3 +56,38 @@ def gapfill_rollup(
             f"sum_{agg_col}", F.coalesce(f"sum_{agg_col}", F.lit(0.0))
         )
     return out
+
+
+def ewma(
+    events: DataFrame,
+    key: str,
+    ts: str,
+    value: str,
+    alpha: float = 0.2,
+    id_col: str = "event_id",
+    order_cols: tuple[str, ...] = (),
+) -> DataFrame:
+    """Exponentially weighted moving average per key — the classic
+    sequential recurrence (y_t = a*x_t + (1-a)*y_{t-1}) that window
+    functions cannot express without overflow-prone pow() tricks, so it
+    runs as ``applyInPandas`` per key group: one shuffle on the key,
+    then a vectorized pandas ``ewm`` inside each Arrow batch. Groups are
+    per-key, so skewed keys bound the batch — for million-row keys,
+    pre-split by (key, coarse time range) and stitch the boundary with
+    the previous range's final EWMA as the seed.
+    """
+    import pandas as pd  # noqa: F401 — resolved at module import by callers
+
+    fields = [events.schema[c] for c in (key, id_col, value)]
+    out_schema = ", ".join(f"{f.name} {f.dataType.simpleString()}" for f in fields)
+    out_schema += ", ewma double"
+    sort_cols = [ts, *order_cols]
+
+    def fn(pdf):
+        pdf = pdf.sort_values(sort_cols)
+        e = pdf[value].ewm(alpha=alpha, adjust=False).mean()
+        out = pdf[[key, id_col, value]].copy()
+        out["ewma"] = e.round(6)
+        return out
+
+    return events.groupBy(key).applyInPandas(fn, schema=out_schema)

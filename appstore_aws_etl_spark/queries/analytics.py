@@ -1403,3 +1403,69 @@ def util_data_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round(F.col("n_violations") * 1.0 / F.col("n_rows"), 6).alias("violation_rate"),
         )
     )
+
+
+@query(
+    "ts_anomaly_zscore",
+    oracle="""
+    WITH w AS (
+        SELECT event_id, user_id, value,
+               avg(value)         OVER win AS mu,
+               stddev_samp(value) OVER win AS sigma,
+               count(*)           OVER win AS n_win
+        FROM events
+        WINDOW win AS (PARTITION BY user_id ORDER BY ts, event_id
+                       ROWS BETWEEN 24 PRECEDING AND 1 PRECEDING)
+    )
+    SELECT event_id, user_id, value,
+           round((value - mu) / sigma, 4)            AS zscore,
+           abs(round((value - mu) / sigma, 4)) > 3.0 AS is_anomaly
+    FROM w
+    WHERE n_win >= 12 AND sigma > 0
+    """,
+    tags=("analytics", "timeseries", "window"),
+)
+def ts_anomaly_zscore(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Rolling z-score anomaly detection: each event scored against the
+    trailing 24 events of the same user (current row excluded), flagged
+    when |z| > 3. Warm-up rows (fewer than 12 priors) are suppressed.
+    One window spec feeds mean/std/count, so Spark evaluates a single
+    partitioned sort — one shuffle on user_id. The anomaly flag
+    compares the 4dp-rounded z on both engines so accumulation-order
+    noise in stddev can't flip the boundary."""
+    ev = load(spark, sf_dir, "events")
+    win = (
+        Window.partitionBy("user_id")
+        .orderBy("ts", "event_id")
+        .rowsBetween(-24, -1)
+    )
+    mu = F.avg("value").over(win)
+    sigma = F.stddev_samp("value").over(win)
+    z = F.round((F.col("value") - mu) / sigma, 4)
+    return (
+        ev.select(
+            "event_id",
+            "user_id",
+            "value",
+            z.alias("zscore"),
+            (F.abs(z) > 3.0).alias("is_anomaly"),
+            F.count(F.lit(1)).over(win).alias("n_win"),
+            sigma.alias("_sigma"),
+        )
+        .filter((F.col("n_win") >= 12) & (F.col("_sigma") > 0))
+        .drop("n_win", "_sigma")
+    )
+
+
+@query("ts_ewma", oracle=None, tags=("analytics", "timeseries", "stateful", "custom-operator"))
+def ts_ewma(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-user exponentially weighted moving average of event values
+    (alpha=0.2) — a true sequential recurrence, run as applyInPandas
+    per key (operators/timeseries.py:ewma). No SQL oracle: the
+    recurrence is not expressible in ANSI SQL without a recursive CTE
+    per row; correctness is pinned by tests/test_operators.py against
+    a hand-rolled recurrence."""
+    from ..operators.timeseries import ewma
+
+    ev = load(spark, sf_dir, "events")
+    return ewma(ev, key="user_id", ts="ts", value="value", alpha=0.2, order_cols=("event_id",))

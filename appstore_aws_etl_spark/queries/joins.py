@@ -354,3 +354,42 @@ def join_null_safe(spark: SparkSession, sf_dir: str) -> DataFrame:
     return c.join(o, c["c_grp"].eqNullSafe(o["o_grp"])).select(
         "c_custkey", "c_grp", "o_orderkey"
     )
+
+
+@query(
+    "join_bloom_prefilter",
+    oracle="""
+    SELECT o.o_orderkey, o.o_custkey, o.o_totalprice
+    FROM orders o
+    WHERE EXISTS (SELECT 1 FROM customer c
+                  WHERE c.c_custkey = o.o_custkey AND c.c_acctbal > 9000)
+    """,
+    tags=("join", "runtime-filter"),
+)
+def join_bloom_prefilter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Runtime-filter join: the dim side's join keys are compressed to
+    a distinct set of 8192 hash buckets (a coarse Bloom filter built
+    and applied entirely JVM-side), the fact table is pre-filtered by
+    bucket membership via a broadcast semi-join, and only the
+    survivors run the exact semi-join. False positives are eliminated
+    by the exact stage, so the result equals the plain semi-join — the
+    point at 100 TB is that the bucket prefilter is a few KB broadcast
+    that drops most fact rows before the real join's shuffle/probe
+    work. Mirrors Spark's own injected runtime bloom filters
+    (spark.sql.optimizer.runtime.bloomFilter.enabled) but stays
+    explicit and engine-portable."""
+    o = load(spark, sf_dir, "orders")
+    dim = load(spark, sf_dir, "customer").filter(F.col("c_acctbal") > 9000)
+    nbuckets = F.lit(8192)
+    buckets = dim.select(F.pmod(F.xxhash64("c_custkey"), nbuckets).alias("b")).distinct()
+    pre = o.join(
+        F.broadcast(buckets),
+        F.pmod(F.xxhash64("o_custkey"), nbuckets) == F.col("b"),
+        "left_semi",
+    )
+    exact = pre.join(
+        F.broadcast(dim.select("c_custkey")),
+        F.col("o_custkey") == F.col("c_custkey"),
+        "left_semi",
+    )
+    return exact.select("o_orderkey", "o_custkey", "o_totalprice")

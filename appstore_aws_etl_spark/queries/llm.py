@@ -8,7 +8,7 @@ multimodal features).
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from ..catalog import load
@@ -895,4 +895,99 @@ def llm_edit_distance_verify(spark: SparkSession, sf_dir: str) -> DataFrame:
                 + F.lit(0.0)
             ).alias("lev_sim"),
         )
+    )
+
+
+import numpy as np  # noqa: E402 — module level for pandas_udf type hints
+import pandas as pd  # noqa: E402
+
+
+def _char_entropy_udf():
+    # built lazily: pandas_udf resolves its DDL return type against the
+    # active session, which does not exist at module-import time
+    @F.pandas_udf("double")
+    def fn(texts: pd.Series) -> pd.Series:
+        out = []
+        for t in texts:
+            if not t:
+                out.append(None)
+                continue
+            _, cnt = np.unique(np.array(list(t)), return_counts=True)
+            p = cnt / cnt.sum()
+            out.append(float(-(p * np.log(p)).sum()))
+        return pd.Series(out, dtype="float64")
+
+    return fn
+
+
+@query(
+    "llm_char_entropy",
+    oracle="""
+    WITH idx AS (
+        SELECT doc_id, text, unnest(range(1, length(text) + 1)) AS i
+        FROM documents WHERE length(text) > 0
+    ), freq AS (
+        SELECT doc_id, substr(text, CAST(i AS INTEGER), 1) AS ch, count(*) AS c
+        FROM idx GROUP BY doc_id, substr(text, CAST(i AS INTEGER), 1)
+    ), tot AS (
+        SELECT doc_id, CAST(sum(c) AS BIGINT) AS n FROM freq GROUP BY doc_id
+    )
+    SELECT f.doc_id,
+           round(-sum((f.c * 1.0 / t.n) * ln(f.c * 1.0 / t.n)), 6) AS char_entropy
+    FROM freq f JOIN tot t USING (doc_id)
+    GROUP BY f.doc_id
+    """,
+    tags=("llm", "text", "quality"),
+)
+def llm_char_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Character-level Shannon entropy per document — a standard
+    gibberish / low-information quality signal. Scale shape: entropy is
+    a pure per-row function of the text, so the Spark path is a
+    vectorized Arrow pandas UDF with NO shuffle at all (embarrassingly
+    parallel over 100 TB); the oracle cross-checks via the explicit
+    explode-and-aggregate SQL formulation. Rounded at 6dp: numpy and
+    the SQL engine sum the ~alphabet-sized term list in different
+    orders (noise ~1e-15 relative)."""
+    docs = load(spark, sf_dir, "documents").filter(F.length("text") > 0)
+    return docs.select(
+        "doc_id", F.round(_char_entropy_udf()(F.col("text")), 6).alias("char_entropy")
+    )
+
+
+@query(
+    "llm_keywords",
+    oracle="""
+    WITH terms AS (
+        SELECT doc_id, unnest(string_split(lower(text), ' ')) AS term FROM documents
+    ), tf AS (
+        SELECT doc_id, term, count(*) AS tf FROM terms GROUP BY doc_id, term
+    ), df_ AS (
+        SELECT term, count(*) AS df FROM tf GROUP BY term
+    ), n AS (
+        SELECT count(DISTINCT doc_id) AS n_docs FROM documents
+    ), scored AS (
+        SELECT tf.doc_id, tf.term,
+               round(tf.tf * (ln((n.n_docs + 1) / (df_.df + 1)) + 1), 4) AS tfidf
+        FROM tf JOIN df_ USING (term), n
+    )
+    SELECT doc_id, term, tfidf, rnk FROM (
+        SELECT *, row_number() OVER (PARTITION BY doc_id ORDER BY tfidf DESC, term) AS rnk
+        FROM scored
+    ) WHERE rnk <= 3
+    """,
+    tags=("llm", "text"),
+)
+def llm_keywords(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Keyword extraction: top-3 TF-IDF terms per document. Document
+    frequencies are corpus-global; the per-doc top-k is a row_number
+    window over the (already tiny) per-doc term list with a
+    deterministic (score, term) tiebreak — ranking happens on the
+    4dp-rounded score on both engines so float noise can't reorder."""
+    docs = load(spark, sf_dir, "documents")
+    scored = tfidf(docs).withColumn("tfidf", F.round("tfidf", 4))
+    w = Window.partitionBy("doc_id").orderBy(F.col("tfidf").desc(), "term")
+    return (
+        scored.withColumn("rnk", F.row_number().over(w))
+        .filter(F.col("rnk") <= 3)
+        .select("doc_id", "term", "tfidf", "rnk")
     )

@@ -180,3 +180,24 @@ def test_landing_s3_root_path_parsing():
     assert z._s3_full_key("f.json") == "data/raw/events/f.json"
     assert LandingZone("s3://bkt")._s3_parts() == ("bkt", "")
     assert LandingZone("s3://bkt/data/")._s3_parts() == ("bkt", "data")
+
+
+def test_ewma_matches_hand_rolled_recurrence(spark):
+    from appstore_aws_etl_spark.operators.timeseries import ewma
+
+    rows = [
+        Row(user_id=1, event_id=i, ts=ts(f"2024-01-01 10:00:{i:02d}"), value=v)
+        for i, v in enumerate([10.0, 20.0, 10.0, 40.0, 0.0])
+    ] + [Row(user_id=2, event_id=9, ts=ts("2024-01-01 10:00:00"), value=7.0)]
+    df = spark.createDataFrame(rows)
+    out = ewma(df, key="user_id", ts="ts", value="value", alpha=0.5,
+               order_cols=("event_id",))
+    got = {(r["user_id"], r["event_id"]): r["ewma"] for r in out.collect()}
+
+    # hand-rolled: y_0 = x_0; y_t = a*x_t + (1-a)*y_{t-1}
+    y, expect = None, {}
+    for i, v in enumerate([10.0, 20.0, 10.0, 40.0, 0.0]):
+        y = v if y is None else 0.5 * v + 0.5 * y
+        expect[(1, i)] = round(y, 6)
+    expect[(2, 9)] = 7.0
+    assert got == expect

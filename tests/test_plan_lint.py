@@ -28,6 +28,7 @@ NESTED_LOOP_OK = {
     "llm_knn",        # scoring against one broadcast query vector
     "llm_knn_ivf",
     "llm_tfidf",      # crossJoin(broadcast(n_docs)) — 1-row corpus stat
+    "llm_keywords",   # same tfidf() core — 1-row corpus stat
     "tpch_q22_dormant_customers",  # crossJoin(broadcast(avg_bal)) — 1-row scalar
     "analytics_market_basket",     # crossJoin(broadcast(n_orders)) — 1-row scalar
     "util_data_quality",           # crossJoin(broadcast(n_rows)) — 1-row scalar
