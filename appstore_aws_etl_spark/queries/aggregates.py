@@ -404,3 +404,35 @@ def agg_mad_robust(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(F.max("seg_median"), 4).alias("seg_median"),
         F.round(F.median(F.abs(F.col("c_acctbal") - F.col("seg_median"))), 4).alias("mad"),
     )
+
+
+@query(
+    "agg_heavy_hitters",
+    oracle="""
+    WITH tok AS (
+        SELECT unnest(string_split(lower(text), ' ')) AS token FROM documents
+    ), n AS (
+        SELECT count(*) AS n FROM tok
+    )
+    SELECT t.token, count(*) AS cnt,
+           round(count(*) * 1.0 / max(nn.n), 6) AS share
+    FROM tok t CROSS JOIN n nn
+    GROUP BY t.token
+    HAVING count(*) >= 0.0345 * max(nn.n)
+    """,
+    tags=("agg", "sketch", "custom-operator"),
+)
+def agg_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Heavy hitters (tokens above 3.45% corpus frequency) via
+    Misra-Gries per-partition sketches + merged-candidate exact recount
+    (operators/sketches.py). The result is EXACT — the sketch only
+    prunes the candidate space — so the oracle is the plain
+    GROUP BY/HAVING. At 100 TB the full-vocabulary shuffle never
+    happens: each partition streams through at most k counters and the
+    recount aggregates only the broadcast candidate set."""
+    from ..llm.text import tokenize
+    from ..operators.sketches import heavy_hitters
+
+    docs = load(spark, sf_dir, "documents")
+    tokens = tokenize(docs).select(F.explode("tokens").alias("token"))
+    return heavy_hitters(tokens, col="token", phi=0.0345)

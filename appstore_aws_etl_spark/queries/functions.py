@@ -571,3 +571,35 @@ def fn_hash_encode(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.decode(F.unbase64(F.base64(name.cast("binary"))), "UTF-8") == name).alias("roundtrip_ok"),
         F.format_string("%d-%s", F.col("c_custkey"), F.col("c_mktsegment")).alias("tagged"),
     )
+
+
+@query(
+    "fn_date_calendar",
+    oracle="""
+    SELECT o_orderkey,
+           o_orderdate + INTERVAL 3 MONTH                    AS plus_3m,
+           CAST(last_day(o_orderdate) AS TIMESTAMP)          AS month_end,
+           CAST(quarter(o_orderdate) AS BIGINT)              AS qtr,
+           CAST(day(last_day(o_orderdate)) AS BIGINT)        AS days_in_month,
+           (year(o_orderdate) % 4 = 0 AND year(o_orderdate) % 100 <> 0)
+               OR year(o_orderdate) % 400 = 0                AS is_leap_year
+    FROM orders
+    """,
+    tags=("function", "date"),
+)
+def fn_date_calendar(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Calendar arithmetic family: month addition with end-of-month
+    clamping, last-day-of-month, quarter, month length, leap-year
+    arithmetic. Month addition clamps identically on both engines
+    (Jan 31 + 1 month = Feb 28/29). Day-grain results are served as
+    TIMESTAMP on both sides (DATE-vs-datetime64 dtype trap)."""
+    o = load(spark, sf_dir, "orders")
+    yr = F.year("o_orderdate")
+    return o.select(
+        "o_orderkey",
+        F.add_months("o_orderdate", 3).cast("timestamp").alias("plus_3m"),
+        F.last_day("o_orderdate").cast("timestamp").alias("month_end"),
+        F.quarter("o_orderdate").cast("long").alias("qtr"),
+        F.day(F.last_day("o_orderdate")).cast("long").alias("days_in_month"),
+        (((yr % 4 == 0) & (yr % 100 != 0)) | (yr % 400 == 0)).alias("is_leap_year"),
+    )

@@ -393,3 +393,76 @@ def join_bloom_prefilter(spark: SparkSession, sf_dir: str) -> DataFrame:
         "left_semi",
     )
     return exact.select("o_orderkey", "o_custkey", "o_totalprice")
+
+
+@query(
+    "join_interval_overlap",
+    oracle="""
+    WITH a AS (
+        SELECT user_id, event_id AS a_id,
+               date_trunc('second', ts) AS a_start,
+               date_trunc('second', ts) + INTERVAL 30 MINUTE AS a_end
+        FROM events WHERE event_type = 'error'
+    ), b AS (
+        SELECT user_id, event_id AS b_id,
+               date_trunc('second', ts) AS b_start,
+               date_trunc('second', ts) + INTERVAL 30 MINUTE AS b_end
+        FROM events WHERE event_type = 'purchase'
+    )
+    SELECT a.user_id, a.a_id, b.b_id,
+           CAST(date_diff('second',
+                          greatest(a.a_start, b.b_start),
+                          least(a.a_end, b.b_end)) AS BIGINT) AS overlap_s
+    FROM a JOIN b
+      ON a.user_id = b.user_id AND a.a_start < b.b_end AND b.b_start < a.a_end
+    """,
+    tags=("join", "interval", "custom-operator"),
+)
+def join_interval_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Interval-overlap join via coarse time-bucket partitioning: each
+    30-minute interval is exploded to the (at most two) 30-minute
+    epoch bins it touches, candidates meet on the (user_id, bin)
+    equi-key, duplicates from shared bins are dropped, and the exact
+    overlap predicate filters the survivors. The oracle states the
+    textbook theta-join; the Spark plan contains only hash joins — the
+    bin explode bounds candidate generation the way a DuckDB/Trino
+    interval-join binning rule would, and at 100 TB the bin width is
+    the knob trading fanout (duration/width rows per interval) against
+    candidate precision."""
+    ev = load(spark, sf_dir, "events")
+
+    def side(event_type: str, prefix: str):
+        start = F.date_trunc("second", F.col("ts"))
+        df = ev.filter(F.col("event_type") == event_type).select(
+            "user_id",
+            F.col("event_id").alias(f"{prefix}_id"),
+            start.alias(f"{prefix}_start"),
+            (start + F.expr("INTERVAL 30 MINUTES")).alias(f"{prefix}_end"),
+        )
+        return df.withColumn(
+            "bin",
+            F.explode(
+                F.sequence(
+                    F.floor(F.unix_timestamp(f"{prefix}_start") / 1800),
+                    F.floor((F.unix_timestamp(f"{prefix}_end") - 1) / 1800),
+                )
+            ),
+        )
+
+    a, b = side("error", "a"), side("purchase", "b")
+    joined = a.join(b, ["user_id", "bin"]).filter(
+        (F.col("a_start") < F.col("b_end")) & (F.col("b_start") < F.col("a_end"))
+    )
+    return (
+        joined.select("user_id", "a_id", "b_id", "a_start", "a_end", "b_start", "b_end")
+        .distinct()
+        .select(
+            "user_id",
+            "a_id",
+            "b_id",
+            (
+                F.unix_timestamp(F.least("a_end", "b_end"))
+                - F.unix_timestamp(F.greatest("a_start", "b_start"))
+            ).alias("overlap_s"),
+        )
+    )

@@ -991,3 +991,53 @@ def llm_keywords(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("rnk") <= 3)
         .select("doc_id", "term", "tfidf", "rnk")
     )
+
+
+@query(
+    "llm_clean_corpus",
+    oracle="""
+    WITH scored AS (
+        SELECT doc_id, lang, source, n_chars,
+               CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens,
+               md5(lower(text)) AS content_key
+        FROM documents
+    ), filtered AS (
+        SELECT * FROM scored
+        WHERE n_chars >= 100 AND n_tokens BETWEEN 15 AND 80
+          AND lang IN ('en', 'de', 'fr', 'es')
+    ), dedup AS (
+        SELECT *, row_number() OVER (PARTITION BY content_key ORDER BY doc_id) AS rn
+        FROM filtered
+    )
+    SELECT doc_id, lang, source, n_chars, n_tokens FROM dedup WHERE rn = 1
+    """,
+    tags=("llm", "pipeline"),
+)
+def llm_clean_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """End-to-end corpus-cleaning recipe — the composition a training-
+    data pipeline actually runs: size/token-count quality gates ->
+    language allowlist -> exact dedup on the normalized-content hash
+    (deterministic min-doc_id survivor). Near-dup removal composes on
+    top via the registered minhash/simhash/jaccard keys. One shuffle
+    total (the content-hash window); the quality and language gates are
+    pushed-down scan filters."""
+    docs = load(spark, sf_dir, "documents")
+    scored = docs.select(
+        "doc_id",
+        "lang",
+        "source",
+        "n_chars",
+        F.size(F.split(F.col("text"), " ")).cast("long").alias("n_tokens"),
+        F.md5(F.lower(F.col("text"))).alias("content_key"),
+    )
+    filtered = scored.filter(
+        (F.col("n_chars") >= 100)
+        & F.col("n_tokens").between(15, 80)
+        & F.col("lang").isin("en", "de", "fr", "es")
+    )
+    w = Window.partitionBy("content_key").orderBy("doc_id")
+    return (
+        filtered.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select("doc_id", "lang", "source", "n_chars", "n_tokens")
+    )

@@ -201,3 +201,17 @@ def test_ewma_matches_hand_rolled_recurrence(spark):
         expect[(1, i)] = round(y, 6)
     expect[(2, 9)] = 7.0
     assert got == expect
+
+
+def test_heavy_hitters_exact_under_eviction(spark):
+    """Force MG evictions (vocab >> k) and check the result still
+    equals the exact GROUP BY/HAVING answer."""
+    from appstore_aws_etl_spark.operators.sketches import heavy_hitters
+
+    # 2 hot tokens (400 each), 200 tail tokens (4 each): N = 1600
+    rows = (["hot_a"] * 400 + ["hot_b"] * 400
+            + [f"tail_{i}" for i in range(200) for _ in range(4)])
+    df = spark.createDataFrame([Row(token=t) for t in rows]).repartition(8)
+    phi = 0.1  # threshold 160 -> only hot_a / hot_b qualify; k = 40 << 202
+    got = {r["token"]: r["cnt"] for r in heavy_hitters(df, "token", phi).collect()}
+    assert got == {"hot_a": 400, "hot_b": 400}
