@@ -436,3 +436,31 @@ def agg_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load(spark, sf_dir, "documents")
     tokens = tokenize(docs).select(F.explode("tokens").alias("token"))
     return heavy_hitters(tokens, col="token", phi=0.0345)
+
+
+@query(
+    "agg_corr_regr",
+    oracle="""
+    SELECT l_returnflag,
+           round(corr(l_quantity, l_extendedprice), 4)       AS corr_qty_price,
+           round(corr(l_extendedprice, l_discount), 4)       AS corr_price_disc,
+           round(covar_samp(l_quantity, l_extendedprice), 2) AS covar_qty_price,
+           round(regr_slope(l_extendedprice, l_quantity), 4) AS slope_price_on_qty,
+           round(regr_r2(l_extendedprice, l_quantity), 6)    AS r2_price_on_qty
+    FROM lineitem GROUP BY l_returnflag
+    """,
+    tags=("agg", "stats"),
+)
+def agg_corr_regr(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bivariate statistics per return flag: Pearson correlation,
+    sample covariance, and OLS slope/R² (regr_* family). Single
+    map-side-combinable aggregation pass; results rounded where
+    accumulation-order noise lives (~1e-12 relative)."""
+    li = load(spark, sf_dir, "lineitem")
+    return li.groupBy("l_returnflag").agg(
+        F.round(F.corr("l_quantity", "l_extendedprice"), 4).alias("corr_qty_price"),
+        F.round(F.corr("l_extendedprice", "l_discount"), 4).alias("corr_price_disc"),
+        F.round(F.covar_samp("l_quantity", "l_extendedprice"), 2).alias("covar_qty_price"),
+        F.round(F.regr_slope("l_extendedprice", "l_quantity"), 4).alias("slope_price_on_qty"),
+        F.round(F.regr_r2("l_extendedprice", "l_quantity"), 6).alias("r2_price_on_qty"),
+    )

@@ -252,3 +252,63 @@ def win_first_last(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.first("l_extendedprice").over(w).alias("first_price"),
         F.last("l_extendedprice").over(w).alias("last_price"),
     )
+
+
+@query(
+    "win_scalable_cumsum",
+    oracle="""
+    SELECT o_orderkey, o_totalprice,
+           round(sum(o_totalprice) OVER (
+               ORDER BY o_orderdate, o_orderkey
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW), 2) AS cum
+    FROM orders
+    """,
+    tags=("window", "custom-operator", "scale"),
+)
+def win_scalable_cumsum(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Global running total WITHOUT the single-partition global window:
+    two-phase range-partitioned prefix sum (operators/prefix.py) —
+    partition-local cumsums plus broadcast per-partition offsets. The
+    oracle states the naive global window; results agree because
+    o_totalprice is a 2dp money value, so every true prefix lies on the
+    2dp grid and rounding there is association-order-proof."""
+    from ..operators.prefix import partitioned_prefix_sum
+
+    o = load(spark, sf_dir, "orders")
+    out = partitioned_prefix_sum(
+        o, value="o_totalprice", order_by=["o_orderdate", "o_orderkey"], out="cum"
+    )
+    return out.select("o_orderkey", "o_totalprice", F.round("cum", 2).alias("cum"))
+
+
+@query(
+    "win_moving_median",
+    oracle="""
+    SELECT event_id, user_id,
+           round(median(value) OVER (
+               PARTITION BY user_id ORDER BY ts, event_id
+               ROWS BETWEEN 24 PRECEDING AND CURRENT ROW), 4) AS med25
+    FROM events
+    """,
+    tags=("window", "stats"),
+)
+def win_moving_median(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Moving median over a trailing 25-row frame — robust smoothing
+    for noisy series. Spark disallows median() over a framed window, so
+    the frame is materialized JVM-side (collect_list over the row
+    frame, array_sort, midpoint interpolation) — bounded at 25 elements
+    per row, still whole-stage-codegen, no Python. Exact interpolated
+    median on both engines: no accumulation-order noise."""
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("ts", "event_id")
+        .rowsBetween(-24, Window.currentRow)
+    )
+    ev = load(spark, sf_dir, "events")
+    arr = F.array_sort(F.collect_list("value").over(w))
+    n = F.size(arr)
+    lo = F.element_at(arr, F.floor((n + 1) / 2).cast("int"))
+    hi = F.element_at(arr, (F.floor(n / 2) + 1).cast("int"))
+    return ev.select(
+        "event_id", "user_id", F.round((lo + hi) / 2, 4).alias("med25")
+    )
