@@ -235,6 +235,7 @@ def ngram_jaccard_pairs(
     n: int = 3,
     scope_cols: list[str] | None = None,
     df_cap: int | None = None,
+    include_containment: bool = False,
 ) -> DataFrame:
     """Exact token-n-gram Jaccard for candidate pairs within a scope
     (e.g. same source) — the verify pass behind approximate dedup.
@@ -298,7 +299,12 @@ def ngram_jaccard_pairs(
             "jaccard",
             F.round(F.col("n_inter") / (F.col("na") + F.col("nb") - F.col("n_inter")), 4),
         )
-        .select("id_a", "id_b", "n_inter", "jaccard")
+        .withColumn("containment_a", F.round(F.col("n_inter") / F.col("na"), 4))
+        .withColumn("containment_b", F.round(F.col("n_inter") / F.col("nb"), 4))
+        .select(
+            "id_a", "id_b", "n_inter", "jaccard",
+            *(["containment_a", "containment_b"] if include_containment else []),
+        )
     )
 
 

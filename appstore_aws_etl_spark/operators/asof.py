@@ -50,8 +50,10 @@ def asof_join(
     right rows resolve to the greatest ``tie_break`` (backward) /
     smallest (forward).
     """
-    if direction not in ("backward", "forward"):
-        raise ValueError(f"direction must be backward|forward, got {direction!r}")
+    if direction not in ("backward", "forward", "nearest"):
+        raise ValueError(f"direction must be backward|forward|nearest, got {direction!r}")
+    if direction == "nearest" and not allow_exact_matches:
+        raise ValueError("direction='nearest' supports inclusive matches only")
     right_payload = right_payload or [
         c for c in right.columns if c not in on and c != right_ts
     ]
@@ -78,7 +80,47 @@ def asof_join(
         tie_col(right, False).alias(tie),
         *[F.col(c).alias(f"{payload_prefix}{c}") for c in right_payload],
     )
+    # __rts carries the matched right row's timestamp so "nearest" can
+    # compare distances; harmless (dropped) for backward/forward.
+    rts_payload = f"{payload_prefix}__rts"
+    l_tagged = l_tagged.withColumn(rts_payload, F.lit(None).cast(right.schema[right_ts].dataType))
+    r_tagged = r_tagged.withColumn(rts_payload, F.col(ts))
     unioned = l_tagged.unionByName(r_tagged)
+
+    if direction == "nearest":
+        # two frames over the same key partition: backward carry (right
+        # sorts before left at equal ts, so dist-0 matches land on the
+        # backward side) and forward carry; pick the closer non-null.
+        wb = (
+            Window.partitionBy(*on)
+            .orderBy(F.col(ts).asc(), F.col(_SIDE).asc(), F.col(tie).asc_nulls_first())
+            .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        )
+        wf = (
+            Window.partitionBy(*on)
+            .orderBy(F.col(ts).asc(), F.col(_SIDE).desc(), F.col(tie).asc_nulls_last())
+            .rowsBetween(Window.currentRow, Window.unboundedFollowing)
+        )
+        both = [*right_payload, "__rts"]
+        carried = unioned.select(
+            "*",
+            *[F.last(f"{payload_prefix}{c}", ignorenulls=True).over(wb).alias(f"__b_{c}") for c in both],
+            *[F.first(f"{payload_prefix}{c}", ignorenulls=True).over(wf).alias(f"__f_{c}") for c in both],
+        )
+        here = F.col(ts).cast("double")
+        b_ts, f_ts = F.col("__b___rts").cast("double"), F.col("__f___rts").cast("double")
+        use_backward = F.when(b_ts.isNull(), F.lit(False)).otherwise(
+            f_ts.isNull() | ((here - b_ts) <= (f_ts - here))
+        )
+        return carried.filter(F.col(_SIDE) == 1).select(
+            *[F.col(c) for c in left.columns],
+            *[
+                F.when(use_backward, F.col(f"__b_{c}"))
+                .otherwise(F.col(f"__f_{c}"))
+                .alias(f"{payload_prefix}{c}")
+                for c in right_payload
+            ],
+        )
 
     if direction == "backward":
         # carry the most recent right payload forward in time: right

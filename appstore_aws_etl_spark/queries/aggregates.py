@@ -464,3 +464,27 @@ def agg_corr_regr(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(F.regr_slope("l_extendedprice", "l_quantity"), 4).alias("slope_price_on_qty"),
         F.round(F.regr_r2("l_extendedprice", "l_quantity"), 6).alias("r2_price_on_qty"),
     )
+
+
+@query(
+    "agg_boolean_aggs",
+    oracle="""
+    SELECT o_orderpriority,
+           count(*) FILTER (WHERE o_totalprice > 200000) AS n_big,
+           bool_and(o_totalprice > 0)                    AS all_positive,
+           bool_or(o_orderstatus = 'P')                  AS any_pending,
+           count(*)                                      AS n
+    FROM orders GROUP BY o_orderpriority
+    """,
+    tags=("agg", "boolean"),
+)
+def agg_boolean_aggs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Boolean aggregate family: conditional count, universal and
+    existential quantifiers per group — one map-side-combinable pass."""
+    o = load(spark, sf_dir, "orders")
+    return o.groupBy("o_orderpriority").agg(
+        F.count_if(F.col("o_totalprice") > 200000).alias("n_big"),
+        F.bool_and(F.col("o_totalprice") > 0).alias("all_positive"),
+        F.bool_or(F.col("o_orderstatus") == "P").alias("any_pending"),
+        F.count(F.lit(1)).alias("n"),
+    )

@@ -9,7 +9,7 @@ queries here only *hint* where the right strategy is knowable a priori
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from ..catalog import load
@@ -465,4 +465,68 @@ def join_interval_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
                 - F.unix_timestamp(F.greatest("a_start", "b_start"))
             ).alias("overlap_s"),
         )
+    )
+
+
+@query(
+    "join_asof_nearest",
+    oracle="""
+    WITH l AS (
+        SELECT user_id, event_id, date_trunc('second', ts) AS lts
+        FROM events WHERE event_type = 'view'
+    ), r AS (
+        SELECT user_id, event_id AS r_id, date_trunc('second', ts) AS rts, value
+        FROM events WHERE event_type = 'purchase'
+        QUALIFY row_number() OVER (
+            PARTITION BY user_id, date_trunc('second', ts) ORDER BY event_id DESC) = 1
+    ), b AS (
+        SELECT l.user_id, l.event_id, l.lts, r.r_id AS b_id, r.rts AS b_ts, r.value AS b_val
+        FROM l ASOF LEFT JOIN r ON l.user_id = r.user_id AND l.lts >= r.rts
+    ), f AS (
+        SELECT l.user_id, l.event_id, r.r_id AS f_id, r.rts AS f_ts, r.value AS f_val
+        FROM l ASOF LEFT JOIN r ON l.user_id = r.user_id AND l.lts <= r.rts
+    )
+    SELECT b.user_id, b.event_id,
+           CASE WHEN b.b_ts IS NOT NULL AND (f.f_ts IS NULL
+                     OR epoch(b.lts) - epoch(b.b_ts) <= epoch(f.f_ts) - epoch(b.lts))
+                THEN b.b_id ELSE f.f_id END AS near_id,
+           CASE WHEN b.b_ts IS NOT NULL AND (f.f_ts IS NULL
+                     OR epoch(b.lts) - epoch(b.b_ts) <= epoch(f.f_ts) - epoch(b.lts))
+                THEN b.b_val ELSE f.f_val END AS near_value
+    FROM b JOIN f USING (user_id, event_id)
+    """,
+    tags=("join", "asof", "custom-operator"),
+)
+def join_asof_nearest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Nearest-neighbor as-of join: each view event paired with the
+    closest purchase of the same user in EITHER time direction
+    (ties prefer the earlier/backward match). One union + one key
+    partition with two window frames (operators/asof.py
+    direction='nearest') — no inequality join anywhere. The right side
+    is deduplicated to one row per (user, second) on both engines so
+    tie-resolution is engine-independent."""
+    from ..operators.asof import asof_join
+
+    ev = load(spark, sf_dir, "events")
+    sec = F.date_trunc("second", F.col("ts"))
+    l = ev.filter(F.col("event_type") == "view").select(
+        "user_id", "event_id", sec.alias("lts")
+    )
+    w = Window.partitionBy("user_id", "rts").orderBy(F.col("r_id").desc())
+    r = (
+        ev.filter(F.col("event_type") == "purchase")
+        .select("user_id", F.col("event_id").alias("r_id"), sec.alias("rts"), "value")
+        .withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .drop("rn")
+    )
+    out = asof_join(
+        l, r, on=["user_id"], left_ts="lts", right_ts="rts",
+        right_payload=["r_id", "value"], tie_break="r_id", direction="nearest",
+    )
+    return out.select(
+        "user_id",
+        "event_id",
+        F.col("asof_r_id").alias("near_id"),
+        F.col("asof_value").alias("near_value"),
     )

@@ -1041,3 +1041,113 @@ def llm_clean_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("rn") == 1)
         .select("doc_id", "lang", "source", "n_chars", "n_tokens")
     )
+
+
+@query(
+    "llm_containment_pairs",
+    oracle="""
+    WITH toks AS (
+        SELECT doc_id, lang, source, string_split(lower(text), ' ') AS tk
+        FROM documents
+    ), grams_all AS (
+        SELECT DISTINCT doc_id, lang, source,
+               unnest(list_transform(range(1, len(tk) - 1),
+                                     i -> tk[i] || ' ' || tk[i+1] || ' ' || tk[i+2])) AS gram
+        FROM toks
+    ), grams AS (
+        SELECT * FROM (
+            SELECT g.*, count(*) OVER (PARTITION BY lang, source, gram) AS df
+            FROM grams_all g
+        ) WHERE df <= 100
+    ), sizes AS (
+        SELECT doc_id, count(*) AS n_grams FROM grams GROUP BY doc_id
+    ), inter AS (
+        SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS n_inter
+        FROM grams a JOIN grams b
+          ON a.lang = b.lang AND a.source = b.source AND a.gram = b.gram
+        WHERE a.doc_id < b.doc_id
+        GROUP BY a.doc_id, b.doc_id
+    )
+    SELECT id_a, id_b, n_inter,
+           round(n_inter / (sa.n_grams + sb.n_grams - n_inter), 4) AS jaccard,
+           round(n_inter / sa.n_grams, 4) AS containment_a,
+           round(n_inter / sb.n_grams, 4) AS containment_b
+    FROM inter
+    JOIN sizes sa ON sa.doc_id = id_a
+    JOIN sizes sb ON sb.doc_id = id_b
+    """,
+    tags=("llm", "dedup"),
+)
+def llm_containment_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Asymmetric containment alongside Jaccard for candidate pairs —
+    the signal for SUB-document duplication (a quote or boilerplate
+    block inside a larger doc scores high containment but low Jaccard).
+    Same df-capped gram machinery as llm_jaccard_ngram; containment is
+    two extra ratio columns off the same intersection aggregate."""
+    docs = load(spark, sf_dir, "documents")
+    return ngram_jaccard_pairs(
+        docs, scope_cols=["lang", "source"], df_cap=100, include_containment=True
+    )
+
+
+@query(
+    "llm_vector_quantize",
+    oracle="""
+    WITH base AS (
+        SELECT vec_id, label,
+               list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+        FROM embeddings
+    ), stats AS (
+        SELECT vec_id, label, v,
+               sqrt(list_sum(list_transform(v, x -> x * x)))     AS norm,
+               list_max(list_transform(v, x -> abs(x))) / 127.0  AS scale
+        FROM base
+    )
+    SELECT vec_id, label,
+           round(norm, 4)  AS norm,
+           round(scale, 6) AS scale,
+           array_to_string(
+               list_transform(v, x -> CAST(CAST(floor(
+                   CASE WHEN scale = 0 THEN 0.0 ELSE x / scale END + 0.5)
+                   AS BIGINT) AS VARCHAR)), ',') AS q8
+    FROM stats
+    """,
+    tags=("llm", "vector"),
+)
+def llm_vector_quantize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Vector norm + symmetric int8 quantization (the storage-compression
+    step before ANN indexing at 100 TB: 4x smaller embeddings, scale
+    factor kept per row). Pure JVM higher-order functions — no shuffle,
+    no Python. Quantization rounds via floor(x+0.5), which both engines
+    evaluate identically (no round() midpoint divergence); the int8
+    codes are served as a joined string per the array-output
+    convention."""
+    emb = load(spark, sf_dir, "embeddings")
+    base = emb.select(
+        "vec_id", "label", F.transform("embedding", lambda x: x.cast("double")).alias("v")
+    )
+    stats = base.select(
+        "vec_id",
+        "label",
+        "v",
+        F.sqrt(F.aggregate("v", F.lit(0.0), lambda a, x: a + x * x)).alias("norm"),
+        (F.array_max(F.transform("v", lambda x: F.abs(x))) / 127.0).alias("_scale_raw"),
+    )
+    # NB: the raw scale column must NOT share a name with the rounded
+    # output alias — Spark's lateral column alias resolution would bind
+    # the lambda's reference to the ROUNDED value (silently quantizing
+    # with a 6dp-truncated scale).
+    raw = F.col("_scale_raw")
+    quant = F.transform(
+        "v",
+        lambda x: F.floor(
+            F.when(raw == 0, F.lit(0.0)).otherwise(x / raw) + 0.5
+        ).cast("string"),
+    )
+    return stats.select(
+        "vec_id",
+        "label",
+        F.round("norm", 4).alias("norm"),
+        F.round("_scale_raw", 6).alias("scale"),
+        F.concat_ws(",", quant).alias("q8"),
+    )

@@ -215,3 +215,28 @@ def test_heavy_hitters_exact_under_eviction(spark):
     phi = 0.1  # threshold 160 -> only hot_a / hot_b qualify; k = 40 << 202
     got = {r["token"]: r["cnt"] for r in heavy_hitters(df, "token", phi).collect()}
     assert got == {"hot_a": 400, "hot_b": 400}
+
+
+def test_asof_nearest_picks_closer_side(spark):
+    left = spark.createDataFrame(
+        [
+            Row(k="a", lts=ts("2024-01-01 10:00:00"), lid=1),  # exact -> backward
+            Row(k="a", lts=ts("2024-01-01 12:00:00"), lid=2),  # only backward
+            Row(k="b", lts=ts("2024-01-01 10:00:00"), lid=3),  # only forward
+            Row(k="a", lts=ts("2024-01-01 11:20:00"), lid=4),  # forward closer
+        ]
+    )
+    right = spark.createDataFrame(
+        [
+            Row(k="a", rts=ts("2024-01-01 09:00:00"), rid=10, v=1.0),
+            Row(k="a", rts=ts("2024-01-01 10:00:00"), rid=11, v=2.0),
+            Row(k="a", rts=ts("2024-01-01 11:30:00"), rid=12, v=3.0),
+            Row(k="b", rts=ts("2024-01-01 10:00:01"), rid=13, v=4.0),
+        ]
+    )
+    out = asof_join(
+        left, right, on=["k"], left_ts="lts", right_ts="rts",
+        right_payload=["rid", "v"], tie_break="rid", direction="nearest",
+    )
+    got = {r["lid"]: r["asof_rid"] for r in out.collect()}
+    assert got == {1: 11, 2: 12, 3: 13, 4: 12}
