@@ -25,12 +25,14 @@ def load(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     Parquet carries its own schema; Catalyst prunes columns and pushes
     predicates into the scan (verified by plan-shape tests).
 
-    ``events.ts`` is nanosecond-precision in the fixture parquet, which
-    Spark 4 rejects outright ([PARQUET_TYPE_ILLEGAL]); it is read as
-    raw nanos via the legacy conf and truncated to Spark's native µs
-    with exact integer division (``div`` — float division would round
-    near whole-µs boundaries). SURVEY.md §7.4.3: oracle comparisons
-    bucket to >= second granularity anyway.
+    ``events.ts`` has shipped in two fixture generations: nanosecond
+    ints (Spark 4 rejects nanos outright, [PARQUET_TYPEILLEGAL], so
+    they are read as raw longs via the legacy conf and truncated to µs
+    with exact integer division) and plain TIMESTAMP_NTZ micros. The
+    loader inspects the parquet-declared type and normalizes either
+    shape to session-timezone ``timestamp`` (UTC), so every downstream
+    operator sees one stable schema. SURVEY.md §7.4.3: oracle
+    comparisons bucket to >= second granularity anyway.
     """
     # timestamps must compare UTC-naive against the DuckDB oracle no
     # matter what session the caller provides (runtime conf, safe to
@@ -39,12 +41,17 @@ def load(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     if name == "events":
         spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
         from pyspark.sql import functions as F
+        from pyspark.sql.types import LongType, TimestampType
 
-        return (
-            spark.read.parquet(table_path(sf_dir, name))
-            .withColumn("ts", F.expr("timestamp_micros(ts div 1000)"))
-            .select("event_id", "ts", "user_id", "event_type", "value", "props")
-        )
+        df = spark.read.parquet(table_path(sf_dir, name))
+        ts_type = df.schema["ts"].dataType
+        if isinstance(ts_type, LongType):
+            df = df.withColumn("ts", F.expr("timestamp_micros(ts div 1000)"))
+        elif not isinstance(ts_type, TimestampType):
+            # TIMESTAMP_NTZ (or anything else castable): with a UTC
+            # session the naive wall-clock maps 1:1 onto instants.
+            df = df.withColumn("ts", F.col("ts").cast("timestamp"))
+        return df.select("event_id", "ts", "user_id", "event_type", "value", "props")
     return spark.read.parquet(table_path(sf_dir, name))
 
 
