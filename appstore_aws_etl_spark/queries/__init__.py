@@ -18,6 +18,7 @@ from . import (  # noqa: F401
     setops,
     sorts,
     streaming_batch,
+    tpch_rest,
     udx,
     windows,
 )

@@ -1,0 +1,395 @@
+"""Remaining TPC-H shapes (Q2, Q9, Q11, Q12, Q16, Q20, Q21), adapted.
+
+The fixture has no ``partsupp`` table and ``lineitem`` carries no
+commit/receipt dates or ship modes, so each query keeps its defining
+plan shape (the part TPC-H exercises) while substituting fixture
+columns:
+
+* supply relation   -> distinct (l_partkey, l_suppkey) pairs from
+  lineitem, with unit price ``min(l_extendedprice / l_quantity)`` as
+  the supply-cost stand-in (min is order-insensitive, so the float is
+  reproducible across engines);
+* lateness          -> ``l_shipdate > o_orderdate + fixed interval``;
+* supplier complaint-> negative account balance.
+
+Scale notes repeat the house style: dims broadcast, the fact shuffles
+once on its aggregation/join key, correlated subqueries are
+decorrelated into window functions or aggregate-joins Catalyst can
+plan, and top-k goes through TakeOrderedAndProject, never a full sort.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from ..catalog import load
+from ..registry import query
+
+# Shared supply-relation stand-in (partsupp proxy), SQL + DataFrame.
+_SUPPLY_SQL = """
+        SELECT l_partkey AS ps_partkey, l_suppkey AS ps_suppkey,
+               min(l_extendedprice / l_quantity) AS ps_supplycost,
+               sum(l_quantity) AS ps_shipqty
+        FROM lineitem GROUP BY 1, 2"""
+
+
+def _supply(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load(spark, sf_dir, "lineitem")
+    return li.groupBy(
+        F.col("l_partkey").alias("ps_partkey"), F.col("l_suppkey").alias("ps_suppkey")
+    ).agg(
+        F.min(F.col("l_extendedprice") / F.col("l_quantity")).alias("ps_supplycost"),
+        F.sum("l_quantity").alias("ps_shipqty"),
+    )
+
+
+@query(
+    "tpch_q2_min_cost_supplier",
+    oracle=f"""
+    WITH supply AS ({_SUPPLY_SQL})
+    SELECT s_acctbal, s_name, n_name, p_partkey, p_brand
+    FROM part
+    JOIN supply ON p_partkey = ps_partkey
+    JOIN supplier ON s_suppkey = ps_suppkey
+    JOIN nation ON s_nationkey = n_nationkey
+    JOIN region ON n_regionkey = r_regionkey
+    WHERE p_size <= 15 AND p_type = 'STANDARD' AND r_name = 'EUROPE'
+      AND ps_supplycost = (
+          SELECT min(ps2.ps_supplycost)
+          FROM supply ps2
+          JOIN supplier s2 ON s2.s_suppkey = ps2.ps_suppkey
+          JOIN nation n2 ON s2.s_nationkey = n2.n_nationkey
+          JOIN region r2 ON n2.n_regionkey = r2.r_regionkey
+          WHERE ps2.ps_partkey = p_partkey AND r2.r_name = 'EUROPE')
+    ORDER BY s_acctbal DESC, n_name, s_name, p_partkey
+    LIMIT 100
+    """,
+    tags=("analytics", "subquery"),
+)
+def tpch_q2(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Q2 minimum-cost supplier. The correlated min-cost subquery is
+    decorrelated into a window min over the region-filtered supply
+    relation — one shuffle on partkey instead of a re-executed
+    subquery per row. Dims (part slice, supplier, nation, region)
+    broadcast; limit is TakeOrderedAndProject."""
+    p = (
+        load(spark, sf_dir, "part")
+        .filter((F.col("p_size") <= 15) & (F.col("p_type") == "STANDARD"))
+        .select("p_partkey", "p_brand")
+    )
+    s = load(spark, sf_dir, "supplier")
+    n = load(spark, sf_dir, "nation")
+    r = load(spark, sf_dir, "region").filter(F.col("r_name") == "EUROPE")
+    euro_snk = s.join(
+        F.broadcast(n.join(F.broadcast(r), n.n_regionkey == r.r_regionkey)),
+        s.s_nationkey == F.col("n_nationkey"),
+    ).select("s_suppkey", "s_name", "s_acctbal", "n_name")
+    sup = _supply(spark, sf_dir).join(
+        F.broadcast(euro_snk), F.col("ps_suppkey") == F.col("s_suppkey")
+    )
+    w = Window.partitionBy("ps_partkey")
+    best = sup.withColumn("min_cost", F.min("ps_supplycost").over(w)).filter(
+        F.col("ps_supplycost") == F.col("min_cost")
+    )
+    return (
+        best.join(F.broadcast(p), F.col("ps_partkey") == F.col("p_partkey"))
+        .select("s_acctbal", "s_name", "n_name", "p_partkey", "p_brand")
+        .orderBy(F.col("s_acctbal").desc(), "n_name", "s_name", "p_partkey")
+        .limit(100)
+    )
+
+
+@query(
+    "tpch_q9_product_profit",
+    oracle="""
+    SELECT n_name AS nation, year(o_orderdate) AS o_year,
+           round(sum(l_extendedprice * (1 - l_discount)
+                     - 0.5 * p_retailprice * l_quantity), 2) AS sum_profit
+    FROM lineitem
+    JOIN part ON p_partkey = l_partkey
+    JOIN supplier ON s_suppkey = l_suppkey
+    JOIN nation ON s_nationkey = n_nationkey
+    JOIN orders ON o_orderkey = l_orderkey
+    WHERE p_name LIKE 'red%'
+    GROUP BY 1, 2
+    ORDER BY nation, o_year DESC
+    """,
+    tags=("analytics",),
+)
+def tpch_q9(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Q9 product-type profit (no partsupp: supply cost stands in as
+    half the part retail price). Part filter broadcasts and prunes the
+    fact first; orders is the only non-broadcast join and shares the
+    orderkey shuffle; final agg shuffles on the tiny (nation, year)
+    key."""
+    p = (
+        load(spark, sf_dir, "part")
+        .filter(F.col("p_name").like("red%"))
+        .select("p_partkey", "p_retailprice")
+    )
+    s = load(spark, sf_dir, "supplier").select("s_suppkey", "s_nationkey")
+    n = load(spark, sf_dir, "nation").select("n_nationkey", "n_name")
+    o = load(spark, sf_dir, "orders").select("o_orderkey", "o_orderdate")
+    li = load(spark, sf_dir, "lineitem")
+    profit = F.col("l_extendedprice") * (1 - F.col("l_discount")) - 0.5 * F.col(
+        "p_retailprice"
+    ) * F.col("l_quantity")
+    return (
+        li.join(F.broadcast(p), li.l_partkey == p.p_partkey)
+        .join(F.broadcast(s), li.l_suppkey == s.s_suppkey)
+        .join(F.broadcast(n), s.s_nationkey == n.n_nationkey)
+        .join(o, li.l_orderkey == o.o_orderkey)
+        .groupBy(
+            F.col("n_name").alias("nation"),
+            F.year("o_orderdate").alias("o_year"),
+        )
+        .agg(F.round(F.sum(profit), 2).alias("sum_profit"))
+        .orderBy("nation", F.col("o_year").desc())
+    )
+
+
+@query(
+    "tpch_q11_important_stock",
+    oracle=f"""
+    WITH supply AS ({_SUPPLY_SQL}),
+    natsup AS (
+        SELECT ps_partkey, ps_supplycost * ps_shipqty AS val
+        FROM supply
+        JOIN supplier ON s_suppkey = ps_suppkey
+        JOIN nation ON s_nationkey = n_nationkey
+        WHERE n_name = 'NATION_7'
+    )
+    SELECT ps_partkey, round(sum(val), 2) AS part_value
+    FROM natsup
+    GROUP BY ps_partkey
+    HAVING sum(val) > (SELECT sum(val) * 0.001 FROM natsup)
+    ORDER BY part_value DESC, ps_partkey
+    """,
+    tags=("analytics", "subquery"),
+)
+def tpch_q11(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Q11 important stock: per-part inventory value within one
+    nation, kept when above a fraction of the nation total. The
+    uncorrelated scalar subquery becomes a 1-row broadcast-joined
+    aggregate — the nation slice is computed once and feeds both the
+    per-part agg and the total."""
+    s = load(spark, sf_dir, "supplier").select("s_suppkey", "s_nationkey")
+    n = load(spark, sf_dir, "nation").filter(F.col("n_name") == "NATION_7")
+    natsup = (
+        _supply(spark, sf_dir)
+        .join(F.broadcast(s.join(F.broadcast(n), s.s_nationkey == n.n_nationkey)),
+              F.col("ps_suppkey") == F.col("s_suppkey"))
+        .select("ps_partkey", (F.col("ps_supplycost") * F.col("ps_shipqty")).alias("val"))
+    )
+    per_part = natsup.groupBy("ps_partkey").agg(F.sum("val").alias("raw_value"))
+    total = natsup.agg((F.sum("val") * 0.001).alias("thresh"))
+    return (
+        per_part.join(F.broadcast(total))
+        .filter(F.col("raw_value") > F.col("thresh"))
+        .select("ps_partkey", F.round("raw_value", 2).alias("part_value"))
+        .orderBy(F.col("part_value").desc(), "ps_partkey")
+    )
+
+
+@query(
+    "tpch_q12_late_lines",
+    oracle="""
+    SELECT CASE WHEN l_shipdate > o_orderdate + INTERVAL 60 DAY
+                THEN 'late' ELSE 'ontime' END AS ship_bucket,
+           CAST(sum(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH')
+                    THEN 1 ELSE 0 END) AS BIGINT) AS high_line_count,
+           CAST(sum(CASE WHEN o_orderpriority NOT IN ('1-URGENT', '2-HIGH')
+                    THEN 1 ELSE 0 END) AS BIGINT) AS low_line_count
+    FROM orders JOIN lineitem ON o_orderkey = l_orderkey
+    GROUP BY 1
+    ORDER BY ship_bucket
+    """,
+    tags=("analytics",),
+)
+def tpch_q12(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Q12 shipping-mode/priority matrix (no l_shipmode: lines bucket
+    by lateness against order date instead). One orderkey shuffle for
+    the join, conditional-sum pivot, 2-row output."""
+    o = load(spark, sf_dir, "orders").select("o_orderkey", "o_orderdate", "o_orderpriority")
+    li = load(spark, sf_dir, "lineitem").select("l_orderkey", "l_shipdate")
+    high = F.col("o_orderpriority").isin("1-URGENT", "2-HIGH")
+    return (
+        li.join(o, li.l_orderkey == o.o_orderkey)
+        .withColumn(
+            "ship_bucket",
+            F.when(
+                F.col("l_shipdate") > F.col("o_orderdate") + F.expr("INTERVAL 60 DAYS"),
+                "late",
+            ).otherwise("ontime"),
+        )
+        .groupBy("ship_bucket")
+        .agg(
+            F.sum(F.when(high, 1).otherwise(0)).alias("high_line_count"),
+            F.sum(F.when(~high, 1).otherwise(0)).alias("low_line_count"),
+        )
+        .orderBy("ship_bucket")
+    )
+
+
+@query(
+    "tpch_q16_supplier_part_count",
+    oracle=f"""
+    WITH supply AS ({_SUPPLY_SQL})
+    SELECT p_brand, p_type, p_size, count(DISTINCT ps_suppkey) AS supplier_cnt
+    FROM supply JOIN part ON p_partkey = ps_partkey
+    WHERE p_brand <> 'Brand#21' AND p_type <> 'PROMO' AND p_size <= 10
+      AND ps_suppkey NOT IN (
+          SELECT s_suppkey FROM supplier WHERE s_acctbal < 0)
+    GROUP BY p_brand, p_type, p_size
+    ORDER BY supplier_cnt DESC, p_brand, p_type, p_size
+    """,
+    tags=("analytics", "subquery"),
+)
+def tpch_q16(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Q16 supplier count per part attribute (complaint suppliers ->
+    negative balance). NOT IN becomes a broadcast left-anti join —
+    NULL-safe here because keys are non-null; the distinct count
+    shuffles once on the 3-attribute key."""
+    bad = load(spark, sf_dir, "supplier").filter(F.col("s_acctbal") < 0).select(
+        "s_suppkey"
+    )
+    p = (
+        load(spark, sf_dir, "part")
+        .filter(
+            (F.col("p_brand") != "Brand#21")
+            & (F.col("p_type") != "PROMO")
+            & (F.col("p_size") <= 10)
+        )
+        .select("p_partkey", "p_brand", "p_type", "p_size")
+    )
+    return (
+        _supply(spark, sf_dir)
+        .join(F.broadcast(bad), F.col("ps_suppkey") == F.col("s_suppkey"), "left_anti")
+        .join(F.broadcast(p), F.col("ps_partkey") == F.col("p_partkey"))
+        .groupBy("p_brand", "p_type", "p_size")
+        .agg(F.count_distinct("ps_suppkey").alias("supplier_cnt"))
+        .orderBy(F.col("supplier_cnt").desc(), "p_brand", "p_type", "p_size")
+    )
+
+
+@query(
+    "tpch_q20_excess_share_suppliers",
+    oracle="""
+    WITH red_ship AS (
+        SELECT l_suppkey, l_partkey, sum(l_quantity) AS qty
+        FROM lineitem
+        JOIN part ON p_partkey = l_partkey
+        WHERE p_name LIKE 'red%'
+          AND l_shipdate >= TIMESTAMP '1997-01-01'
+          AND l_shipdate < TIMESTAMP '1998-01-01'
+        GROUP BY 1, 2
+    ), dominant AS (
+        SELECT DISTINCT l_suppkey
+        FROM red_ship a
+        WHERE qty > 0.3 * (SELECT sum(qty) FROM red_ship b
+                           WHERE b.l_partkey = a.l_partkey)
+    )
+    SELECT s_name, s_acctbal
+    FROM supplier
+    JOIN nation ON s_nationkey = n_nationkey
+    WHERE n_name = 'NATION_7' AND s_suppkey IN (SELECT l_suppkey FROM dominant)
+    ORDER BY s_name
+    """,
+    tags=("analytics", "subquery"),
+)
+def tpch_q20(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Q20 suppliers holding an excess share (no ps_availqty: a
+    supplier qualifies when it shipped >30% of a red part's 1997
+    volume). The correlated sum decorrelates into a window sum over
+    (partkey); the IN becomes a left-semi join."""
+    p = load(spark, sf_dir, "part").filter(F.col("p_name").like("red%")).select(
+        "p_partkey"
+    )
+    li = load(spark, sf_dir, "lineitem").filter(
+        (F.col("l_shipdate") >= F.lit("1997-01-01").cast("timestamp"))
+        & (F.col("l_shipdate") < F.lit("1998-01-01").cast("timestamp"))
+    )
+    red = (
+        li.join(F.broadcast(p), li.l_partkey == p.p_partkey)
+        .groupBy("l_suppkey", "l_partkey")
+        .agg(F.sum("l_quantity").alias("qty"))
+    )
+    w = Window.partitionBy("l_partkey")
+    dominant = (
+        red.withColumn("part_qty", F.sum("qty").over(w))
+        .filter(F.col("qty") > 0.3 * F.col("part_qty"))
+        .select("l_suppkey")
+        .distinct()
+    )
+    s = load(spark, sf_dir, "supplier")
+    n = load(spark, sf_dir, "nation").filter(F.col("n_name") == "NATION_7")
+    return (
+        s.join(F.broadcast(n), s.s_nationkey == n.n_nationkey)
+        .join(dominant, s.s_suppkey == F.col("l_suppkey"), "left_semi")
+        .select("s_name", "s_acctbal")
+        .orderBy("s_name")
+    )
+
+
+@query(
+    "tpch_q21_waiting_supplier",
+    oracle="""
+    WITH late AS (
+        SELECT l_orderkey, l_suppkey, l_shipdate
+        FROM lineitem JOIN orders ON o_orderkey = l_orderkey
+        WHERE o_orderstatus = 'F'
+          AND l_shipdate > o_orderdate + INTERVAL 30 DAY
+    )
+    SELECT s_name, count(*) AS numwait
+    FROM late l1 JOIN supplier ON s_suppkey = l1.l_suppkey
+    WHERE EXISTS (
+            SELECT 1 FROM lineitem l2
+            WHERE l2.l_orderkey = l1.l_orderkey
+              AND l2.l_suppkey <> l1.l_suppkey)
+      AND NOT EXISTS (
+            SELECT 1 FROM late l3
+            WHERE l3.l_orderkey = l1.l_orderkey
+              AND l3.l_suppkey <> l1.l_suppkey)
+    GROUP BY s_name
+    ORDER BY numwait DESC, s_name
+    LIMIT 100
+    """,
+    tags=("analytics", "subquery"),
+)
+def tpch_q21(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Q21 suppliers who kept finished orders waiting (lateness =
+    shipped >30 days after order date). The EXISTS / NOT EXISTS pair
+    decorrelates into per-order aggregates computed in ONE pass each:
+    distinct suppliers per order (EXISTS) and distinct *late*
+    suppliers per order (NOT EXISTS == exactly this one late
+    supplier) — no per-row subquery re-execution, two orderkey
+    shuffles total."""
+    o = load(spark, sf_dir, "orders").filter(F.col("o_orderstatus") == "F").select(
+        "o_orderkey", "o_orderdate"
+    )
+    li = load(spark, sf_dir, "lineitem").select("l_orderkey", "l_suppkey", "l_shipdate")
+    late = li.join(o, li.l_orderkey == o.o_orderkey).filter(
+        F.col("l_shipdate") > F.col("o_orderdate") + F.expr("INTERVAL 30 DAYS")
+    ).select("l_orderkey", "l_suppkey")
+    order_supps = li.groupBy("l_orderkey").agg(
+        F.count_distinct("l_suppkey").alias("n_supps")
+    )
+    late_supps = late.groupBy(F.col("l_orderkey").alias("lk")).agg(
+        F.count_distinct("l_suppkey").alias("n_late_supps")
+    )
+    blamed = (
+        late.join(order_supps.filter(F.col("n_supps") >= 2), "l_orderkey")
+        .join(
+            late_supps.filter(F.col("n_late_supps") == 1),
+            F.col("l_orderkey") == F.col("lk"),
+        )
+    )
+    s = load(spark, sf_dir, "supplier").select("s_suppkey", "s_name")
+    return (
+        blamed.join(F.broadcast(s), blamed.l_suppkey == s.s_suppkey)
+        .groupBy("s_name")
+        .agg(F.count(F.lit(1)).alias("numwait"))
+        .orderBy(F.col("numwait").desc(), "s_name")
+        .limit(100)
+    )
