@@ -488,3 +488,67 @@ def agg_boolean_aggs(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.bool_or(F.col("o_orderstatus") == "P").alias("any_pending"),
         F.count(F.lit(1)).alias("n"),
     )
+
+
+@query(
+    "agg_countmin_sketch",
+    oracle="""
+    WITH seeds(seed, a, b) AS (
+        VALUES (0, 911382323, 972663749), (1, 640874693, 495124967),
+               (2, 853187461, 161803399), (3, 718064159, 577215665)
+    ), sk AS (
+        SELECT seed, ((user_id * a + b) % 1000003) % 256 AS bucket,
+               count(*) AS c
+        FROM events CROSS JOIN seeds
+        GROUP BY 1, 2
+    ), probes AS (
+        SELECT DISTINCT user_id FROM events
+    )
+    SELECT p.user_id, CAST(min(sk.c) AS BIGINT) AS cm_estimate
+    FROM probes p
+    CROSS JOIN seeds s
+    JOIN sk ON sk.seed = s.seed
+           AND sk.bucket = ((p.user_id * s.a + s.b) % 1000003) % 256
+    GROUP BY p.user_id
+    ORDER BY p.user_id
+    """,
+    tags=("agg", "sketch"),
+)
+def agg_countmin_sketch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Count-min sketch: d=4 pairwise-independent hash rows x w=256
+    buckets, estimate = min over rows. The hash is plain modular
+    arithmetic ((key*a + b) mod p mod w) so the sketch is
+    engine-portable and the oracle exact — unlike xxhash64, which only
+    Spark implements.
+
+    Scale shape: the BUILD is one map-side-combinable aggregation over
+    (seed, bucket) — the sketch is d*w = 1024 rows no matter the input
+    size, the whole point of the structure at 100 TB (it then
+    broadcasts to estimate any key without rescanning the stream). The
+    probe side here queries every distinct key to make the estimate
+    error measurable against the oracle."""
+    ev = load(spark, sf_dir, "events").select("user_id")
+    seeds = spark.createDataFrame(
+        [
+            (0, 911382323, 972663749),
+            (1, 640874693, 495124967),
+            (2, 853187461, 161803399),
+            (3, 718064159, 577215665),
+        ],
+        "seed INT, a BIGINT, b BIGINT",
+    )
+    bucket = ((F.col("user_id") * F.col("a") + F.col("b")) % 1000003) % 256
+    sketch = (
+        ev.join(F.broadcast(seeds))
+        .groupBy(F.col("seed"), bucket.alias("bucket"))
+        .agg(F.count(F.lit(1)).alias("c"))
+    )
+    probes = ev.distinct().join(F.broadcast(seeds)).select(
+        "user_id", "seed", bucket.alias("bucket")
+    )
+    return (
+        probes.join(F.broadcast(sketch), ["seed", "bucket"])
+        .groupBy("user_id")
+        .agg(F.min("c").alias("cm_estimate"))
+        .orderBy("user_id")
+    )

@@ -1151,3 +1151,117 @@ def llm_vector_quantize(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round("_scale_raw", 6).alias("scale"),
         F.concat_ws(",", quant).alias("q8"),
     )
+
+
+@query(
+    "llm_segment_dedup",
+    oracle="""
+    WITH seg AS (
+        SELECT doc_id,
+               array_to_string(
+                   ws[CAST(i*3+1 AS BIGINT) : CAST(i*3+3 AS BIGINT)], ' ') AS seg_text
+        FROM (SELECT doc_id, string_split(text, ' ') AS ws FROM documents) d,
+             unnest(range(CAST(ceil(len(ws) / 3.0) AS BIGINT))) AS t(i)
+    ), freq AS (
+        SELECT seg_text, count(DISTINCT doc_id) AS ndocs FROM seg GROUP BY 1
+    )
+    SELECT s.doc_id,
+           count(*) AS total_segs,
+           CAST(sum(CASE WHEN f.ndocs <= 2 THEN 1 ELSE 0 END) AS BIGINT) AS kept_segs
+    FROM seg s JOIN freq f USING (seg_text)
+    GROUP BY s.doc_id
+    ORDER BY s.doc_id
+    """,
+    tags=("llm", "dedup", "text"),
+)
+def llm_segment_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CCNet/Gopher-style cross-document segment dedup: split each
+    document into fixed-width word segments, count each segment's
+    document frequency across the corpus, and drop segments appearing
+    in more than 2 documents (boilerplate). Output is the per-document
+    keep audit (total vs surviving segments).
+
+    Scale shape: segmentation is pure JVM array code (split +
+    sequence/transform/slice — no Python, no shuffle); the corpus pass
+    is two shuffles, one on seg_text for document frequency (the same
+    key a df-capped Jaccard join uses) and one back on doc_id. Hot
+    boilerplate segments are exactly the rows the filter removes, so
+    the skew they cause is bounded by the ndocs count itself."""
+    docs = load(spark, sf_dir, "documents").select("doc_id", "text")
+    words = F.split("text", " ")
+    nseg = F.ceil(F.size(words) / F.lit(3.0)).cast("int")
+    segments = F.transform(
+        F.sequence(F.lit(0), nseg - 1),
+        lambda i: F.array_join(F.slice(words, i * 3 + 1, 3), " "),
+    )
+    seg = docs.select("doc_id", F.explode(segments).alias("seg_text"))
+    freq = seg.groupBy("seg_text").agg(F.count_distinct("doc_id").alias("ndocs"))
+    return (
+        seg.join(freq, "seg_text")
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("total_segs"),
+            F.sum(F.when(F.col("ndocs") <= 2, 1).otherwise(0)).alias("kept_segs"),
+        )
+        .orderBy("doc_id")
+    )
+
+
+@query("llm_knn_rerank", oracle=None, tags=("llm", "similarity", "approx"))
+def llm_knn_rerank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Two-stage retrieval: int8-quantized dot-product prefilter keeps
+    a 5x candidate pool, exact double-precision cosine reranks the
+    final top-10 (rows-only: the candidate cut is an approximation;
+    recall vs brute force is unit-tested in tests/test_llm.py).
+
+    Scale shape: stage 1 scores the full corpus with int8 arithmetic —
+    4x less memory bandwidth than float32, the reason production ANN
+    serves quantized — and reduces via TakeOrderedAndProject (no full
+    sort). Stage 2 touches only the 50-row candidate pool, so its cost
+    is independent of corpus size."""
+    from ..llm.similarity import cosine_score
+
+    emb = load(spark, sf_dir, "embeddings")
+    qrow = (
+        emb.orderBy("vec_id").select("embedding").limit(1).collect()[0][0]
+    )  # parameter-only collect: the query vector itself
+    qv = [float(x) for x in qrow]
+    qscale = max(abs(x) for x in qv) / 127.0 or 1.0
+    q8 = [int(x / qscale + 0.5) if x >= 0 else -int(-x / qscale + 0.5) for x in qv]
+
+    v = F.transform("embedding", lambda x: x.cast("double"))
+    base = emb.select("vec_id", v.alias("v"))
+    scale = F.array_max(F.transform("v", lambda x: F.abs(x))) / 127.0
+    stats = base.select(
+        "vec_id",
+        "v",
+        F.sqrt(F.aggregate("v", F.lit(0.0), lambda a, x: a + x * x)).alias("norm"),
+        scale.alias("scale"),
+    )
+    raw = F.col("scale")
+    v8 = F.transform(
+        "v",
+        lambda x: F.floor(F.when(raw == 0, F.lit(0.0)).otherwise(x / raw) + 0.5).cast(
+            "long"
+        ),
+    )
+    q8_lit = F.array(*[F.lit(x) for x in q8])
+    approx_dot = F.aggregate(
+        F.zip_with(v8, q8_lit, lambda a, b: a * b), F.lit(0.0), lambda acc, x: acc + x
+    )
+    # ranking-equivalent approx cosine: query norm is a shared constant
+    approx = (approx_dot * raw * F.lit(qscale)) / F.when(
+        F.col("norm") == 0, F.lit(1.0)
+    ).otherwise(F.col("norm"))
+    cand = (
+        stats.withColumn("approx_score", approx)
+        .orderBy(F.col("approx_score").desc(), "vec_id")
+        .limit(50)
+    )
+    q_lit = F.array(*[F.lit(x) for x in qv])
+    return (
+        cand.withColumn("score", F.round(cosine_score(F.col("v"), q_lit), 4) + F.lit(0.0))
+        .select("vec_id", "score")
+        .orderBy(F.col("score").desc(), "vec_id")
+        .limit(10)
+    )

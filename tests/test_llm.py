@@ -245,3 +245,19 @@ def test_stratified_sample_exact_quota(spark):
     a = sorted(r.doc_id for r in stratified_sample(df, ["lang"], "doc_id", 0.2).collect())
     b = sorted(r.doc_id for r in stratified_sample(df, ["lang"], "doc_id", 0.2).collect())
     assert a == b
+
+
+def test_knn_rerank_recall_vs_brute_force(spark, sf_dir):
+    import appstore_aws_etl_spark.queries  # noqa: F401 — populates REGISTRY
+    from appstore_aws_etl_spark.registry import REGISTRY
+
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    qvec = emb.orderBy("vec_id").select("embedding").limit(1).collect()[0][0]
+    exact = [r["vec_id"] for r in brute_force_knn(emb, qvec, k=10).collect()]
+    approx = [r["vec_id"] for r in REGISTRY["llm_knn_rerank"].fn(spark, sf_dir).collect()]
+    # int8 quantization perturbs scores ~1/127 relative; with a 5x
+    # candidate pool the exact rerank recovers nearly all of the true
+    # top-10 on the fixture
+    recall = len(set(exact) & set(approx)) / 10
+    assert recall >= 0.8
+    assert approx[0] == 0  # the query vector itself is its own 1-NN
