@@ -49,6 +49,29 @@ _R1_DRIVER_VERIFIED = frozenset(
         "join_left", "join_right", "join_full", "join_semi", "join_anti",
     }
 )
+# Keys the round-2 driver sweep verified green (CORRECTNESS_r02.json);
+# like the round-1 set they sort to the back of queries() so a
+# budgeted round-3 sweep spends its time on still-unverified keys.
+_R2_DRIVER_VERIFIED = frozenset(
+    {
+        "agg_boolean_aggs", "agg_corr_regr", "agg_decimal_money",
+        "agg_heavy_hitters", "agg_mad_robust", "agg_string_agg",
+        "agg_unpivot", "analytics_abc_class", "analytics_market_basket",
+        "analytics_mom_growth", "analytics_rfm", "fn_array_setops",
+        "fn_date_calendar", "fn_hash_encode", "graph_pagerank",
+        "join_bloom_prefilter", "join_cross", "join_multikey",
+        "join_null_safe", "join_range", "join_self", "join_theta",
+        "llm_cosine", "llm_dedup_exact", "llm_knn", "llm_wordcount",
+        "tpch_q13_customer_distribution", "tpch_q14_promo_share",
+        "tpch_q15_top_supplier", "tpch_q17_small_quantity_revenue",
+        "tpch_q18_large_orders", "tpch_q19_disjunctive",
+        "tpch_q22_dormant_customers", "tpch_q4_priority_exists",
+        "tpch_q6_forecast_revenue", "tpch_q7_volume_shipping",
+        "tpch_q8_market_share", "util_data_quality", "util_table_profile",
+        "util_zorder_layout",
+    }
+)
+_DRIVER_VERIFIED = _R1_DRIVER_VERIFIED | _R2_DRIVER_VERIFIED
 # multi-second keys at sf0.01 (LSH signature UDFs, IVF training,
 # gram self-joins, iterative label propagation) — run after the cheap
 # fresh keys
@@ -69,10 +92,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     """One entry per implemented operator from SURVEY.md §2, ordered so
     a time-budgeted correctness sweep hits driver-unverified keys first."""
     fresh = [
-        n for n in REGISTRY if n not in _R1_DRIVER_VERIFIED and n not in _HEAVY
+        n for n in REGISTRY if n not in _DRIVER_VERIFIED and n not in _HEAVY
     ]
-    heavy = [n for n in _HEAVY if n in REGISTRY and n not in _R1_DRIVER_VERIFIED]
-    proven = [n for n in REGISTRY if n in _R1_DRIVER_VERIFIED]
+    heavy = [n for n in _HEAVY if n in REGISTRY and n not in _DRIVER_VERIFIED]
+    proven = [n for n in REGISTRY if n in _DRIVER_VERIFIED]
     return {name: REGISTRY[name].fn for name in fresh + heavy + proven}
 
 
