@@ -552,3 +552,78 @@ def agg_countmin_sketch(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.min("c").alias("cm_estimate"))
         .orderBy("user_id")
     )
+
+
+@query(
+    "agg_bloom_filter",
+    oracle="""
+    WITH seeds(seed, a, b) AS (
+        VALUES (0, 911382323, 972663749), (1, 640874693, 495124967),
+               (2, 853187461, 161803399)
+    ), pos AS (
+        SELECT DISTINCT ((user_id * a + b) % 1000003) % 2079 AS p
+        FROM events CROSS JOIN seeds
+    ), words AS (
+        SELECT p // 63 AS word_id, bit_or(1::BIGINT << CAST(p % 63 AS INT)) AS bits
+        FROM pos GROUP BY 1
+    ), probe AS (
+        SELECT c_custkey,
+               ((c_custkey * s.a + s.b) % 1000003) % 2079 AS p
+        FROM customer CROSS JOIN seeds s
+    )
+    SELECT c_custkey,
+           bool_and(coalesce((w.bits >> CAST(p.p % 63 AS INT)) & 1, 0) = 1)
+               AS maybe_present
+    FROM probe p LEFT JOIN words w ON w.word_id = p.p // 63
+    GROUP BY c_custkey
+    ORDER BY c_custkey
+    """,
+    tags=("agg", "sketch"),
+)
+def agg_bloom_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bloom filter build + probe with engine-portable arithmetic:
+    k=3 modular hashes into m=2079 bits packed as 33 x 63-bit words
+    (bit 63 stays clear so the BIGINT shift never touches the sign).
+    Probing every customer key against the event-user filter yields the
+    classic semi-join pre-filter: false positives possible, false
+    negatives impossible.
+
+    Scale shape: the build is one distinct + one 33-row bit_or
+    aggregation — the filter is ~constant size regardless of input, so
+    it broadcasts to the probe side for free. This is exactly the
+    runtime-filter pattern Spark's own bloom-join uses; here it is
+    materialized as data so the oracle can verify every bit."""
+    seeds = spark.createDataFrame(
+        [(0, 911382323, 972663749), (1, 640874693, 495124967), (2, 853187461, 161803399)],
+        "seed INT, a BIGINT, b BIGINT",
+    )
+    hpos = lambda key: ((F.col(key) * F.col("a") + F.col("b")) % 1000003) % 2079  # noqa: E731
+    ev = load(spark, sf_dir, "events").select("user_id")
+    pos = ev.join(F.broadcast(seeds)).select(hpos("user_id").alias("p")).distinct()
+    # shiftleft's bit-count argument must be a column here, which only
+    # the SQL form accepts (the Python helper takes a literal int)
+    words = pos.groupBy((F.col("p") / 63).cast("long").alias("word_id")).agg(
+        F.bit_or(F.expr("shiftleft(CAST(1 AS BIGINT), CAST(p % 63 AS INT))")).alias("bits")
+    )
+    probe = (
+        load(spark, sf_dir, "customer")
+        .select("c_custkey")
+        .join(F.broadcast(seeds))
+        .select("c_custkey", hpos("c_custkey").alias("p"))
+    )
+    hit = (
+        F.coalesce(
+            F.expr("shiftright(bits, CAST(p % 63 AS INT))") % 2, F.lit(0).cast("long")
+        )
+        == 1
+    )
+    return (
+        probe.join(
+            F.broadcast(words),
+            (F.col("p") / 63).cast("long") == F.col("word_id"),
+            "left",
+        )
+        .groupBy("c_custkey")
+        .agg(F.bool_and(hit).alias("maybe_present"))
+        .orderBy("c_custkey")
+    )

@@ -1265,3 +1265,50 @@ def llm_knn_rerank(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.col("score").desc(), "vec_id")
         .limit(10)
     )
+
+
+@query(
+    "llm_unigram_logprob",
+    oracle="""
+    WITH tok AS (
+        SELECT doc_id, unnest(string_split(text, ' ')) AS word FROM documents
+    ), vocab AS (
+        SELECT word, count(*) AS c FROM tok GROUP BY word
+    ), total AS (
+        SELECT sum(c) AS n FROM vocab
+    )
+    SELECT t.doc_id,
+           count(*) AS n_tokens,
+           round(avg(-ln(v.c / tt.n)), 4) AS avg_neg_logprob
+    FROM tok t JOIN vocab v USING (word) CROSS JOIN total tt
+    GROUP BY t.doc_id
+    ORDER BY t.doc_id
+    """,
+    tags=("llm", "text", "quality"),
+)
+def llm_unigram_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Perplexity-proxy quality score: train a corpus unigram LM (one
+    count pass) and score each document by mean negative log
+    probability — the cheap first-pass fluency signal production
+    pipelines run before an actual LM (high values = rare-token soup,
+    candidates for dropping).
+
+    Scale shape: tokenize once, two shuffles (word for the LM, doc_id
+    for the score), corpus total broadcast as a 1-row cross join; every
+    expression is JVM-side. The vocab join is the hot path and is
+    skew-safe: partial aggregation collapses repeated words per
+    partition before the exchange."""
+    docs = load(spark, sf_dir, "documents").select("doc_id", "text")
+    tok = docs.select("doc_id", F.explode(F.split("text", " ")).alias("word"))
+    vocab = tok.groupBy("word").agg(F.count(F.lit(1)).alias("c"))
+    total = vocab.agg(F.sum("c").alias("n"))
+    return (
+        tok.join(vocab, "word")
+        .join(F.broadcast(total))
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_tokens"),
+            F.round(F.avg(-F.log(F.col("c") / F.col("n"))), 4).alias("avg_neg_logprob"),
+        )
+        .orderBy("doc_id")
+    )
