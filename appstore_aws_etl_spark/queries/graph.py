@@ -74,12 +74,14 @@ def graph_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .select(F.col("a.l_partkey").alias("src"), F.col("b.l_partkey").alias("dst"))
         .distinct()
-        .cache()
     )
     deg = edges.groupBy("src").agg(F.count(F.lit(1)).alias("d"))
-    n_nodes = deg.count()  # parameter-only collect: one scalar, never row data
+    # cache the JOINED message relation, not the bare edge list: the
+    # unrolled 3-iteration DAG references it three times, and caching
+    # edges alone still re-runs the edges-deg join per iteration
+    messages = edges.join(deg, "src").cache()
+    n_nodes = messages.select("src").distinct().count()  # parameter-only collect
     pr = deg.select(F.col("src").alias("node"), (F.lit(1.0) / F.lit(float(n_nodes))).alias("pr"))
-    messages = edges.join(deg, "src")
     for _ in range(3):
         pr = (
             messages.join(pr, messages.src == pr.node)
