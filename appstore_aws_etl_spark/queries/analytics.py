@@ -1469,3 +1469,39 @@ def ts_ewma(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     ev = load(spark, sf_dir, "events")
     return ewma(ev, key="user_id", ts="ts", value="value", alpha=0.2, order_cols=("event_id",))
+
+
+@query(
+    "util_compaction_plan",
+    oracle="""
+    SELECT doc_id, source,
+           CAST(floor((sum(n_chars) OVER (PARTITION BY source ORDER BY doc_id
+                                          ROWS UNBOUNDED PRECEDING)
+                       - n_chars) / 4000.0) AS BIGINT) AS file_bin
+    FROM documents
+    ORDER BY source, doc_id
+    """,
+    tags=("util", "maintenance"),
+)
+def util_compaction_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Small-file compaction planner: within each source partition,
+    assign documents to target output files by running-size bin
+    packing (first-fit in id order, 4000-char target — the same
+    cumulative-sum-over-start-offset trick OPTIMIZE/compaction jobs
+    use to group small files into ~128 MB outputs without a driver
+    loop).
+
+    Scale shape: one shuffle on the partition column, one
+    running-sum window per partition — the plan is a pure metadata
+    pass; the actual rewrite would then repartition by file_bin so
+    each output task writes exactly one compacted file."""
+    docs = load(spark, sf_dir, "documents")
+    w = Window.partitionBy("source").orderBy("doc_id").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    start_offset = F.sum("n_chars").over(w) - F.col("n_chars")
+    return docs.select(
+        "doc_id",
+        "source",
+        F.floor(start_offset / 4000.0).alias("file_bin"),
+    ).orderBy("source", "doc_id")

@@ -312,3 +312,42 @@ def win_moving_median(spark: SparkSession, sf_dir: str) -> DataFrame:
     return ev.select(
         "event_id", "user_id", F.round((lo + hi) / 2, 4).alias("med25")
     )
+
+
+@query(
+    "win_time_range_frame",
+    oracle="""
+    SELECT event_id, user_id,
+           count(*) OVER w AS n_trailing_hour,
+           round(sum(value) OVER w, 2) AS sum_trailing_hour
+    FROM events
+    WINDOW w AS (PARTITION BY user_id ORDER BY ts
+                 RANGE BETWEEN INTERVAL 1 HOUR PRECEDING AND CURRENT ROW)
+    ORDER BY event_id
+    """,
+    tags=("window", "timeseries"),
+)
+def win_time_range_frame(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Event-time RANGE frame: per user, aggregates over the trailing
+    one hour of events — the window-function twin of a sliding stream
+    window. Spark's rangeBetween needs a numeric ordering key, so the
+    timestamp becomes epoch seconds and the frame is [-3600, 0];
+    RANGE semantics include peers, making tie order irrelevant on both
+    engines.
+
+    Scale shape: one shuffle on user_id (the partition key) and a sort
+    within partitions — unlike a global ORDER BY window there is no
+    single-task bottleneck; each user's frame state is a bounded
+    sliding buffer."""
+    ev = load(spark, sf_dir, "events")
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy(F.unix_timestamp("ts"))
+        .rangeBetween(-3600, Window.currentRow)
+    )
+    return ev.select(
+        "event_id",
+        "user_id",
+        F.count(F.lit(1)).over(w).alias("n_trailing_hour"),
+        F.round(F.sum("value").over(w), 2).alias("sum_trailing_hour"),
+    ).orderBy("event_id")

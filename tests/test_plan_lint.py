@@ -32,6 +32,10 @@ NESTED_LOOP_OK = {
     "tpch_q22_dormant_customers",  # crossJoin(broadcast(avg_bal)) — 1-row scalar
     "analytics_market_basket",     # crossJoin(broadcast(n_orders)) — 1-row scalar
     "util_data_quality",           # crossJoin(broadcast(n_rows)) — 1-row scalar
+    "agg_countmin_sketch",         # crossJoin(broadcast(seeds)) — 4-row hash params
+    "agg_bloom_filter",            # crossJoin(broadcast(seeds)) — 3-row hash params
+    "llm_unigram_logprob",         # crossJoin(broadcast(total)) — 1-row corpus stat
+    "tpch_q11_important_stock",    # crossJoin(broadcast(thresh)) — 1-row scalar
 }
 ROW_UDF_OK = {"udf_scalar"}
 # construction triggers Spark jobs (model fitting / parameter fetch);
