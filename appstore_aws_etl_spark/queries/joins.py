@@ -530,3 +530,43 @@ def join_asof_nearest(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("asof_r_id").alias("near_id"),
         F.col("asof_value").alias("near_value"),
     )
+
+
+@query(
+    "join_salted_skew",
+    oracle="""
+    SELECT c_mktsegment,
+           count(*) AS n_events,
+           round(sum(value), 2) AS total_value
+    FROM events JOIN customer ON user_id = c_custkey
+    GROUP BY c_mktsegment
+    ORDER BY c_mktsegment
+    """,
+    tags=("join", "skew", "custom-operator"),
+)
+def join_salted_skew(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hot-key salted equi-join (operators/skew.py salted_join), then
+    the usual segment rollup. Hot keys are passed explicitly (the four
+    lowest user ids) so the salt path executes deterministically; the
+    oracle is the PLAIN join — the whole point is that two-path
+    salting is result-identical while spreading each hot key over 8
+    salt buckets instead of one reducer.
+
+    Scale shape: only the declared-hot slice of the right side is
+    replicated (8x a handful of customer rows); the cold path is an
+    ordinary shuffle join. At 100 TB hot keys come from a one-pass
+    count (bounded parameter list), not a guess."""
+    from ..operators.skew import salted_join
+
+    ev = load(spark, sf_dir, "events").withColumnRenamed("user_id", "k")
+    cust = load(spark, sf_dir, "customer").withColumnRenamed("c_custkey", "k")
+    joined = salted_join(ev, cust, on="k", salt_buckets=8, how="inner",
+                         hot_keys=[0, 1, 2, 3])
+    return (
+        joined.groupBy("c_mktsegment")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.round(F.sum("value"), 2).alias("total_value"),
+        )
+        .orderBy("c_mktsegment")
+    )

@@ -1312,3 +1312,59 @@ def llm_unigram_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("doc_id")
     )
+
+
+@query("llm_dedup_survivors", oracle=None, tags=("llm", "dedup", "approx"))
+def llm_dedup_survivors(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The end-to-end near-dup dedup a training pipeline actually
+    ships: MinHash-LSH candidate pairs -> connected components (min-
+    label propagation over the pair edges) -> keep the lowest doc_id
+    per component -> emit the surviving corpus. Rows-only (MinHash is
+    approximate); chain recall and survivor invariants are unit-tested
+    against planted duplicates in tests/test_llm.py.
+
+    Scale shape: pairs come from banded LSH (never all-pairs), the
+    component walk is per-round one join + one grouped min over the
+    candidate-pair edge set — which is tiny relative to the corpus
+    (only documents with a near-dup neighbour appear) — and the final
+    keep is a broadcast anti-join of losers against the corpus."""
+    docs = load(spark, sf_dir, "documents").select("doc_id", "text")
+    # plant duplicate chains so the pipeline has real work at any sf
+    aug = docs.unionByName(
+        docs.filter(F.col("doc_id") % 10 == 0).select(
+            (F.col("doc_id") + 100000).alias("doc_id"), "text"
+        )
+    )
+    pairs = minhash_near_dup_pairs(aug, jaccard_threshold=0.5).select(
+        F.col("id_a").alias("src"), F.col("id_b").alias("dst")
+    )
+    und = pairs.union(
+        pairs.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
+    ).persist()
+    labels = und.select(F.col("src").alias("node")).distinct().withColumn(
+        "component", F.col("node")
+    )
+    for _ in range(4):  # duplicate chains are short; diameter-bounded
+        mins = (
+            und.join(labels.withColumnRenamed("node", "src"), "src")
+            .groupBy(F.col("dst").alias("node"))
+            .agg(F.min("component").alias("nbr_min"))
+        )
+        labels = (
+            labels.join(mins, "node", "left")
+            .select(
+                "node",
+                F.least("component", F.coalesce("nbr_min", "component")).alias(
+                    "component"
+                ),
+            )
+            .persist()
+        )
+    losers = labels.filter(F.col("node") != F.col("component")).select(
+        F.col("node").alias("doc_id")
+    )
+    return (
+        aug.join(losers, "doc_id", "left_anti")
+        .select("doc_id")
+        .orderBy("doc_id")
+    )

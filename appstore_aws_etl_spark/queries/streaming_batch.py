@@ -251,3 +251,52 @@ def stream_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.date_trunc("second", "v_ts_raw").alias("v_ts"),
         F.round("value", 2).alias("purchase_value"),
     )
+
+
+@query(
+    "stream_left_join",
+    oracle="""
+    SELECT p.event_id AS purchase_id, v.event_id AS view_id, p.user_id,
+           date_trunc('second', p.ts) AS p_ts,
+           round(p.value, 2) AS purchase_value
+    FROM (SELECT * FROM events WHERE event_type = 'purchase') p
+    LEFT JOIN (SELECT * FROM events WHERE event_type = 'view') v
+      ON v.user_id = p.user_id
+     AND v.ts <= p.ts
+     AND v.ts >= p.ts - INTERVAL 1 HOUR
+    """,
+    tags=("streaming",),
+)
+def stream_left_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """T9 stream-stream LEFT OUTER join, batch-equivalent semantics:
+    every purchase survives, attributed views where one exists in the
+    preceding hour, NULL view columns otherwise. In true streaming the
+    null rows can only be emitted once the view-side watermark passes
+    purchase_ts (until then a matching view may still arrive) — the
+    time bound plus both watermarks is what makes the outer side
+    decidable with bounded state; the batch twin states the same
+    fixpoint without the wait."""
+    ev = load(spark, sf_dir, "events")
+    v = ev.filter(F.col("event_type") == "view").select(
+        F.col("user_id").alias("v_user"),
+        F.col("ts").alias("v_ts_raw"),
+        F.col("event_id").alias("view_id"),
+    )
+    p = ev.filter(F.col("event_type") == "purchase").select(
+        "user_id",
+        F.col("ts").alias("p_ts_raw"),
+        F.col("event_id").alias("purchase_id"),
+        "value",
+    )
+    cond = (
+        (F.col("v_user") == F.col("user_id"))
+        & (F.col("v_ts_raw") <= F.col("p_ts_raw"))
+        & (F.col("v_ts_raw") >= F.col("p_ts_raw") - F.expr("INTERVAL 1 HOUR"))
+    )
+    return p.join(v, cond, "left").select(
+        "purchase_id",
+        "view_id",
+        "user_id",
+        F.date_trunc("second", "p_ts_raw").alias("p_ts"),
+        F.round("value", 2).alias("purchase_value"),
+    )

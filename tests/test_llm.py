@@ -261,3 +261,26 @@ def test_knn_rerank_recall_vs_brute_force(spark, sf_dir):
     recall = len(set(exact) & set(approx)) / 10
     assert recall >= 0.8
     assert approx[0] == 0  # the query vector itself is its own 1-NN
+
+
+def test_dedup_survivors_remove_planted_copies(spark, sf_dir):
+    import appstore_aws_etl_spark.queries  # noqa: F401 — populates REGISTRY
+    from appstore_aws_etl_spark.registry import REGISTRY
+
+    survivors = {
+        r["doc_id"]
+        for r in REGISTRY["llm_dedup_survivors"].fn(spark, sf_dir).collect()
+    }
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    planted = {
+        r["doc_id"] + 100000
+        for r in docs.filter(F.col("doc_id") % 10 == 0).select("doc_id").collect()
+    }
+    # every planted copy is an exact dup of its base: identical MinHash
+    # signatures guarantee an LSH candidate pair, and min-label keeps
+    # the lower id — no planted +100000 copy may survive
+    assert not (survivors & planted)
+    # dedup never invents documents and never empties the corpus
+    base_ids = {r["doc_id"] for r in docs.select("doc_id").collect()}
+    assert survivors <= base_ids | planted
+    assert len(survivors) >= len(base_ids) // 2
