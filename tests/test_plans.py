@@ -38,3 +38,30 @@ def test_topk_uses_take_ordered(spark, sf_dir):
     df = REGISTRY["sort_topk"].fn(spark, sf_dir)
     plan = formatted_plan(df)
     assert "TakeOrderedAndProject" in plan
+
+
+def test_tpch_q9_dims_broadcast_single_fact_shuffle_pre_agg(spark, sf_dir):
+    plan = formatted_plan(REGISTRY["tpch_q9_product_profit"].fn(spark, sf_dir))
+    # part/supplier/nation ride broadcast joins — never a fact-side shuffle
+    assert plan.count("BroadcastHashJoin") >= 3
+    # the part slice's LIKE filter reaches the scan as a pushed predicate
+    assert "StringStartsWith(p_name,red)" in plan
+    # partial agg before the (nation, year) exchange
+    assert plan.count("HashAggregate") >= 2
+
+
+def test_tpch_q2_min_cost_window_instead_of_subquery(spark, sf_dir):
+    plan = formatted_plan(REGISTRY["tpch_q2_min_cost_supplier"].fn(spark, sf_dir))
+    # the correlated min-cost subquery decorrelates to one window over
+    # partkey and the top-100 never sorts the full result
+    assert "Window" in plan
+    assert "TakeOrderedAndProject" in plan
+
+
+def test_segment_dedup_stays_jvm_side(spark, sf_dir):
+    plan = formatted_plan(REGISTRY["llm_segment_dedup"].fn(spark, sf_dir))
+    # segmentation is array code inside codegen — no Python anywhere
+    # (AQE's pre-execution formatted plan carries no codegen spans, so
+    # the lint is the absence of Python eval nodes)
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+    assert "Generate" in plan  # the array segmentation stays relational
