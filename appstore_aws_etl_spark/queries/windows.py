@@ -321,7 +321,7 @@ def win_moving_median(spark: SparkSession, sf_dir: str) -> DataFrame:
            count(*) OVER w AS n_trailing_hour,
            round(sum(value) OVER w, 2) AS sum_trailing_hour
     FROM events
-    WINDOW w AS (PARTITION BY user_id ORDER BY ts
+    WINDOW w AS (PARTITION BY user_id ORDER BY date_trunc('second', ts)
                  RANGE BETWEEN INTERVAL 1 HOUR PRECEDING AND CURRENT ROW)
     ORDER BY event_id
     """,
@@ -331,9 +331,12 @@ def win_time_range_frame(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Event-time RANGE frame: per user, aggregates over the trailing
     one hour of events — the window-function twin of a sliding stream
     window. Spark's rangeBetween needs a numeric ordering key, so the
-    timestamp becomes epoch seconds and the frame is [-3600, 0];
-    RANGE semantics include peers, making tie order irrelevant on both
-    engines.
+    timestamp becomes epoch seconds and the frame is [-3600, 0]; the
+    oracle orders by the second-truncated timestamp so both engines
+    evaluate the identical boundary (unix_timestamp floors to the
+    second — sub-second ordering would make hour-boundary membership
+    engine-dependent). RANGE semantics include peers, making tie order
+    irrelevant on both engines.
 
     Scale shape: one shuffle on user_id (the partition key) and a sort
     within partitions — unlike a global ORDER BY window there is no
