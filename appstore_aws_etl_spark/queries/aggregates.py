@@ -12,7 +12,7 @@ strings; extremum-of-group uses max_by/min_by with unique tie-breaks.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from ..catalog import load, register_views
@@ -626,4 +626,44 @@ def agg_bloom_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("c_custkey")
         .agg(F.bool_and(hit).alias("maybe_present"))
         .orderBy("c_custkey")
+    )
+
+
+@query(
+    "agg_mode",
+    oracle="""
+    WITH c AS (
+        SELECT l_returnflag, l_quantity, count(*) AS n
+        FROM lineitem GROUP BY 1, 2
+    ), r AS (
+        SELECT *, max(n) OVER (PARTITION BY l_returnflag) AS mx FROM c
+    )
+    SELECT l_returnflag,
+           min(l_quantity) AS mode_qty,
+           CAST(max(n) AS BIGINT) AS mode_count
+    FROM r WHERE n = mx
+    GROUP BY l_returnflag
+    ORDER BY l_returnflag
+    """,
+    tags=("agg",),
+)
+def agg_mode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Statistical mode per group with an explicit tie-break (smallest
+    value among the most frequent) — engine built-in mode() functions
+    break ties arbitrarily, so the deterministic two-level form is
+    what a cross-engine pipeline actually ships: value-count agg, a
+    windowed max over the small distinct-value relation, then a
+    min-filter. Two shuffles, both on bounded keys (flag and
+    flag x distinct quantity)."""
+    li = load(spark, sf_dir, "lineitem")
+    c = li.groupBy("l_returnflag", "l_quantity").agg(F.count(F.lit(1)).alias("n"))
+    w = Window.partitionBy("l_returnflag")
+    r = c.withColumn("mx", F.max("n").over(w)).filter(F.col("n") == F.col("mx"))
+    return (
+        r.groupBy("l_returnflag")
+        .agg(
+            F.min("l_quantity").alias("mode_qty"),
+            F.max("n").alias("mode_count"),
+        )
+        .orderBy("l_returnflag")
     )

@@ -1505,3 +1505,65 @@ def util_compaction_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
         "source",
         F.floor(start_offset / 4000.0).alias("file_bin"),
     ).orderBy("source", "doc_id")
+
+
+@query(
+    "sub_recursive_hierarchy",
+    oracle="""
+    WITH RECURSIVE tree AS (
+        SELECT p_partkey AS node, CAST((p_partkey - 1) // 7 AS BIGINT) AS parent
+        FROM part WHERE p_partkey > 0
+    ), walk(node, anc, depth) AS (
+        SELECT node, parent, 1 FROM tree
+        UNION ALL
+        SELECT w.node, t.parent, w.depth + 1
+        FROM walk w JOIN tree t ON w.anc = t.node
+        WHERE w.anc > 0
+    )
+    SELECT node,
+           max(depth) AS depth,
+           coalesce(arg_max(anc, depth) FILTER (WHERE anc > 0), node) AS top_branch
+    FROM walk GROUP BY node ORDER BY node
+    """,
+    tags=("subquery", "iterative", "custom-operator"),
+)
+def sub_recursive_hierarchy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hierarchical (recursive-CTE) query: walk a 7-ary part hierarchy
+    (parent(n) = (n-1) div 7, root 0) to each node's depth and its
+    top-level branch (the ancestor directly under the root). The
+    oracle is DuckDB's literal WITH RECURSIVE; Spark has no recursive
+    CTE, so the engine expresses the same fixpoint as an iterated
+    ancestor-pointer walk over the parent RELATION (a real join per
+    level, not arithmetic — the hierarchy could equally come from a
+    foreign key), with a driver-side liveness count as the stop
+    condition (a scalar, never data).
+
+    Scale shape: each round is one equi-join on the ancestor key over
+    rows still walking; rounds = hierarchy depth (log_7 n). Deep
+    hierarchies switch to pointer doubling (anc := anc's anc) for
+    O(log depth) rounds — same per-round plan."""
+    part = load(spark, sf_dir, "part")
+    tree = part.filter(F.col("p_partkey") > 0).select(
+        F.col("p_partkey").alias("tnode"),
+        F.floor((F.col("p_partkey") - 1) / 7).cast("long").alias("tparent"),
+    ).persist()
+    cur = tree.select(
+        F.col("tnode").alias("node"),
+        F.col("tparent").alias("anc"),
+        F.lit(1).cast("long").alias("depth"),
+        F.when(F.col("tparent") == 0, F.col("tnode")).alias("top_branch"),
+    ).persist()
+    while cur.filter(F.col("anc") > 0).count() > 0:
+        stepped = cur.join(tree, cur.anc == tree.tnode, "left").select(
+            "node",
+            F.when(F.col("anc") > 0, F.coalesce("tparent", F.lit(0)))
+            .otherwise(0)
+            .alias("anc"),
+            (F.col("depth") + (F.col("anc") > 0).cast("long")).alias("depth"),
+            F.coalesce(
+                "top_branch",
+                F.when(F.col("tparent") == 0, F.col("anc")),
+            ).alias("top_branch"),
+        )
+        cur = stepped.persist()
+    return cur.select("node", "depth", "top_branch").orderBy("node")

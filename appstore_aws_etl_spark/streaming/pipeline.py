@@ -166,3 +166,41 @@ def stream_stream_join(
     return v.join(p, cond).select(
         "purchase_id", "view_id", "user_id", "p_ts", "v_ts", "value"
     )
+
+
+def stream_stream_left_join(
+    views: DataFrame,
+    purchases: DataFrame,
+    horizon: str = "1 hour",
+    lateness: str = "10 minutes",
+) -> DataFrame:
+    """T9 stream-stream LEFT OUTER join: every purchase is preserved;
+    the view columns are NULL when no same-user view precedes it
+    within ``horizon``.
+
+    Outer stream-stream joins have a harder requirement than inner:
+    a NULL row for a purchase can only be emitted once the view-side
+    watermark has passed purchase_ts — before that, a matching view
+    may still arrive. Spark enforces this with the same two
+    ingredients (watermarks on both inputs + an event-time bound in
+    the condition); rows buffered at query stop never get their NULL
+    emission, which is correct streaming semantics, not data loss."""
+    v = views.withWatermark("ts", lateness).select(
+        F.col("user_id").alias("v_user"),
+        F.col("ts").alias("v_ts"),
+        F.col("event_id").alias("view_id"),
+    )
+    p = purchases.withWatermark("ts", lateness).select(
+        "user_id",
+        F.col("ts").alias("p_ts"),
+        F.col("event_id").alias("purchase_id"),
+        "value",
+    )
+    cond = (
+        (F.col("v_user") == F.col("user_id"))
+        & (F.col("v_ts") <= F.col("p_ts"))
+        & (F.col("v_ts") >= F.col("p_ts") - F.expr(f"INTERVAL {horizon}"))
+    )
+    return p.join(v, cond, "leftOuter").select(
+        "purchase_id", "view_id", "user_id", "p_ts", "value"
+    )

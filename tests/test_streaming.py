@@ -181,3 +181,51 @@ def test_stream_stream_join_matches_batch(spark, event_stream_dir, tmp_path):
     assert sorted((r["purchase_id"], r["view_id"]) for r in got) == sorted(
         (r["purchase_id"], r["view_id"]) for r in want
     )
+
+
+def test_stream_stream_left_join_preserves_unmatched_purchases(
+    spark, event_stream_dir, tmp_path
+):
+    """T9 outer variant: matched rows must equal the batch inner join;
+    NULL-extended rows may only appear for purchases with truly no
+    qualifying view (the watermark decides WHEN a null emits, never
+    WHETHER a matched row does)."""
+    from appstore_aws_etl_spark.streaming.pipeline import stream_stream_left_join
+
+    ev = stream_events(spark, event_stream_dir)
+    got = run_collecting(
+        stream_stream_left_join(
+            ev.filter(F.col("event_type") == "view"),
+            ev.filter(F.col("event_type") == "purchase"),
+            horizon="1 hour",
+        ),
+        str(tmp_path / "ssl_chk"),
+    )
+    b = spark.read.parquet(event_stream_dir)
+    bv = b.filter(F.col("event_type") == "view").select(
+        F.col("user_id").alias("v_user"),
+        F.col("ts").alias("v_ts"),
+        F.col("event_id").alias("view_id"),
+    )
+    bp = b.filter(F.col("event_type") == "purchase").select(
+        "user_id", F.col("ts").alias("p_ts"), F.col("event_id").alias("purchase_id")
+    )
+    cond = (
+        (F.col("v_user") == F.col("user_id"))
+        & (F.col("v_ts") <= F.col("p_ts"))
+        & (F.col("v_ts") >= F.col("p_ts") - F.expr("INTERVAL 1 HOUR"))
+    )
+    want_matched = {
+        (r["purchase_id"], r["view_id"]) for r in bp.join(bv, cond).collect()
+    }
+    matched_purchases = {p for p, _ in want_matched}
+    got_matched = {
+        (r["purchase_id"], r["view_id"]) for r in got if r["view_id"] is not None
+    }
+    got_nulls = {r["purchase_id"] for r in got if r["view_id"] is None}
+    assert got_matched == want_matched
+    # null rows only for genuinely unmatched purchases
+    assert not (got_nulls & matched_purchases)
+    # the backlog spans days >> the 10-minute lateness, so the final
+    # watermark finalizes (nearly) every unmatched purchase
+    assert len(got_nulls) > 0
