@@ -80,7 +80,7 @@ _HEAVY = (
     "llm_multimodal_features", "llm_multimodal_frames", "llm_dedup_clusters",
     "llm_contamination", "llm_knn_ivf", "llm_jaccard_ngram",
     "llm_edit_distance_verify", "llm_dedup_minhash", "llm_sim_join",
-    "llm_dedup_survivors", "sub_recursive_hierarchy",
+    "llm_dedup_survivors", "sub_recursive_hierarchy", "llm_topic_cluster",
 )
 
 

@@ -1368,3 +1368,44 @@ def llm_dedup_survivors(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("doc_id")
         .orderBy("doc_id")
     )
+
+
+@query("llm_topic_cluster", oracle=None, tags=("llm", "similarity", "approx"))
+def llm_topic_cluster(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus topic clustering: seeded Lloyd k-means over the embedding
+    column (llm/similarity.py train_centroids — only k x dim means ever
+    reach the driver), then nearest-centroid assignment as a broadcast
+    numpy projection, rolled up to cluster membership + per-cluster
+    mean distance-to-center proxy (avg cosine to the assigned
+    centroid). Rows-only: centroid identity depends on the seeded
+    initialization, not on an ANSI-expressible fixpoint; assignment
+    determinism is covered by the IVF recall test over the same
+    machinery.
+
+    Scale shape: training is iterations x one-scan posexplode
+    aggregations; assignment is shuffle-free (centroid matrix in the
+    task closure); the rollup is one groupBy on k keys."""
+    from ..llm.similarity import assign_to_centroids, train_centroids
+
+    emb = load(spark, sf_dir, "embeddings")
+    centroids = train_centroids(emb, n_centroids=8, iterations=2)
+    assigned = assign_to_centroids(emb, centroids, "embedding")
+    cent_map = {cid: vec for cid, vec in centroids}
+    cent_df = spark.createDataFrame(
+        [(cid, [float(x) for x in vec]) for cid, vec in cent_map.items()],
+        "centroid_id LONG, centroid ARRAY<DOUBLE>",
+    )
+    from ..llm.similarity import cosine_score
+
+    return (
+        assigned.join(F.broadcast(cent_df), "centroid_id")
+        .withColumn(
+            "cos", cosine_score(F.transform("embedding", lambda x: x.cast("double")), F.col("centroid"))
+        )
+        .groupBy("centroid_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_members"),
+            (F.round(F.avg("cos"), 4) + F.lit(0.0)).alias("avg_cos_to_center"),
+        )
+        .orderBy("centroid_id")
+    )
