@@ -71,16 +71,45 @@ _R2_DRIVER_VERIFIED = frozenset(
         "util_zorder_layout",
     }
 )
-_DRIVER_VERIFIED = _R1_DRIVER_VERIFIED | _R2_DRIVER_VERIFIED
-# multi-second keys at sf0.01 (LSH signature UDFs, IVF training,
-# gram self-joins, iterative label propagation) — run after the cheap
-# fresh keys
-_HEAVY = (
-    "llm_dedup_simhash", "llm_dedup_embedding", "llm_pack_sequences",
-    "llm_multimodal_features", "llm_multimodal_frames", "llm_dedup_clusters",
-    "llm_contamination", "llm_knn_ivf", "llm_jaccard_ngram",
-    "llm_edit_distance_verify", "llm_dedup_minhash", "llm_sim_join",
-    "llm_dedup_survivors", "sub_recursive_hierarchy", "llm_topic_cluster",
+_R3_DRIVER_VERIFIED = frozenset(
+    {
+        "agg_bloom_filter", "agg_countmin_sketch", "agg_hll_rollup",
+        "agg_mode", "analytics_cohort_retention", "analytics_dau_wau",
+        "analytics_event_transitions", "analytics_streaks", "filter_between",
+        "filter_boolean", "filter_compare", "filter_in", "filter_like",
+        "graph_connected_components", "graph_triangle_count", "join_asof",
+        "join_asof_nearest", "join_interval_overlap", "join_salted_skew",
+        "llm_char_entropy", "llm_clean_corpus", "llm_containment_pairs",
+        "llm_corpus_stats", "llm_doc_chunk", "llm_fingerprint",
+        "llm_hash_sample", "llm_keywords", "llm_knn_rerank", "llm_lang_id",
+        "llm_mix_weighted", "llm_multimodal_meta", "llm_ngrams",
+        "llm_pii_redact", "llm_quality_filter", "llm_repetition_score",
+        "llm_segment_dedup", "llm_split_assign", "llm_stratified_sample",
+        "llm_tfidf", "llm_token_count", "llm_unigram_logprob",
+        "llm_vector_centroid", "llm_vector_quantize", "project_alias",
+        "project_cast", "project_computed", "project_select",
+        "ts_anomaly_zscore", "ts_ewma", "util_compaction_plan",
+    }
+)
+_DRIVER_VERIFIED = _R1_DRIVER_VERIFIED | _R2_DRIVER_VERIFIED | _R3_DRIVER_VERIFIED
+# Heavy keys (multi-second at sf0.01: LSH signature UDFs, IVF training,
+# gram self-joins, iterative label propagation) that have NEVER had a
+# driver row recorded — interleaved among the cheap unswept keys so the
+# ~50-key sweep budget gives each of them first evidence this round
+# instead of stranding all of them behind the cheap block again.
+_PRIORITY_HEAVY = (
+    "llm_dedup_minhash", "llm_dedup_simhash", "llm_dedup_embedding",
+    "llm_dedup_survivors", "llm_knn_ivf", "llm_multimodal_features",
+    "llm_pack_sequences", "llm_topic_cluster", "sub_recursive_hierarchy",
+)
+# Remaining unswept keys ride after the first ~50: the non-§2-core
+# extras (ORC scan, window extensions) and the heavies that at least
+# have local hash-match evidence already.
+_DEFERRED = (
+    "scan_orc", "win_nth_value", "win_scalable_cumsum", "win_moving_median",
+    "win_time_range_frame", "llm_jaccard_ngram", "llm_sim_join",
+    "llm_edit_distance_verify", "llm_contamination", "llm_dedup_clusters",
+    "llm_multimodal_frames",
 )
 
 
@@ -91,13 +120,24 @@ def entry(spark: SparkSession) -> DataFrame:
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     """One entry per implemented operator from SURVEY.md §2, ordered so
-    a time-budgeted correctness sweep hits driver-unverified keys first."""
-    fresh = [
-        n for n in REGISTRY if n not in _DRIVER_VERIFIED and n not in _HEAVY
-    ]
-    heavy = [n for n in _HEAVY if n in REGISTRY and n not in _DRIVER_VERIFIED]
+    a budgeted correctness sweep (~50 keys/round, dict order) hits
+    driver-unverified keys first: §2-core cheap keys with one
+    never-executed heavy key interleaved after every 5th cheap key,
+    then the deferred extras, then the already-driver-proven keys."""
+    skip = _DRIVER_VERIFIED | set(_PRIORITY_HEAVY) | set(_DEFERRED)
+    cheap = [n for n in REGISTRY if n not in skip]
+    heavy = [n for n in _PRIORITY_HEAVY if n in REGISTRY and n not in _DRIVER_VERIFIED]
+    interleaved: list[str] = []
+    hi = 0
+    for i, name in enumerate(cheap):
+        interleaved.append(name)
+        if (i + 1) % 5 == 0 and hi < len(heavy):
+            interleaved.append(heavy[hi])
+            hi += 1
+    interleaved.extend(heavy[hi:])
+    deferred = [n for n in _DEFERRED if n in REGISTRY and n not in _DRIVER_VERIFIED]
     proven = [n for n in REGISTRY if n in _DRIVER_VERIFIED]
-    return {name: REGISTRY[name].fn for name in fresh + heavy + proven}
+    return {name: REGISTRY[name].fn for name in interleaved + deferred + proven}
 
 
 def oracle_sql() -> dict[str, str]:
