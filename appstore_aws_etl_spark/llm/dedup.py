@@ -362,21 +362,23 @@ def connected_dedup_clusters(
     df: DataFrame,
     id_col: str = "doc_id",
     text_col: str = "text",
-    max_iter: int = 4,
+    max_rounds: int = 50,
 ) -> DataFrame:
     """Duplicate clusters as connected components: every document gets
     ``cluster_id`` = the minimum id among all documents with identical
     content — union-find at Spark scale.
 
     Edges are the *chain* of consecutive ids per content fingerprint
-    (linear in group size — never the clique), and labels converge by
-    iterative min-label propagation: each round is one join + one
-    grouped min, all shuffles on bounded keys. Rounds needed = graph
-    diameter; production-size components use pointer doubling
-    (label := label's label) for O(log n) rounds — here duplicate
-    chains are short and ``max_iter`` bounds the walk. Labels persist
-    per round so lineage stays flat (checkpoint at real scale).
+    (linear in group size — never the clique), and labels converge via
+    the shared min-label propagation walk (operators/labelprop.py):
+    one join + one grouped min per round, driver-side changed-count
+    convergence exit, localCheckpoint-per-round lineage truncation,
+    and a RuntimeError rather than a silent half-propagated result if
+    the diameter exceeds ``max_rounds`` — identical semantics to
+    ``graph_connected_components``.
     """
+    from ..operators.labelprop import propagate_min_labels
+
     fp = df.select(
         F.col(id_col).alias("node"), F.md5(F.col(text_col)).alias("__fp")
     ).persist()
@@ -389,18 +391,7 @@ def connected_dedup_clusters(
         edges.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
     ).persist()
     labels = fp.select("node", F.col("node").alias("cluster_id"))
-    for _ in range(max_iter):
-        msgs = und.join(
-            labels.withColumnRenamed("node", "src"), "src"
-        ).select(F.col("dst").alias("node"), F.col("cluster_id").alias("nbr_label"))
-        mins = msgs.groupBy("node").agg(F.min("nbr_label").alias("nbr_min"))
-        labels = (
-            labels.join(mins, "node", "left")
-            .withColumn(
-                "cluster_id",
-                F.least("cluster_id", F.coalesce("nbr_min", "cluster_id")),
-            )
-            .select("node", "cluster_id")
-            .persist()
-        )
+    labels = propagate_min_labels(
+        und, labels, "node", "cluster_id", max_rounds=max_rounds
+    )
     return labels.select(F.col("node").alias(id_col), "cluster_id")

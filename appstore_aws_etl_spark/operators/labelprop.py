@@ -1,0 +1,79 @@
+"""Min-label propagation to convergence — the shared connected-components
+core behind ``graph_connected_components``, ``connected_dedup_clusters``
+and ``llm_dedup_survivors``.
+
+Reference parity: the reference repo has no graph operator (97 LoC of
+object-store plumbing); this exists for SURVEY.md §2.12's dedup/graph
+extension rows. The Spark shape is the Pregel message-passing loop
+expressed in DataFrames: each round is one shuffle join (deliver every
+neighbour's current label) + one grouped ``min`` + an elementwise
+``least`` — so Catalyst gets partial aggregation and AQE handles skewed
+hub nodes for free.
+
+Scale discipline (the parts that matter at 100 TB):
+
+* **Convergence exit, not an iteration budget.** The driver-side signal
+  is a changed-label *count* — a single scalar per round, never data —
+  so rounds run = component diameter, not a guessed constant. A
+  diameter larger than ``max_rounds`` raises instead of silently
+  returning half-propagated labels (a wrong answer that looks right).
+* **``localCheckpoint`` per round.** Iterative DataFrame loops grow the
+  logical plan linearly; by round ~30 analysis time dwarfs execution
+  and the serialized plan can overflow the driver. Eager
+  ``localCheckpoint`` truncates lineage so every round's plan is O(1).
+  Trade-off: checkpointed partitions live on executor storage and are
+  lost on executor failure — acceptable for an iterative walk that can
+  rerun, and the standard choice (GraphX does the same internally).
+  Durable ``checkpoint()`` to a cluster FS is the drop-in upgrade when
+  executor churn is expected.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def propagate_min_labels(
+    und: DataFrame,
+    labels: DataFrame,
+    node_col: str = "node",
+    label_col: str = "component",
+    max_rounds: int = 50,
+) -> DataFrame:
+    """Iterate ``label := min(label, min(neighbour labels))`` over the
+    undirected edge set ``und`` (columns ``src``, ``dst``; callers pass
+    both edge directions) until no label changes, and return ``labels``
+    (columns ``node_col``, ``label_col``) at the fixpoint.
+
+    Each round: one join shuffling labels onto edge sources, one
+    grouped min per destination, one left join back — all shuffles on
+    the (small) edge/node keys, never the full corpus. Raises
+    ``RuntimeError`` if ``max_rounds`` is exhausted before convergence
+    so an under-propagated labeling can never masquerade as an answer.
+    """
+    for _ in range(max_rounds):
+        msgs = und.join(
+            labels.withColumnRenamed(node_col, "src"), "src"
+        ).select(F.col("dst").alias(node_col), F.col(label_col).alias("__nbr"))
+        mins = msgs.groupBy(node_col).agg(F.min("__nbr").alias("__nbr_min"))
+        nxt = (
+            labels.join(mins, node_col, "left")
+            .select(
+                node_col,
+                F.least(label_col, F.coalesce("__nbr_min", label_col)).alias(
+                    label_col
+                ),
+                F.col(label_col).alias("__old"),
+            )
+            .localCheckpoint(eager=True)
+        )
+        changed = nxt.filter(F.col(label_col) != F.col("__old")).count()
+        labels = nxt.select(node_col, label_col)
+        if changed == 0:
+            return labels
+    raise RuntimeError(
+        f"min-label propagation did not converge within {max_rounds} rounds; "
+        "component diameter exceeds the cap — raise max_rounds or switch to "
+        "pointer doubling"
+    )

@@ -148,37 +148,22 @@ def graph_connected_components(spark: SparkSession, sf_dir: str) -> DataFrame:
     labeling, not an iteration-budget approximation.
 
     Scale shape: each round is one shuffle-join (messages) + one
-    grouped min; rounds needed = component diameter. For planet-scale
-    graphs swap the label walk for pointer doubling (label := label's
-    label, O(log n) rounds) — same per-round plan, fewer rounds. Label
-    frames persist per round to keep lineage flat."""
+    grouped min; rounds needed = component diameter, and the shared
+    walk (operators/labelprop.py) localCheckpoints per round so the
+    plan tree stays O(1) and RAISES if the cap is hit rather than
+    returning an under-propagated labeling. For planet-scale graphs
+    swap the label walk for pointer doubling (label := label's label,
+    O(log n) rounds) — same per-round plan, fewer rounds."""
+    from ..operators.labelprop import propagate_min_labels
+
     edges = _weighted_copurchase_edges(spark, sf_dir, min_support=3)
     und = edges.union(
         edges.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
     ).persist()
     labels = und.select(F.col("src").alias("node")).distinct().withColumn(
         "component", F.col("node")
-    ).persist()
-    for _ in range(20):
-        msgs = und.join(
-            labels.withColumnRenamed("node", "src"), "src"
-        ).select(F.col("dst").alias("node"), F.col("component").alias("nbr"))
-        mins = msgs.groupBy("node").agg(F.min("nbr").alias("nbr_min"))
-        nxt = (
-            labels.join(mins, "node", "left")
-            .select(
-                "node",
-                F.least("component", F.coalesce("nbr_min", "component")).alias(
-                    "component"
-                ),
-                F.col("component").alias("__old"),
-            )
-            .persist()
-        )
-        changed = nxt.filter(F.col("component") != F.col("__old")).count()
-        labels = nxt.select("node", "component")
-        if changed == 0:
-            break
+    )
+    labels = propagate_min_labels(und, labels, "node", "component", max_rounds=50)
     return labels.orderBy("node")
 
 

@@ -197,7 +197,7 @@ def llm_knn_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
     WITH aug AS (
         SELECT vec_id, embedding FROM embeddings
         UNION ALL
-        SELECT vec_id + 100000 AS vec_id,
+        SELECT vec_id + (SELECT max(vec_id) + 1 FROM embeddings) AS vec_id,
                list_transform(embedding, x -> CAST(x * 0.5 AS FLOAT)) AS embedding
         FROM embeddings WHERE vec_id % 5 = 0
     )
@@ -216,8 +216,10 @@ def llm_sim_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     The fixture embeddings are near-random (max within-label cosine
     ~0.51 at sf<=0.1), so the query plants deterministic near-duplicates
     first: every fifth vector re-enters scaled by 0.5 (same direction,
-    cosine exactly 1.0) under vec_id+100000 — the planted-duplicate
-    evaluation standard from the dedup literature. The Spark plan is
+    cosine exactly 1.0) under vec_id + max(vec_id)+1 (a parameter-only
+    scalar collect, collision-proof at any scale factor) — the
+    planted-duplicate evaluation standard from the dedup literature.
+    The Spark plan is
     the deployment shape: banded random-hyperplane signatures -> band
     bucket join -> exact double cosine >= 0.95; never a scope-wide
     self-join. Scaled copies share every LSH band (sign(v.h) is scale
@@ -225,8 +227,9 @@ def llm_sim_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     exact-verify stage makes precision 1 — the all-pairs DuckDB oracle
     must therefore match hash-for-hash."""
     emb = load(spark, sf_dir, "embeddings")
+    offset = emb.agg(F.max("vec_id")).first()[0] + 1
     copies = emb.filter(F.col("vec_id") % 5 == 0).select(
-        (F.col("vec_id") + 100000).alias("vec_id"),
+        (F.col("vec_id") + F.lit(offset)).alias("vec_id"),
         F.transform("embedding", lambda x: (x * F.lit(0.5)).cast("float")).alias(
             "embedding"
         ),
@@ -675,12 +678,13 @@ def llm_pii_redact(spark: SparkSession, sf_dir: str) -> DataFrame:
 @query(
     "llm_dedup_clusters",
     oracle="""
-    WITH aug AS (
+    WITH off AS (SELECT max(doc_id) + 1 AS o FROM documents),
+    aug AS (
         SELECT doc_id, text FROM documents
         UNION ALL
-        SELECT doc_id + 100000, text FROM documents WHERE doc_id % 10 = 0
+        SELECT doc_id + (SELECT o FROM off), text FROM documents WHERE doc_id % 10 = 0
         UNION ALL
-        SELECT doc_id + 200000, text FROM documents WHERE doc_id % 20 = 0
+        SELECT doc_id + 2 * (SELECT o FROM off), text FROM documents WHERE doc_id % 20 = 0
     )
     SELECT doc_id, min(doc_id) OVER (PARTITION BY text) AS cluster_id
     FROM aug
@@ -690,29 +694,31 @@ def llm_pii_redact(spark: SparkSession, sf_dir: str) -> DataFrame:
 def llm_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Duplicate clustering as connected components (union-find at
     scale). Fixture texts are all distinct, so duplicate chains are
-    planted first (copies at +100000 / +200000 for every 10th / 20th
-    doc — components of size up to 3); iterative min-label propagation
-    over per-fingerprint chain edges then converges to cluster_id =
-    min(doc_id) per component, which is exactly what the oracle's
-    window expresses. The iterative DataFrame loop is the real
-    operator; the window SQL is only checkable because components here
-    are content-identical."""
+    planted first (copies at +off / +2*off, off = max(doc_id)+1 via a
+    parameter-only collect so planted ids never collide with real ones,
+    for every 10th / 20th doc — components of size up to 3); iterative
+    min-label propagation over per-fingerprint chain edges then
+    converges to cluster_id = min(doc_id) per component, which is
+    exactly what the oracle's window expresses. The iterative DataFrame
+    loop is the real operator; the window SQL is only checkable because
+    components here are content-identical."""
     from ..llm.dedup import connected_dedup_clusters
 
     docs = load(spark, sf_dir, "documents").select("doc_id", "text")
+    offset = docs.agg(F.max("doc_id")).first()[0] + 1
     aug = (
         docs.unionByName(
             docs.filter(F.col("doc_id") % 10 == 0).select(
-                (F.col("doc_id") + 100000).alias("doc_id"), "text"
+                (F.col("doc_id") + F.lit(offset)).alias("doc_id"), "text"
             )
         )
         .unionByName(
             docs.filter(F.col("doc_id") % 20 == 0).select(
-                (F.col("doc_id") + 200000).alias("doc_id"), "text"
+                (F.col("doc_id") + F.lit(2 * offset)).alias("doc_id"), "text"
             )
         )
     )
-    return connected_dedup_clusters(aug, max_iter=4)
+    return connected_dedup_clusters(aug)
 
 
 @query(
@@ -1324,15 +1330,21 @@ def llm_dedup_survivors(spark: SparkSession, sf_dir: str) -> DataFrame:
     against planted duplicates in tests/test_llm.py.
 
     Scale shape: pairs come from banded LSH (never all-pairs), the
-    component walk is per-round one join + one grouped min over the
-    candidate-pair edge set — which is tiny relative to the corpus
-    (only documents with a near-dup neighbour appear) — and the final
-    keep is a broadcast anti-join of losers against the corpus."""
+    component walk is the shared convergence-exit min-label propagation
+    (operators/labelprop.py — one join + one grouped min per round over
+    the candidate-pair edge set, which is tiny relative to the corpus,
+    localCheckpoint per round), and the final keep is a broadcast
+    anti-join of losers against the corpus. The planted-copy id offset
+    is derived from max(doc_id) — a parameter-only scalar collect — so
+    planted ids can never collide with real ones at any scale factor."""
+    from ..operators.labelprop import propagate_min_labels
+
     docs = load(spark, sf_dir, "documents").select("doc_id", "text")
     # plant duplicate chains so the pipeline has real work at any sf
+    offset = docs.agg(F.max("doc_id")).first()[0] + 1
     aug = docs.unionByName(
         docs.filter(F.col("doc_id") % 10 == 0).select(
-            (F.col("doc_id") + 100000).alias("doc_id"), "text"
+            (F.col("doc_id") + F.lit(offset)).alias("doc_id"), "text"
         )
     )
     pairs = minhash_near_dup_pairs(aug, jaccard_threshold=0.5).select(
@@ -1344,22 +1356,7 @@ def llm_dedup_survivors(spark: SparkSession, sf_dir: str) -> DataFrame:
     labels = und.select(F.col("src").alias("node")).distinct().withColumn(
         "component", F.col("node")
     )
-    for _ in range(4):  # duplicate chains are short; diameter-bounded
-        mins = (
-            und.join(labels.withColumnRenamed("node", "src"), "src")
-            .groupBy(F.col("dst").alias("node"))
-            .agg(F.min("component").alias("nbr_min"))
-        )
-        labels = (
-            labels.join(mins, "node", "left")
-            .select(
-                "node",
-                F.least("component", F.coalesce("nbr_min", "component")).alias(
-                    "component"
-                ),
-            )
-            .persist()
-        )
+    labels = propagate_min_labels(und, labels, "node", "component", max_rounds=50)
     losers = labels.filter(F.col("node") != F.col("component")).select(
         F.col("node").alias("doc_id")
     )
