@@ -25,34 +25,53 @@ def load(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     Parquet carries its own schema; Catalyst prunes columns and pushes
     predicates into the scan (verified by plan-shape tests).
 
-    ``events.ts`` has shipped in two fixture generations: nanosecond
-    ints (Spark 4 rejects nanos outright, [PARQUET_TYPEILLEGAL], so
-    they are read as raw longs via the legacy conf and truncated to µs
-    with exact integer division) and plain TIMESTAMP_NTZ micros. The
-    loader inspects the parquet-declared type and normalizes either
-    shape to session-timezone ``timestamp`` (UTC), so every downstream
-    operator sees one stable schema. SURVEY.md §7.4.3: oracle
-    comparisons bucket to >= second granularity anyway.
+    The fixture's timestamp columns have shipped in several parquet
+    generations: ``events.ts`` as nanosecond ints (Spark 4 rejects
+    nanos outright, [PARQUET_TYPEILLEGAL], so they are read as raw
+    longs via the legacy conf and truncated to µs with exact integer
+    division) and, since the round-3 regeneration, TIMESTAMP_NTZ
+    micros for EVERY timestamp column (events.ts, orders.o_orderdate,
+    lineitem.l_shipdate). The loader inspects the parquet-declared
+    types and normalizes every NTZ column — in any table — to
+    session-timezone ``timestamp`` (UTC; the naive wall-clock maps 1:1
+    onto instants), so every downstream operator sees one stable
+    schema and literal comparisons like ``l_shipdate >= timestamp
+    '1997-01-01'`` never depend on implicit NTZ-vs-LTZ coercion.
+    SURVEY.md §7.4.3: oracle comparisons bucket to >= second
+    granularity anyway.
     """
     # timestamps must compare UTC-naive against the DuckDB oracle no
     # matter what session the caller provides (runtime conf, safe to
     # set repeatedly)
     spark.conf.set("spark.sql.session.timeZone", "UTC")
+    from pyspark.sql import functions as F
+
     if name == "events":
         spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-        from pyspark.sql import functions as F
-        from pyspark.sql.types import LongType, TimestampType
+        from pyspark.sql.types import LongType
 
         df = spark.read.parquet(table_path(sf_dir, name))
-        ts_type = df.schema["ts"].dataType
-        if isinstance(ts_type, LongType):
+        if isinstance(df.schema["ts"].dataType, LongType):
             df = df.withColumn("ts", F.expr("timestamp_micros(ts div 1000)"))
-        elif not isinstance(ts_type, TimestampType):
-            # TIMESTAMP_NTZ (or anything else castable): with a UTC
-            # session the naive wall-clock maps 1:1 onto instants.
-            df = df.withColumn("ts", F.col("ts").cast("timestamp"))
+        df = _normalize_ntz(df)
         return df.select("event_id", "ts", "user_id", "event_type", "value", "props")
-    return spark.read.parquet(table_path(sf_dir, name))
+    return _normalize_ntz(spark.read.parquet(table_path(sf_dir, name)))
+
+
+def _normalize_ntz(df: DataFrame) -> DataFrame:
+    """Cast any TIMESTAMP_NTZ column to session-timezone timestamp.
+
+    Column-pruning note: the cast is a projection over the scan, so
+    Catalyst still prunes unreferenced columns and pushes comparison
+    predicates through it (plan-shape tests assert PushedFilters
+    survive)."""
+    from pyspark.sql import functions as F
+    from pyspark.sql.types import TimestampNTZType
+
+    ntz = [f.name for f in df.schema.fields if isinstance(f.dataType, TimestampNTZType)]
+    for c in ntz:
+        df = df.withColumn(c, F.col(c).cast("timestamp"))
+    return df
 
 
 def register_views(spark: SparkSession, sf_dir: str, names: list[str] | None = None) -> None:

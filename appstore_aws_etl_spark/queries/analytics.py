@@ -1532,38 +1532,53 @@ def sub_recursive_hierarchy(spark: SparkSession, sf_dir: str) -> DataFrame:
     (parent(n) = (n-1) div 7, root 0) to each node's depth and its
     top-level branch (the ancestor directly under the root). The
     oracle is DuckDB's literal WITH RECURSIVE; Spark has no recursive
-    CTE, so the engine expresses the same fixpoint as an iterated
-    ancestor-pointer walk over the parent RELATION (a real join per
-    level, not arithmetic — the hierarchy could equally come from a
-    foreign key), with a driver-side liveness count as the stop
-    condition (a scalar, never data).
+    CTE, so the engine expresses the same fixpoint by POINTER DOUBLING
+    over the parent RELATION (a real self-join per round, not
+    arithmetic — the hierarchy could equally come from a foreign key):
+    each row carries (anc = ancestor ``depth`` steps up, the
+    under-root branch once its path reaches the root), and each round
+    composes every pointer with its ancestor's pointer, doubling the
+    distance covered. A walk whose ancestor key is absent from the
+    relation stops AT that ancestor — depth and top_branch then match
+    the oracle's inner-join termination exactly (no phantom +1 step).
 
-    Scale shape: each round is one equi-join on the ancestor key over
-    rows still walking; rounds = hierarchy depth (log_7 n). Deep
-    hierarchies switch to pointer doubling (anc := anc's anc) for
-    O(log depth) rounds — same per-round plan."""
+    Scale shape: O(log depth) rounds (vs depth rounds for the naive
+    level walk), each one self-join on the ancestor key + a scalar
+    advanced-count for the exit test; every round localCheckpoints so
+    the plan tree stays O(1) regardless of hierarchy depth."""
     part = load(spark, sf_dir, "part")
-    tree = part.filter(F.col("p_partkey") > 0).select(
-        F.col("p_partkey").alias("tnode"),
-        F.floor((F.col("p_partkey") - 1) / 7).cast("long").alias("tparent"),
-    ).persist()
-    cur = tree.select(
-        F.col("tnode").alias("node"),
-        F.col("tparent").alias("anc"),
+    ptr = part.filter(F.col("p_partkey") > 0).select(
+        F.col("p_partkey").alias("node"),
+        F.floor((F.col("p_partkey") - 1) / 7).cast("long").alias("anc"),
         F.lit(1).cast("long").alias("depth"),
-        F.when(F.col("tparent") == 0, F.col("tnode")).alias("top_branch"),
-    ).persist()
-    while cur.filter(F.col("anc") > 0).count() > 0:
-        stepped = cur.join(tree, cur.anc == tree.tnode, "left").select(
-            "node",
-            F.when(F.col("anc") > 0, F.coalesce("tparent", F.lit(0)))
-            .otherwise(0)
-            .alias("anc"),
-            (F.col("depth") + (F.col("anc") > 0).cast("long")).alias("depth"),
-            F.coalesce(
-                "top_branch",
-                F.when(F.col("tparent") == 0, F.col("anc")),
-            ).alias("top_branch"),
+        F.when(F.floor((F.col("p_partkey") - 1) / 7) == 0, F.col("p_partkey")).alias(
+            "top_branch"
+        ),
+    ).localCheckpoint(eager=True)
+    while True:
+        up = ptr.select(
+            F.col("node").alias("jnode"),
+            F.col("anc").alias("janc"),
+            F.col("depth").alias("jdepth"),
+            F.col("top_branch").alias("jtb"),
         )
-        cur = stepped.persist()
-    return cur.select("node", "depth", "top_branch").orderBy("node")
+        live = (F.col("anc") > 0) & F.col("jnode").isNotNull()
+        stepped = ptr.join(up, ptr.anc == up.jnode, "left").select(
+            "node",
+            F.when(live, F.col("janc")).otherwise(F.col("anc")).alias("anc"),
+            F.when(live, F.col("depth") + F.col("jdepth"))
+            .otherwise(F.col("depth"))
+            .alias("depth"),
+            F.coalesce("top_branch", F.when(live, F.col("jtb"))).alias("top_branch"),
+            live.alias("__advanced"),
+        ).localCheckpoint(eager=True)
+        advanced = stepped.filter(F.col("__advanced")).count()
+        ptr = stepped.drop("__advanced")
+        if advanced == 0:
+            break
+    return ptr.select(
+        "node",
+        "depth",
+        F.coalesce("top_branch", F.when(F.col("anc") > 0, F.col("anc")), F.col("node"))
+        .alias("top_branch"),
+    ).orderBy("node")

@@ -240,3 +240,54 @@ def test_asof_nearest_picks_closer_side(spark):
     )
     got = {r["lid"]: r["asof_rid"] for r in out.collect()}
     assert got == {1: 11, 2: 12, 3: 13, 4: 12}
+
+
+def test_label_propagation_converges_and_caps(spark):
+    """Chain 1-2-3-4-5: labels converge to min=1 in <= diameter rounds;
+    an insufficient max_rounds raises instead of returning a
+    half-propagated labeling."""
+    import pytest
+
+    from pyspark.sql import functions as F
+
+    from appstore_aws_etl_spark.operators.labelprop import propagate_min_labels
+
+    edges = spark.createDataFrame(
+        [Row(src=i, dst=i + 1) for i in range(1, 5)]
+    )
+    und = edges.union(
+        edges.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
+    )
+    labels = und.select(F.col("src").alias("node")).distinct().withColumn(
+        "component", F.col("node")
+    )
+    out = propagate_min_labels(und, labels, "node", "component", max_rounds=10)
+    assert {r["component"] for r in out.collect()} == {1}
+    with pytest.raises(RuntimeError, match="did not converge"):
+        propagate_min_labels(und, labels, "node", "component", max_rounds=1)
+
+
+def test_recursive_hierarchy_stops_at_missing_ancestor(spark, tmp_path):
+    """A partkey gap must terminate the walk AT the missing ancestor
+    (depth = steps taken, top_branch = the dangling ancestor id) —
+    mirroring the oracle's inner-join termination — instead of
+    phantom-incrementing depth past the miss."""
+    import appstore_aws_etl_spark.queries  # noqa: F401
+    from appstore_aws_etl_spark.registry import REGISTRY
+
+    # 7-ary parent(n) = (n-1)//7; drop node 8 so descendants of 8
+    # (57..63 and their subtrees) strand mid-walk.
+    keys = [k for k in range(1, 80) if k != 8]
+    spark.createDataFrame([Row(p_partkey=k) for k in keys]).coalesce(1).write.mode(
+        "overwrite"
+    ).parquet(str(tmp_path / "part.parquet"))
+    out = REGISTRY["sub_recursive_hierarchy"].fn(spark, str(tmp_path))
+    got = {r["node"]: (r["depth"], r["top_branch"]) for r in out.collect()}
+    # 57: parent 8 missing -> one base row only
+    assert got[57] == (1, 8)
+    # 9: 9 -> 1 -> 0: depth 2, branch-under-root 1
+    assert got[9] == (2, 1)
+    # 2: directly under root
+    assert got[2] == (1, 2)
+    # 65: 65 -> 9 -> 1 -> 0 (unaffected by the gap)
+    assert got[65] == (3, 1)
