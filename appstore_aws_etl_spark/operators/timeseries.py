@@ -66,23 +66,44 @@ def ewma(
     alpha: float = 0.2,
     id_col: str = "event_id",
     order_cols: tuple[str, ...] = (),
+    seg_seconds: int | None = None,
 ) -> DataFrame:
     """Exponentially weighted moving average per key — the classic
-    sequential recurrence (y_t = a*x_t + (1-a)*y_{t-1}) that window
-    functions cannot express without overflow-prone pow() tricks.
+    sequential recurrence (y_t = a*x_t + (1-a)*y_{t-1}, seeded
+    y_0 = x_0) that window functions cannot express without
+    overflow-prone pow() tricks.
 
-    Runs as ``mapInPandas`` over key-repartitioned, key-and-time-sorted
-    partitions: ONE Python invocation per partition, then a single
-    ``groupby(...).ewm`` whose group loop is pandas-internal (cython) —
-    versus ``applyInPandas``'s one Python call per key, which is
-    overhead-dominated when keys are small (measured ~2.5x slower here
-    with ~65-row groups). The repartition guarantees a key never spans
-    partitions, so no cross-batch state is needed; a partition must fit
-    in worker memory, which the repartition count controls — for
-    million-row keys, pre-split by (key, coarse time range) and stitch
-    the boundary with the previous range's final EWMA as the seed.
+    Default path: ``mapInPandas`` over key-repartitioned, key-and-time-
+    sorted partitions — ONE Python invocation per partition, then a
+    single ``groupby(...).ewm`` whose group loop is pandas-internal
+    (cython) — versus ``applyInPandas``'s one Python call per key,
+    which is overhead-dominated when keys are small (measured ~2.5x
+    slower here with ~65-row groups). A key never spans partitions, so
+    the memory bound is the largest KEY.
+
+    ``seg_seconds`` engages the scale path for keys too big for one
+    worker: rows pre-split into (key, coarse time segment) units — so a
+    huge key spreads over many partitions and the memory bound becomes
+    the SEGMENT (pure config) — then the segments are stitched exactly:
+
+    1. per segment, one pandas pass yields the unseeded EWMA ``u_t``,
+       the in-segment position ``pos`` (1-based) and first value ``xf``;
+    2. the true segment-final values obey the affine recurrence
+       ``y_k = u_end(k) + (1-a)^(n_k) * (y_(k-1) - xf(k))`` — composed
+       sequentially per key over the per-segment SUMMARY rows (one row
+       per segment: a reduction by the segment size, tiny), the classic
+       parallel-prefix treatment of a linear recurrence;
+    3. every row is corrected JVM-side:
+       ``y_t = u_t + (1-a)^pos * (seed - xf)`` (exact algebra, not an
+       approximation; ``(1-a)^pos`` underflows to 0 for rows far from
+       the boundary, which is precisely the decayed-to-nothing regime).
     """
     import pandas as pd
+
+    if seg_seconds is not None:
+        return _ewma_segmented(
+            events, key, ts, value, alpha, id_col, order_cols, seg_seconds
+        )
 
     fields = [events.schema[c] for c in (key, id_col, value)]
     out_schema = ", ".join(f"{f.name} {f.dataType.simpleString()}" for f in fields)
@@ -90,7 +111,10 @@ def ewma(
     sort_cols = [key, ts, *order_cols]
 
     def fn(batches):
-        pdf = pd.concat(list(batches), ignore_index=True)
+        chunks = list(batches)
+        if not chunks:
+            return
+        pdf = pd.concat(chunks, ignore_index=True)
         if pdf.empty:
             return
         # rows arrive partition-sorted by (key, ts, ...); concat keeps
@@ -111,4 +135,91 @@ def ewma(
         .repartition(F.col(key))
         .sortWithinPartitions(*sort_cols)
         .mapInPandas(fn, schema=out_schema)
+    )
+
+
+def _ewma_segmented(
+    events: DataFrame,
+    key: str,
+    ts: str,
+    value: str,
+    alpha: float,
+    id_col: str,
+    order_cols: tuple[str, ...],
+    seg_seconds: int,
+) -> DataFrame:
+    """(key, time-segment) pre-split EWMA with exact seed stitching —
+    see ``ewma``. One full-data shuffle on (key, segment), one tiny
+    summary aggregation + per-key sequential seed composition, one
+    hash join of seeds back onto the rows (JVM-side correction)."""
+    import pandas as pd
+
+    fields = [events.schema[c] for c in (key, id_col, value)]
+    typed = ", ".join(f"{f.name} {f.dataType.simpleString()}" for f in fields)
+    local_schema = typed + ", __seg long, __u double, __pos long, __xf double"
+    key_type = events.schema[key].dataType.simpleString()
+    sort_cols = [key, "__seg", ts, *order_cols]
+
+    cols = list(dict.fromkeys([key, id_col, value, ts, *order_cols]))
+    base = events.select(*cols).withColumn(
+        "__seg", F.floor(F.unix_timestamp(F.col(ts)) / F.lit(seg_seconds))
+    )
+
+    def local(batches):
+        chunks = list(batches)
+        if not chunks:
+            return
+        pdf = pd.concat(chunks, ignore_index=True)
+        if pdf.empty:
+            return
+        g = pdf.groupby([key, "__seg"], sort=False)
+        u = g[value].ewm(alpha=alpha, adjust=False).mean().reset_index(drop=True)
+        out = pdf[[key, id_col, value, "__seg"]].copy()
+        out["__u"] = u
+        out["__pos"] = g.cumcount().reset_index(drop=True) + 1
+        out["__xf"] = g[value].transform("first").astype("float64")
+        yield out
+
+    part1 = (
+        base.repartition(F.col(key), F.col("__seg"))
+        .sortWithinPartitions(*sort_cols)
+        .mapInPandas(local, schema=local_schema)
+        .persist()
+    )
+
+    summ = part1.groupBy(key, "__seg").agg(
+        F.max("__pos").alias("__n"),
+        F.max_by("__u", "__pos").alias("__u_end"),
+        F.first("__xf").alias("__xf"),
+    )
+
+    def seeds_fn(pdf: pd.DataFrame) -> pd.DataFrame:
+        pdf = pdf.sort_values("__seg").reset_index(drop=True)
+        seeds, y_prev = [], None
+        for n, u_end, xf in zip(pdf["__n"], pdf["__u_end"], pdf["__xf"]):
+            seeds.append(y_prev)
+            decay = (1.0 - alpha) ** int(n)
+            y_prev = u_end if y_prev is None else u_end + decay * (y_prev - xf)
+        pdf["__seed"] = pd.array(seeds, dtype="float64")
+        return pdf[[key, "__seg", "__seed"]]
+
+    seeds = summ.groupBy(key).applyInPandas(
+        seeds_fn, schema=f"{key} {key_type}, __seg long, __seed double"
+    )
+
+    corrected = F.col("__u") + F.pow(F.lit(1.0 - alpha), F.col("__pos")) * (
+        F.col("__seed") - F.col("__xf")
+    )
+    return (
+        part1.join(seeds, [key, "__seg"], "left")
+        .withColumn(
+            "ewma",
+            F.round(
+                F.when(
+                    F.col("__seed").isNull() | F.isnan("__seed"), F.col("__u")
+                ).otherwise(corrected),
+                6,
+            ),
+        )
+        .select(key, id_col, value, "ewma")
     )

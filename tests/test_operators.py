@@ -291,3 +291,41 @@ def test_recursive_hierarchy_stops_at_missing_ancestor(spark, tmp_path):
     assert got[2] == (1, 2)
     # 65: 65 -> 9 -> 1 -> 0 (unaffected by the gap)
     assert got[65] == (3, 1)
+
+
+def test_ewma_segmented_stitch_matches_single_pass(spark):
+    """An oversized key processed via (key, time-segment) pre-split —
+    many segments, tiny Arrow batches — must reproduce the exact
+    hand-rolled recurrence: the seed stitch is algebra, not an
+    approximation. Memory bound under this path is the segment, not
+    the key."""
+    from appstore_aws_etl_spark.operators.timeseries import ewma
+
+    n = 600  # one deliberately dominant key, one second apart
+    base = dt.datetime(2024, 1, 1, 0, 0, 0)
+    vals = [float((i * 37) % 101) for i in range(n)]
+    rows = [
+        Row(user_id=1, event_id=i, ts=base + dt.timedelta(seconds=i), value=vals[i])
+        for i in range(n)
+    ] + [Row(user_id=2, event_id=n, ts=base, value=7.0)]
+    df = spark.createDataFrame(rows).repartition(8)
+
+    old_batch = spark.conf.get("spark.sql.execution.arrow.maxRecordsPerBatch")
+    spark.conf.set("spark.sql.execution.arrow.maxRecordsPerBatch", "32")
+    try:
+        out = ewma(
+            df, key="user_id", ts="ts", value="value", alpha=0.3,
+            order_cols=("event_id",), seg_seconds=60,  # 10 segments
+        )
+        got = {(r["user_id"], r["event_id"]): r["ewma"] for r in out.collect()}
+    finally:
+        spark.conf.set("spark.sql.execution.arrow.maxRecordsPerBatch", old_batch)
+
+    y, expect = None, {}
+    for i, v in enumerate(vals):
+        y = v if y is None else 0.3 * v + 0.7 * y
+        expect[(1, i)] = round(y, 6)
+    expect[(2, n)] = 7.0
+    assert len(got) == n + 1
+    for k, v in expect.items():
+        assert abs(got[k] - v) < 1e-6, (k, got[k], v)
