@@ -1361,7 +1361,7 @@ def llm_dedup_survivors(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("node").alias("doc_id")
     )
     return (
-        aug.join(losers, "doc_id", "left_anti")
+        aug.join(F.broadcast(losers), "doc_id", "left_anti")
         .select("doc_id")
         .orderBy("doc_id")
     )

@@ -65,3 +65,36 @@ def test_segment_dedup_stays_jvm_side(spark, sf_dir):
     # the lint is the absence of Python eval nodes)
     assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
     assert "Generate" in plan  # the array segmentation stays relational
+
+
+def test_topic_cluster_assignment_shuffle_free_rollup_partial(spark, sf_dir):
+    plan = formatted_plan(REGISTRY["llm_topic_cluster"].fn(spark, sf_dir))
+    # nearest-centroid assignment is a projection (centroid matrix in
+    # the task closure): exactly one Arrow-batched Python projection,
+    # never a row-at-a-time eval or an assignment join/shuffle
+    assert "ArrowEvalPython" in plan
+    assert "BatchEvalPython" not in plan
+    # the k-row centroid table rides a broadcast join
+    assert "BroadcastHashJoin" in plan
+    # k-key rollup still gets map-side partial aggregation
+    assert plan.count("HashAggregate") >= 2
+
+
+def test_dedup_survivors_losers_broadcast_anti(spark, sf_dir):
+    plan = formatted_plan(REGISTRY["llm_dedup_survivors"].fn(spark, sf_dir))
+    # the converged loser set is tiny (only docs with a near-dup
+    # neighbour) — the corpus keep-filter must be a broadcast anti-join,
+    # never a shuffle of the full corpus or a nested-loop fallback
+    assert "BroadcastHashJoin" in plan and "LeftAnti" in plan
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_stream_left_join_equi_key_drives_join(spark, sf_dir):
+    plan = formatted_plan(REGISTRY["stream_left_join"].fn(spark, sf_dir))
+    # user_id equi-key + time-range residual: the join must hash/merge
+    # on the key with the interval as a post-condition, never degrade
+    # to a nested-loop over the full event stream
+    assert "LeftOuter" in plan
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
