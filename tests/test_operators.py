@@ -329,3 +329,32 @@ def test_ewma_segmented_stitch_matches_single_pass(spark):
     assert len(got) == n + 1
     for k, v in expect.items():
         assert abs(got[k] - v) < 1e-6, (k, got[k], v)
+
+
+def test_recursive_hierarchy_deep_chain_log_rounds(spark, tmp_path):
+    """Depth stress far beyond the fixture's log_7(n) levels: the walk
+    only needs each node's ANCESTOR CHAIN present, so a depth-19 leaf
+    costs 19 rows (node 7^19's chain down to the root), not 7^19 rows.
+    Pointer doubling must resolve the exact depth in O(log depth)
+    rounds — evidence the operator handles deep hierarchies, not just
+    the shallow fixture tree."""
+    import appstore_aws_etl_spark.queries  # noqa: F401
+    from appstore_aws_etl_spark.registry import REGISTRY
+
+    leaf = 7**19  # chain: leaf -> (leaf-1)//7 -> ... -> 1 -> 0
+    chain, n = [], leaf
+    while n > 0:
+        chain.append(n)
+        n = (n - 1) // 7
+    depth = len(chain)  # walk rows = chain length (last row reaches root)
+    assert depth >= 19
+    keys = sorted(set(chain) | set(range(1, 100)))
+    spark.createDataFrame(
+        [Row(p_partkey=k) for k in keys]
+    ).coalesce(1).write.mode("overwrite").parquet(str(tmp_path / "part.parquet"))
+    out = REGISTRY["sub_recursive_hierarchy"].fn(spark, str(tmp_path))
+    got = {r["node"]: (r["depth"], r["top_branch"]) for r in out.collect()}
+    assert got[leaf] == (depth, chain[-1])         # deep leaf, branch under root
+    assert got[chain[1]] == (depth - 1, chain[-1])  # its parent: one less
+    assert got[99] == (3, 1)                  # 99 -> 14 -> 1 -> 0
+    assert got[2] == (1, 2)                   # directly under root
