@@ -369,13 +369,15 @@ def connected_dedup_clusters(
     content — union-find at Spark scale.
 
     Edges are the *chain* of consecutive ids per content fingerprint
-    (linear in group size — never the clique), and labels converge via
-    the shared min-label propagation walk (operators/labelprop.py):
-    one join + one grouped min per round, driver-side changed-count
-    convergence exit, localCheckpoint-per-round lineage truncation,
-    and a RuntimeError rather than a silent half-propagated result if
-    the diameter exceeds ``max_rounds`` — identical semantics to
-    ``graph_connected_components``.
+    (linear in group size — never the clique; a clique would be
+    quadratic in the duplicate count), and labels converge via the
+    shared min-label propagation walk (operators/labelprop.py): relax
+    + pointer-doubling compress per round — so a 10k-copy duplicate
+    chain (diameter 10k) converges in O(log) rounds — with driver-side
+    changed-count convergence exit, localCheckpoint-per-round lineage
+    truncation, and a RuntimeError rather than a silent
+    half-propagated result if ``max_rounds`` is exhausted — identical
+    semantics to ``graph_connected_components``.
     """
     from ..operators.labelprop import propagate_min_labels
 

@@ -41,30 +41,48 @@ def propagate_min_labels(
     label_col: str = "component",
     max_rounds: int = 50,
 ) -> DataFrame:
-    """Iterate ``label := min(label, min(neighbour labels))`` over the
-    undirected edge set ``und`` (columns ``src``, ``dst``; callers pass
-    both edge directions) until no label changes, and return ``labels``
-    (columns ``node_col``, ``label_col``) at the fixpoint.
+    """Iterate ``label := min(label, min(neighbour labels))`` followed
+    by a pointer-doubling compress ``label := min(label, label(label))``
+    over the undirected edge set ``und`` (columns ``src``, ``dst``;
+    callers pass both edge directions) until no label changes, and
+    return ``labels`` (columns ``node_col``, ``label_col``) at the
+    fixpoint.
 
-    Each round: one join shuffling labels onto edge sources, one
-    grouped min per destination, one left join back — all shuffles on
-    the (small) edge/node keys, never the full corpus. Raises
-    ``RuntimeError`` if ``max_rounds`` is exhausted before convergence
-    so an under-propagated labeling can never masquerade as an answer.
+    The compress step is what makes deep components cheap: labels are
+    always nodes of the same component (the relax step only adopts a
+    neighbour's label, the compress step that label's label), so
+    following the label pointer is a shortcut along the propagation
+    path and round count drops from O(diameter) to O(log diameter) —
+    the hook/compress shape of classic parallel connected components
+    (Shiloach-Vishkin; GraphX does the same). A path component of a
+    million nodes converges in ~20 rounds instead of a million.
+
+    Each round: one join shuffling labels onto edge sources + one
+    grouped min (relax), one self-join on the label key (compress) —
+    all shuffles on the (small) edge/node keys, never the full corpus.
+    Raises ``RuntimeError`` if ``max_rounds`` is exhausted before
+    convergence so an under-propagated labeling can never masquerade
+    as an answer.
     """
     for _ in range(max_rounds):
         msgs = und.join(
             labels.withColumnRenamed(node_col, "src"), "src"
         ).select(F.col("dst").alias(node_col), F.col(label_col).alias("__nbr"))
         mins = msgs.groupBy(node_col).agg(F.min("__nbr").alias("__nbr_min"))
+        relaxed = labels.join(mins, node_col, "left").select(
+            node_col,
+            F.least(label_col, F.coalesce("__nbr_min", label_col)).alias(label_col),
+            F.col(label_col).alias("__old"),
+        )
+        ptr = relaxed.select(
+            F.col(node_col).alias("__pn"), F.col(label_col).alias("__pl")
+        )
         nxt = (
-            labels.join(mins, node_col, "left")
+            relaxed.join(ptr, relaxed[label_col] == ptr["__pn"], "left")
             .select(
                 node_col,
-                F.least(label_col, F.coalesce("__nbr_min", label_col)).alias(
-                    label_col
-                ),
-                F.col(label_col).alias("__old"),
+                F.least(label_col, F.coalesce("__pl", label_col)).alias(label_col),
+                "__old",
             )
             .localCheckpoint(eager=True)
         )
@@ -74,6 +92,5 @@ def propagate_min_labels(
             return labels
     raise RuntimeError(
         f"min-label propagation did not converge within {max_rounds} rounds; "
-        "component diameter exceeds the cap — raise max_rounds or switch to "
-        "pointer doubling"
+        "component diameter exceeds the cap — raise max_rounds"
     )

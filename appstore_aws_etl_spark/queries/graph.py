@@ -148,12 +148,11 @@ def graph_connected_components(spark: SparkSession, sf_dir: str) -> DataFrame:
     labeling, not an iteration-budget approximation.
 
     Scale shape: each round is one shuffle-join (messages) + one
-    grouped min; rounds needed = component diameter, and the shared
-    walk (operators/labelprop.py) localCheckpoints per round so the
-    plan tree stays O(1) and RAISES if the cap is hit rather than
-    returning an under-propagated labeling. For planet-scale graphs
-    swap the label walk for pointer doubling (label := label's label,
-    O(log n) rounds) — same per-round plan, fewer rounds."""
+    grouped min (relax) + one label self-join (pointer-doubling
+    compress), so rounds needed = O(log diameter), not diameter; the
+    shared walk (operators/labelprop.py) localCheckpoints per round so
+    the plan tree stays O(1) and RAISES if the cap is hit rather than
+    returning an under-propagated labeling."""
     from ..operators.labelprop import propagate_min_labels
 
     edges = _weighted_copurchase_edges(spark, sf_dir, min_support=3)

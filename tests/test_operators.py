@@ -358,3 +358,26 @@ def test_recursive_hierarchy_deep_chain_log_rounds(spark, tmp_path):
     assert got[chain[1]] == (depth - 1, chain[-1])  # its parent: one less
     assert got[99] == (3, 1)                  # 99 -> 14 -> 1 -> 0
     assert got[2] == (1, 2)                   # directly under root
+
+
+def test_label_propagation_compress_handles_long_chain(spark):
+    """A 200-node path graph (diameter 199) must converge well inside
+    O(log n) rounds thanks to the pointer-doubling compress step — a
+    pure relax walk would need ~200 rounds and blow the cap."""
+    from pyspark.sql import functions as F
+
+    from appstore_aws_etl_spark.operators.labelprop import propagate_min_labels
+
+    edges = spark.createDataFrame(
+        [Row(src=i, dst=i + 1) for i in range(1, 200)]
+    )
+    und = edges.union(
+        edges.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
+    )
+    labels = und.select(F.col("src").alias("node")).distinct().withColumn(
+        "component", F.col("node")
+    )
+    out = propagate_min_labels(und, labels, "node", "component", max_rounds=12)
+    rows = out.collect()
+    assert len(rows) == 200
+    assert {r["component"] for r in rows} == {1}
