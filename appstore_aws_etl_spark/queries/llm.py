@@ -549,11 +549,43 @@ def llm_mix_weighted(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).select("doc_id", "mix_source")
 
 
-@query("llm_pack_sequences", oracle=None, tags=("llm", "packing"))
+@query(
+    "llm_pack_sequences",
+    oracle="""
+    WITH RECURSIVE sized AS (
+        SELECT source, doc_id, CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens,
+               row_number() OVER (PARTITION BY source ORDER BY doc_id) AS rn
+        FROM documents
+    ), walk AS (
+        SELECT source, rn, doc_id, n_tokens,
+               CAST(0 AS BIGINT) AS bin_id, CAST(0 AS BIGINT) AS off,
+               CASE WHEN n_tokens >= 1024 THEN CAST(1 AS BIGINT) ELSE CAST(0 AS BIGINT) END AS post_bin,
+               CASE WHEN n_tokens >= 1024 THEN CAST(0 AS BIGINT) ELSE n_tokens END AS post_fill
+        FROM sized WHERE rn = 1
+        UNION ALL
+        SELECT source, rn, doc_id, n_tokens, ob AS bin_id, ofs AS off,
+               CASE WHEN ofs + n_tokens >= 1024 THEN ob + 1 ELSE ob END AS post_bin,
+               CASE WHEN ofs + n_tokens >= 1024 THEN CAST(0 AS BIGINT) ELSE ofs + n_tokens END AS post_fill
+        FROM (
+            SELECT s.source, s.rn, s.doc_id, s.n_tokens,
+                   CASE WHEN w.post_fill > 0 AND w.post_fill + s.n_tokens > 1024
+                        THEN w.post_bin + 1 ELSE w.post_bin END AS ob,
+                   CASE WHEN w.post_fill > 0 AND w.post_fill + s.n_tokens > 1024
+                        THEN CAST(0 AS BIGINT) ELSE w.post_fill END AS ofs
+            FROM walk w JOIN sized s ON s.source = w.source AND s.rn = w.rn + 1
+        ) t
+    )
+    SELECT source, doc_id, n_tokens, bin_id, off AS "offset" FROM walk
+    """,
+    tags=("llm", "packing"),
+)
 def llm_pack_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Greedy sequence packing into 1024-token bins per source shard
-    (prefix-dependent recurrence -> applyInPandas; invariants
-    unit-tested in tests/test_llm.py)."""
+    """Greedy sequence packing into 1024-token bins per source shard —
+    a prefix-dependent recurrence (a bin closes when the next doc would
+    overflow it), so the engine runs it as applyInPandas per shard; the
+    oracle states the SAME recurrence as a recursive-CTE row walk per
+    source, making this exactly checkable (it was rows-only before).
+    Invariants are additionally unit-tested in tests/test_llm.py."""
     from ..llm.packing import pack_documents
 
     docs = load(spark, sf_dir, "documents").withColumn(
@@ -562,15 +594,33 @@ def llm_pack_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
     return pack_documents(docs, budget=1024)
 
 
-@query("llm_multimodal_features", oracle=None, tags=("llm", "multimodal"))
+@query(
+    "llm_multimodal_features",
+    oracle="""
+    SELECT doc_id AS media_id,
+           octet_length(encode(text)) AS n_bytes,
+           round(CAST(CAST(CAST('0x' || substr(sha256(text), 1, 8) AS UBIGINT)
+                           / 4294967296.0 AS FLOAT) AS DOUBLE), 6) AS f0
+    FROM documents
+    """,
+    tags=("llm", "multimodal"),
+)
 def llm_multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     """L10 feature extraction over binary payloads via mapInPandas
     (decode stage stubbed deterministically — no codec libs here; the
-    Arrow batching, schema, and partitioning are the real article)."""
+    Arrow batching, schema, and partitioning are the real article).
+    The deterministic stand-in (first 4 sha256 digest bytes / 2^32,
+    stored float32) is restated by the oracle digest-for-digest, so the
+    whole binary pipeline — payload encode, Arrow transfer, batch
+    feature extraction — is exactly checkable (it was rows-only
+    before). f0 goes through an explicit float->double cast on both
+    sides so 32-bit storage rounds identically."""
     media = documents_as_media(load(spark, sf_dir, "documents"))
     feats = extract_features(media)
     return feats.select(
-        "media_id", "n_bytes", F.round(F.element_at("feature", 1), 6).alias("f0")
+        "media_id",
+        "n_bytes",
+        F.round(F.element_at("feature", 1).cast("double"), 6).alias("f0"),
     )
 
 
