@@ -1457,14 +1457,34 @@ def ts_anomaly_zscore(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@query("ts_ewma", oracle=None, tags=("analytics", "timeseries", "stateful", "custom-operator"))
+@query(
+    "ts_ewma",
+    oracle="""
+    WITH RECURSIVE ordered AS (
+        SELECT user_id, event_id, value,
+               row_number() OVER (PARTITION BY user_id ORDER BY ts, event_id) AS rn
+        FROM events
+    ), walk AS (
+        SELECT user_id, event_id, value, rn, CAST(value AS DOUBLE) AS y
+        FROM ordered WHERE rn = 1
+        UNION ALL
+        SELECT o.user_id, o.event_id, o.value, o.rn, (1.0 - 0.2) * w.y + 0.2 * o.value
+        FROM walk w JOIN ordered o ON o.user_id = w.user_id AND o.rn = w.rn + 1
+    )
+    SELECT user_id, event_id, value, round(y, 6) AS ewma FROM walk
+    """,
+    tags=("analytics", "timeseries", "stateful", "custom-operator"),
+)
 def ts_ewma(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-user exponentially weighted moving average of event values
-    (alpha=0.2) — a true sequential recurrence, run as applyInPandas
-    per key (operators/timeseries.py:ewma). No SQL oracle: the
-    recurrence is not expressible in ANSI SQL without a recursive CTE
-    per row; correctness is pinned by tests/test_operators.py against
-    a hand-rolled recurrence."""
+    (alpha=0.2) — a true sequential recurrence, run as one
+    pandas-internal group loop per partition (operators/timeseries.py
+    ewma; Spark window functions cannot express it without
+    overflow-prone pow() tricks). The oracle states the identical
+    recurrence as a recursive-CTE row walk per user — y seeds at the
+    first value, then y := 0.8*y + 0.2*x in (ts, event_id) order — so
+    the operator is exactly hash-checkable (it was rows-only before;
+    double arithmetic agrees bit-for-bit at round-6)."""
     from ..operators.timeseries import ewma
 
     ev = load(spark, sf_dir, "events")
