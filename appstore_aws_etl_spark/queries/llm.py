@@ -1263,12 +1263,60 @@ def llm_segment_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@query("llm_knn_rerank", oracle=None, tags=("llm", "similarity", "approx"))
+@query(
+    "llm_knn_rerank",
+    oracle="""
+    WITH q AS (
+        SELECT list_transform(embedding, x -> CAST(x AS DOUBLE)) AS qv
+        FROM embeddings ORDER BY vec_id LIMIT 1
+    ), qs AS (
+        SELECT qv,
+               list_max(list_transform(qv, x -> abs(x))) / 127.0 AS qscale,
+               sqrt(list_sum(list_transform(qv, x -> x * x))) AS qnorm
+        FROM q
+    ), q8 AS (
+        SELECT qv, qscale, qnorm,
+               list_transform(qv, x -> CASE WHEN x >= 0
+                    THEN CAST(floor(x / qscale + 0.5) AS BIGINT)
+                    ELSE -CAST(floor(-x / qscale + 0.5) AS BIGINT) END) AS q8v
+        FROM qs
+    ), stats AS (
+        SELECT vec_id,
+               list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v,
+               sqrt(list_sum(list_transform(embedding,
+                    x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)))) AS norm,
+               list_max(list_transform(embedding, x -> abs(CAST(x AS DOUBLE)))) / 127.0 AS scale
+        FROM embeddings
+    ), scored AS (
+        SELECT s.vec_id, s.v, s.norm, s.scale,
+               list_sum(list_transform(range(1, len(s.v) + 1),
+                   i -> CAST(floor(CASE WHEN s.scale = 0 THEN 0.0
+                                        ELSE s.v[i] / s.scale END + 0.5) AS BIGINT)
+                        * t.q8v[i]))
+                 * s.scale * t.qscale
+                 / CASE WHEN s.norm = 0 THEN 1.0 ELSE s.norm END AS approx_score
+        FROM stats s CROSS JOIN q8 t
+    ), cand AS (
+        SELECT * FROM scored ORDER BY approx_score DESC, vec_id LIMIT 50
+    )
+    SELECT c.vec_id,
+           round(list_sum(list_transform(range(1, len(c.v) + 1), i -> c.v[i] * t.qv[i]))
+                 / (c.norm * t.qnorm), 4) + 0 AS score
+    FROM cand c CROSS JOIN q8 t
+    ORDER BY score DESC, c.vec_id
+    LIMIT 10
+    """,
+    tags=("llm", "similarity", "approx"),
+)
 def llm_knn_rerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Two-stage retrieval: int8-quantized dot-product prefilter keeps
     a 5x candidate pool, exact double-precision cosine reranks the
-    final top-10 (rows-only: the candidate cut is an approximation;
-    recall vs brute force is unit-tested in tests/test_llm.py).
+    final top-10. The whole computation — per-vector symmetric-max
+    quantization, integer dot, deterministic (score, vec_id) cuts — is
+    deterministic, so the oracle restates it literally with DuckDB
+    list lambdas and the key is exactly hash-checkable (it was
+    rows-only before); int8 recall vs brute force is additionally
+    unit-tested in tests/test_llm.py.
 
     Scale shape: stage 1 scores the full corpus with int8 arithmetic —
     4x less memory bandwidth than float32, the reason production ANN
