@@ -1,0 +1,68 @@
+"""Summarize driver-recorded correctness evidence across rounds.
+
+Reads every CORRECTNESS_r*.json in the repo root and prints, per round,
+the keys that recorded hash-level or rows-only evidence, plus a ready-
+to-paste frozenset literal for `__spark_entry__._R{N}_DRIVER_VERIFIED`
+and the registry keys still carrying no driver evidence at all. Run at
+round start, right after reading the new artifacts:
+
+    python tools/verified.py
+"""
+
+from __future__ import annotations
+
+import glob
+import json
+import os
+import re
+import sys
+import textwrap
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+import appstore_aws_etl_spark.queries  # noqa: F401
+from appstore_aws_etl_spark.registry import REGISTRY
+
+ROOT = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+
+
+def round_green(path: str) -> tuple[list[str], list[str], list[str]]:
+    data = json.load(open(path))
+    hashed = sorted(
+        k for k, v in data.items() if v.get("hash_match") is True
+    )
+    rows_only = sorted(
+        k for k, v in data.items() if v.get("err") == "no_oracle"
+    )
+    failed = sorted(
+        k
+        for k, v in data.items()
+        if k not in hashed
+        and k not in rows_only
+        and (v.get("err") or v.get("hash_match") is False or v.get("rows_match") is False)
+    )
+    return hashed, rows_only, failed
+
+
+def main() -> None:
+    verified: set[str] = set()
+    for path in sorted(glob.glob(os.path.join(ROOT, "CORRECTNESS_r*.json"))):
+        n = int(re.search(r"_r(\d+)", path).group(1))
+        hashed, rows_only, failed = round_green(path)
+        green = hashed + rows_only
+        verified.update(green)
+        print(f"round {n}: {len(hashed)} hash + {len(rows_only)} rows-only"
+              f" = {len(green)} green; {len(failed)} failed{': ' + str(failed) if failed else ''}")
+        body = ", ".join(f'"{k}"' for k in sorted(green))
+        print(f"_R{n}_DRIVER_VERIFIED = frozenset({{")
+        print(textwrap.indent(textwrap.fill(body, 68), "    "))
+        print("})\n")
+    unswept = [k for k in REGISTRY if k not in verified]
+    print(f"total driver-evidenced: {len(verified)}/{len(REGISTRY)}; "
+          f"unswept ({len(unswept)}):")
+    for k in unswept:
+        print(f"  {k}")
+
+
+if __name__ == "__main__":
+    main()
