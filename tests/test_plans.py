@@ -98,3 +98,14 @@ def test_stream_left_join_equi_key_drives_join(spark, sf_dir):
     assert "LeftOuter" in plan
     assert "CartesianProduct" not in plan
     assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_timestamp_pushdown_survives_ntz_normalization(spark, sf_dir):
+    plan = formatted_plan(REGISTRY["tpch_q6_forecast_revenue"].fn(spark, sf_dir))
+    # the loader casts TIMESTAMP_NTZ columns to session timestamps; the
+    # shipdate range predicate must still reach the parquet scan below
+    # that cast, and the scan must stay pruned to the used columns
+    assert "GreaterThanOrEqual(l_shipdate," in plan
+    assert "LessThan(l_shipdate," in plan
+    read_schema = [ln for ln in plan.splitlines() if "ReadSchema" in ln][0]
+    assert "l_orderkey" not in read_schema and "l_comment" not in read_schema
