@@ -128,3 +128,98 @@ def test_stratified_sample_quota_exact(spark, data, frac):
         for r in stratified_sample(df, ["k"], "id", frac).groupBy("k").count().collect()
     }
     assert got == expected
+
+
+edges_strategy = st.lists(
+    st.tuples(
+        st.integers(min_value=1, max_value=25),
+        st.integers(min_value=1, max_value=25),
+    ),
+    min_size=1,
+    max_size=30,
+).filter(lambda es: any(a != b for a, b in es))
+
+
+@given(edges=edges_strategy)
+@settings(max_examples=6, deadline=None,
+          suppress_health_check=[HealthCheck.function_scoped_fixture])
+def test_label_propagation_matches_union_find(spark, edges):
+    """Any random edge set: the distributed relax+compress walk must
+    produce exactly the per-component minimum a sequential union-find
+    computes."""
+    from appstore_aws_etl_spark.operators.labelprop import propagate_min_labels
+
+    edges = [(a, b) for a, b in edges if a != b]
+    df = spark.createDataFrame(edges, schema="src int, dst int")
+    und = df.union(df.select(F.col("dst").alias("src"), F.col("src").alias("dst")))
+    labels = und.select(F.col("src").alias("node")).distinct().withColumn(
+        "component", F.col("node")
+    )
+    got = {
+        r["node"]: r["component"]
+        for r in propagate_min_labels(und, labels, max_rounds=30).collect()
+    }
+
+    parent: dict[int, int] = {}
+
+    def find(x: int) -> int:
+        while parent.setdefault(x, x) != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+
+    for a, b in edges:
+        ra, rb = find(a), find(b)
+        if ra != rb:
+            parent[max(ra, rb)] = min(ra, rb)
+    comp_min: dict[int, int] = {}
+    nodes = {n for e in edges for n in e}
+    for n in nodes:
+        r = find(n)
+        comp_min[r] = min(comp_min.get(r, n), n)
+    expect = {n: comp_min[find(n)] for n in nodes}
+    assert got == expect
+
+
+series_strategy = st.lists(
+    st.tuples(
+        st.integers(min_value=0, max_value=2),              # key
+        st.floats(min_value=-100, max_value=100,
+                  allow_nan=False, allow_infinity=False),   # value
+    ),
+    min_size=1,
+    max_size=40,
+)
+
+
+@given(data=series_strategy)
+@settings(max_examples=6, deadline=None,
+          suppress_health_check=[HealthCheck.function_scoped_fixture])
+def test_ewma_segmented_equals_single_pass(spark, data):
+    """Any random per-key series: the (key, time-segment) pre-split
+    path with seed stitching must reproduce the single-pass EWMA —
+    the stitch is exact algebra, independent of where segment
+    boundaries fall."""
+    import datetime as dt
+
+    from appstore_aws_etl_spark.operators.timeseries import ewma
+
+    base = dt.datetime(2024, 1, 1)
+    rows = [
+        (k, i, base + dt.timedelta(seconds=7 * i), float(v))
+        for i, (k, v) in enumerate(data)
+    ]
+    df = spark.createDataFrame(rows, schema="user_id int, event_id int, ts timestamp, value double")
+    kwargs = dict(key="user_id", ts="ts", value="value", alpha=0.35,
+                  order_cols=("event_id",))
+    single = {
+        (r["user_id"], r["event_id"]): r["ewma"]
+        for r in ewma(df, **kwargs).collect()
+    }
+    segmented = {
+        (r["user_id"], r["event_id"]): r["ewma"]
+        for r in ewma(df, seg_seconds=20, **kwargs).collect()  # ~3 rows/segment
+    }
+    assert set(single) == set(segmented)
+    for k in single:
+        assert abs(single[k] - segmented[k]) <= 1e-6, (k, single[k], segmented[k])
