@@ -151,7 +151,12 @@ def _ewma_segmented(
     """(key, time-segment) pre-split EWMA with exact seed stitching —
     see ``ewma``. One full-data shuffle on (key, segment), one tiny
     summary aggregation + per-key sequential seed composition, one
-    hash join of seeds back onto the rows (JVM-side correction)."""
+    join of seeds back onto the rows (JVM-side correction). The seeds
+    join is deliberately left to AQE rather than hinted: seed
+    cardinality is #segments (data / segment size), which AQE
+    broadcasts when it fits and shuffle-joins when a pathological
+    segment count would make a broadcast OOM — the runtime size check
+    is the correct arbiter, not a static hint."""
     import pandas as pd
 
     fields = [events.schema[c] for c in (key, id_col, value)]
