@@ -67,11 +67,25 @@ def ewma(
     id_col: str = "event_id",
     order_cols: tuple[str, ...] = (),
     seg_seconds: int | None = None,
+    round_to: int | None = 6,
 ) -> DataFrame:
     """Exponentially weighted moving average per key — the classic
     sequential recurrence (y_t = a*x_t + (1-a)*y_{t-1}, seeded
     y_0 = x_0) that window functions cannot express without
     overflow-prone pow() tricks.
+
+    Determinism contract: both paths compute the same recurrence and
+    agree with a sequential evaluation to within float ulp (~1e-12
+    relative); the segmented stitch is exact in real arithmetic but
+    reassociates float ops, so unrounded outputs across different
+    ``seg_seconds`` settings are equal only to that tolerance. Final
+    rounding (``round_to`` decimals, default 6) is applied JVM-side via
+    Spark ROUND — HALF_UP, i.e. ties away from zero, the same
+    convention as ANSI/DuckDB ``round()`` — identically on both paths.
+    A value within one ulp of a rounding boundary can therefore still
+    differ in the last printed digit between ``seg_seconds`` settings;
+    callers needing cross-config bitwise equality should pass
+    ``round_to=None`` and compare with a relative tolerance.
 
     Default path: ``mapInPandas`` over key-repartitioned, key-and-time-
     sorted partitions — ONE Python invocation per partition, then a
@@ -102,7 +116,8 @@ def ewma(
 
     if seg_seconds is not None:
         return _ewma_segmented(
-            events, key, ts, value, alpha, id_col, order_cols, seg_seconds
+            events, key, ts, value, alpha, id_col, order_cols, seg_seconds,
+            round_to,
         )
 
     fields = [events.schema[c] for c in (key, id_col, value)]
@@ -118,24 +133,31 @@ def ewma(
         if pdf.empty:
             return
         # rows arrive partition-sorted by (key, ts, ...); concat keeps
-        # that order, so the recurrence just needs the group boundaries
+        # that order, so the recurrence just needs the group boundaries.
+        # groupby-window results are ordered by per-level factorization
+        # codes, NOT row appearance — so align back by the original row
+        # index (droplevel), never positionally (reset_index(drop=True)
+        # silently mis-assigns rows when group order differs).
         e = (
             pdf.groupby(key, sort=False)[value]
             .ewm(alpha=alpha, adjust=False)
             .mean()
-            .reset_index(drop=True)
+            .droplevel(0)
         )
         out = pdf[[key, id_col, value]].copy()
-        out["ewma"] = e.round(6)
+        out["ewma"] = e
         yield out
 
     cols = list(dict.fromkeys([key, id_col, value, ts, *order_cols]))
-    return (
+    out = (
         events.select(*cols)
         .repartition(F.col(key))
         .sortWithinPartitions(*sort_cols)
         .mapInPandas(fn, schema=out_schema)
     )
+    if round_to is not None:
+        out = out.withColumn("ewma", F.round("ewma", round_to))
+    return out
 
 
 def _ewma_segmented(
@@ -147,6 +169,7 @@ def _ewma_segmented(
     id_col: str,
     order_cols: tuple[str, ...],
     seg_seconds: int,
+    round_to: int | None,
 ) -> DataFrame:
     """(key, time-segment) pre-split EWMA with exact seed stitching —
     see ``ewma``. One full-data shuffle on (key, segment), one tiny
@@ -178,18 +201,29 @@ def _ewma_segmented(
         if pdf.empty:
             return
         g = pdf.groupby([key, "__seg"], sort=False)
-        u = g[value].ewm(alpha=alpha, adjust=False).mean().reset_index(drop=True)
+        # CORRECTNESS: multi-key groupby-window results come back in
+        # per-level factorization-code order — e.g. a __seg value first
+        # observed under a DIFFERENT key reorders this key's groups —
+        # so positional reassignment (reset_index(drop=True)) silently
+        # shifts __u across rows. droplevel leaves the original row
+        # index, and assignment aligns on it exactly.
+        u = g[value].ewm(alpha=alpha, adjust=False).mean().droplevel([0, 1])
         out = pdf[[key, id_col, value, "__seg"]].copy()
         out["__u"] = u
-        out["__pos"] = g.cumcount().reset_index(drop=True) + 1
+        out["__pos"] = g.cumcount() + 1
         out["__xf"] = g[value].transform("first").astype("float64")
         yield out
 
+    # lazy localCheckpoint, not persist(): materialized once on first
+    # action and shared by the summary agg and the final join like a
+    # cache, but the blocks are released by the ContextCleaner when
+    # this frame is GC'd — a 201-query long-lived session never
+    # accumulates pinned CacheManager entries from this operator.
     part1 = (
         base.repartition(F.col(key), F.col("__seg"))
         .sortWithinPartitions(*sort_cols)
         .mapInPandas(local, schema=local_schema)
-        .persist()
+        .localCheckpoint(eager=False)
     )
 
     summ = part1.groupBy(key, "__seg").agg(
@@ -215,16 +249,13 @@ def _ewma_segmented(
     corrected = F.col("__u") + F.pow(F.lit(1.0 - alpha), F.col("__pos")) * (
         F.col("__seed") - F.col("__xf")
     )
+    stitched = F.when(
+        F.col("__seed").isNull() | F.isnan("__seed"), F.col("__u")
+    ).otherwise(corrected)
+    if round_to is not None:
+        stitched = F.round(stitched, round_to)
     return (
         part1.join(seeds, [key, "__seg"], "left")
-        .withColumn(
-            "ewma",
-            F.round(
-                F.when(
-                    F.col("__seed").isNull() | F.isnan("__seed"), F.col("__u")
-                ).otherwise(corrected),
-                6,
-            ),
-        )
+        .withColumn("ewma", stitched)
         .select(key, id_col, value, "ewma")
     )

@@ -331,6 +331,38 @@ def test_ewma_segmented_stitch_matches_single_pass(spark):
         assert abs(got[k] - v) < 1e-6, (k, got[k], v)
 
 
+def test_ewma_segmented_cross_key_segment_interleave(spark):
+    """Regression (round 5): pandas multi-key groupby-window results
+    come back ordered by per-level factorization codes, not row
+    appearance — a segment id first observed under a DIFFERENT key
+    reorders this key's groups, and a positional reset_index(drop=True)
+    then shifted __u across rows (key 1's third value landed on its
+    fourth row). The operator must align by row index. Layout: key 0
+    has one row in the LATER segment only, so that segment's id
+    factorizes first."""
+    from appstore_aws_etl_spark.operators.timeseries import ewma
+
+    base = dt.datetime(2024, 1, 1)
+    data = [(1, 0.0), (1, 0.0), (1, 1.0), (0, 0.0), (1, 0.0)]
+    rows = [
+        Row(user_id=k, event_id=i, ts=base + dt.timedelta(seconds=7 * i),
+            value=float(v))
+        for i, (k, v) in enumerate(data)
+    ]
+    df = spark.createDataFrame(rows)
+    out = ewma(
+        df, key="user_id", ts="ts", value="value", alpha=0.35,
+        order_cols=("event_id",), seg_seconds=20,
+    )
+    got = {(r["user_id"], r["event_id"]): r["ewma"] for r in out.collect()}
+    # hand-rolled: key 1 series [0, 0, 1, 0] -> [0, 0, .35, .2275]
+    expect = {(0, 3): 0.0, (1, 0): 0.0, (1, 1): 0.0,
+              (1, 2): 0.35, (1, 4): 0.2275}
+    assert len(got) == len(expect)
+    for k, v in expect.items():
+        assert abs(got[k] - v) < 1e-6, (k, got[k], v)
+
+
 def test_recursive_hierarchy_deep_chain_log_rounds(spark, tmp_path):
     """Depth stress far beyond the fixture's log_7(n) levels: the walk
     only needs each node's ANCESTOR CHAIN present, so a depth-19 leaf

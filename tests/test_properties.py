@@ -197,10 +197,16 @@ series_strategy = st.lists(
           suppress_health_check=[HealthCheck.function_scoped_fixture])
 def test_ewma_segmented_equals_single_pass(spark, data):
     """Any random per-key series: the (key, time-segment) pre-split
-    path with seed stitching must reproduce the single-pass EWMA —
-    the stitch is exact algebra, independent of where segment
-    boundaries fall."""
+    path with seed stitching must reproduce the single-pass EWMA.
+    The stitch is exact algebra but reassociates float ops, so the
+    operator's contract (timeseries.py ewma docstring) promises
+    equality of UNROUNDED values within float ulp — compared here at
+    rtol 1e-9 on round_to=None outputs. (Comparing rounded outputs
+    with an absolute 1e-6 tolerance is wrong: ~1e-12 stitch drift can
+    straddle a 6-dp rounding boundary, making the two rounded values
+    differ by exactly one quantum — hypothesis finds such inputs.)"""
     import datetime as dt
+    import math
 
     from appstore_aws_etl_spark.operators.timeseries import ewma
 
@@ -211,7 +217,7 @@ def test_ewma_segmented_equals_single_pass(spark, data):
     ]
     df = spark.createDataFrame(rows, schema="user_id int, event_id int, ts timestamp, value double")
     kwargs = dict(key="user_id", ts="ts", value="value", alpha=0.35,
-                  order_cols=("event_id",))
+                  order_cols=("event_id",), round_to=None)
     single = {
         (r["user_id"], r["event_id"]): r["ewma"]
         for r in ewma(df, **kwargs).collect()
@@ -222,4 +228,6 @@ def test_ewma_segmented_equals_single_pass(spark, data):
     }
     assert set(single) == set(segmented)
     for k in single:
-        assert abs(single[k] - segmented[k]) <= 1e-6, (k, single[k], segmented[k])
+        assert math.isclose(single[k], segmented[k], rel_tol=1e-9, abs_tol=1e-9), (
+            k, single[k], segmented[k],
+        )
