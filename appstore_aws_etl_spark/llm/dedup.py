@@ -113,9 +113,12 @@ def minhash_near_dup_pairs(
     """
     rows_per_band = num_hashes // bands
     # signatures are tiny relative to the text (num_hashes longs/doc);
-    # persist so the shingling+permutation work runs once, not once per
-    # join side (at 100 TB this table would be checkpointed to storage)
-    sigs = minhash_signatures(df, id_col, text_col, num_hashes, shingle_k).persist()
+    # lazy localCheckpoint so the shingling+permutation work runs once,
+    # not once per join side, and the blocks are ContextCleaner-released
+    # when this frame is GC'd instead of pinned in the CacheManager for
+    # the life of the session (at 100 TB this table would be
+    # checkpointed to durable storage)
+    sigs = minhash_signatures(df, id_col, text_col, num_hashes, shingle_k).localCheckpoint(eager=False)
     banded = sigs.select(
         id_col,
         F.posexplode(
@@ -262,15 +265,16 @@ def ngram_jaccard_pairs(
         shifted = F.slice(toks, k + 1, F.size(toks))
         gram_arr = F.zip_with(gram_arr, shifted, lambda x, y: F.concat(x, F.lit(" "), y))
     gram_arr = F.filter(gram_arr, lambda g: g.isNotNull())
-    # persisted: the gram table feeds both join sides and the size agg —
-    # without it the explode runs three times. Rows are already unique:
-    # array_distinct dedups within a doc and id_col rides every row, so
-    # no distinct (= no extra shuffle) is needed here.
+    # materialized once (lazy localCheckpoint, session-leak-free like
+    # the minhash signatures): the gram table feeds both join sides and
+    # the size agg — without it the explode runs three times. Rows are
+    # already unique: array_distinct dedups within a doc and id_col
+    # rides every row, so no distinct (= no extra shuffle) is needed.
     grams = df.select(
         id_col,
         *scope_cols,
         F.explode(F.array_distinct(gram_arr)).alias("gram"),
-    ).persist()
+    ).localCheckpoint(eager=False)
     if df_cap is not None:
         hot = (
             grams.groupBy(*scope_cols, "gram")
@@ -280,7 +284,7 @@ def ngram_jaccard_pairs(
         )
         grams = grams.join(
             F.broadcast(hot), on=[*scope_cols, "gram"], how="left_anti"
-        ).persist()
+        ).localCheckpoint(eager=False)
     sizes = grams.groupBy(id_col, *scope_cols).agg(F.count(F.lit(1)).alias("n_grams"))
     a = grams.select(*scope_cols, F.col(id_col).alias("id_a"), "gram")
     b = grams.select(*scope_cols, F.col(id_col).alias("id_b"), "gram")
@@ -340,7 +344,7 @@ def cross_split_contamination(
         id_col,
         key_hash(id_col).alias("__bucket"),
         F.explode(F.array_distinct(gram_arr)).alias("gram"),
-    ).persist()
+    ).localCheckpoint(eager=False)
     train_grams = (
         grams.filter(F.col("__bucket") < train_max_bucket).select("gram").distinct()
     )
@@ -383,7 +387,7 @@ def connected_dedup_clusters(
 
     fp = df.select(
         F.col(id_col).alias("node"), F.md5(F.col(text_col)).alias("__fp")
-    ).persist()
+    ).localCheckpoint(eager=False)
     w = Window.partitionBy("__fp").orderBy("node")
     chain = fp.withColumn("__prev", F.lag("node").over(w))
     edges = chain.filter(F.col("__prev").isNotNull()).select(
@@ -391,7 +395,7 @@ def connected_dedup_clusters(
     )
     und = edges.union(
         edges.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
-    ).persist()
+    ).localCheckpoint(eager=False)
     labels = fp.select("node", F.col("node").alias("cluster_id"))
     labels = propagate_min_labels(
         und, labels, "node", "cluster_id", max_rounds=max_rounds

@@ -107,15 +107,17 @@ def lsh_candidate_pairs(
     |bucket|^2, never n^2; only ids shuffle through the join (vectors
     re-attach later by id). At 100 TB, band/bucket cardinality is the
     tuning knob: more planes per band -> smaller buckets."""
-    # persisted: the banded table feeds both sides of the self-join —
-    # without it the signature UDF (the expensive stage) runs twice
-    # (at 100 TB signatures would be checkpointed to storage)
+    # materialized once (lazy localCheckpoint, ContextCleaner-released
+    # on GC rather than CacheManager-pinned): the banded table feeds
+    # both sides of the self-join — without it the signature UDF (the
+    # expensive stage) runs twice (at 100 TB signatures would be
+    # checkpointed to durable storage)
     banded = df.select(
         F.col(id_col),
         F.posexplode(
             hyperplane_band_buckets(F.col(vec_col), n_planes, bands, seed)
         ).alias("band", "bucket"),
-    ).persist()
+    ).localCheckpoint(eager=False)
     a = banded.select(F.col(id_col).alias("id_a"), "band", "bucket")
     b = banded.select(F.col(id_col).alias("id_b"), "band", "bucket")
     return (

