@@ -85,10 +85,20 @@ def compare(name: str, spark_df, oracle_df) -> list[str]:
 
 
 def main() -> int:
-    keys = sys.argv[1:] or list(REGISTRY)
+    import datetime
+    import json
+
+    args = sys.argv[1:]
+    json_path = None
+    if "--json" in args:
+        i = args.index("--json")
+        json_path = args[i + 1]
+        args = args[:i] + args[i + 2:]
+    keys = args or list(REGISTRY)
     spark = get_spark("check")
     con = duck_connection(SF_DIR)
     failures = 0
+    records: dict[str, dict] = {}
     for name in keys:
         spec = REGISTRY[name]
         t0 = time.time()
@@ -97,23 +107,41 @@ def main() -> int:
         except Exception:
             print(f"FAIL {name}: spark error\n{traceback.format_exc()}")
             failures += 1
+            records[name] = {"status": "fail", "err": "spark error"}
             continue
         if spec.oracle is None:
             print(f"ok   {name} (rows-only: {len(sdf)} rows) [{time.time()-t0:.1f}s]")
+            records[name] = {"status": "rows_only", "rows": len(sdf)}
             continue
         try:
             odf = con.execute(spec.oracle).fetchdf()
         except Exception:
             print(f"FAIL {name}: oracle error\n{traceback.format_exc()}")
             failures += 1
+            records[name] = {"status": "fail", "err": "oracle error"}
             continue
         problems = compare(name, sdf, odf)
         if problems:
             failures += 1
             print(f"FAIL {name}: " + "; ".join(problems))
+            records[name] = {"status": "fail", "err": "; ".join(problems)}
         else:
             print(f"ok   {name} ({len(sdf)} rows) [{time.time()-t0:.1f}s]")
+            records[name] = {"status": "hash_match", "rows": len(sdf)}
     print(f"\n{len(keys) - failures}/{len(keys)} passed")
+    if json_path:
+        with open(json_path, "w") as fh:
+            json.dump(
+                {
+                    "date": datetime.date.today().isoformat(),
+                    "sf_dir": SF_DIR,
+                    "passed": len(keys) - failures,
+                    "total": len(keys),
+                    "results": records,
+                },
+                fh,
+                indent=1,
+            )
     return 1 if failures else 0
 
 

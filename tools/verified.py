@@ -26,33 +26,55 @@ from appstore_aws_etl_spark.registry import REGISTRY
 ROOT = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 
 
-def round_green(path: str) -> tuple[list[str], list[str], list[str]]:
+def round_green(path: str) -> tuple[list[str], list[str], list[str], list[str]]:
+    """Classify one round's records into (hashed, rows_only, failed, unclassified).
+
+    rows-only green requires an actual successful execution: err == 'no_oracle'
+    AND a recorded spark_rows count AND no negative rows/schema verdict — a
+    malformed or partially-written record must not be promoted to "verified"
+    and then skipped by every future sweep.
+    """
     data = json.load(open(path))
     hashed = sorted(
         k for k, v in data.items() if v.get("hash_match") is True
     )
     rows_only = sorted(
-        k for k, v in data.items() if v.get("err") == "no_oracle"
+        k
+        for k, v in data.items()
+        if k not in hashed
+        and v.get("err") == "no_oracle"
+        and v.get("spark_rows") is not None
+        and v.get("rows_match") is not False
+        and v.get("schema_match") is not False
     )
     failed = sorted(
         k
         for k, v in data.items()
         if k not in hashed
         and k not in rows_only
-        and (v.get("err") or v.get("hash_match") is False or v.get("rows_match") is False)
+        and (
+            (v.get("err") and v.get("err") != "no_oracle")
+            or v.get("hash_match") is False
+            or v.get("rows_match") is False
+            or v.get("schema_match") is False
+        )
     )
-    return hashed, rows_only, failed
+    unclassified = sorted(
+        k for k in data if k not in hashed and k not in rows_only and k not in failed
+    )
+    return hashed, rows_only, failed, unclassified
 
 
 def main() -> None:
     verified: set[str] = set()
     for path in sorted(glob.glob(os.path.join(ROOT, "CORRECTNESS_r*.json"))):
         n = int(re.search(r"_r(\d+)", path).group(1))
-        hashed, rows_only, failed = round_green(path)
+        hashed, rows_only, failed, unclassified = round_green(path)
         green = hashed + rows_only
         verified.update(green)
         print(f"round {n}: {len(hashed)} hash + {len(rows_only)} rows-only"
-              f" = {len(green)} green; {len(failed)} failed{': ' + str(failed) if failed else ''}")
+              f" = {len(green)} green; {len(failed)} failed{': ' + str(failed) if failed else ''}"
+              f"{'; ' + str(len(unclassified)) + ' unclassified: ' + str(unclassified) if unclassified else ''}")
         body = ", ".join(f'"{k}"' for k in sorted(green))
         print(f"_R{n}_DRIVER_VERIFIED = frozenset({{")
         print(textwrap.indent(textwrap.fill(body, 68), "    "))
