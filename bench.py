@@ -71,7 +71,15 @@ def main() -> None:
         if name == FLAGSHIP or (only and name not in only):
             continue
         run_once(spark, name)  # warm: codegen compile + persist/broadcast setup
-        timings[name] = round(run_once(spark, name), 4)
+        t = run_once(spark, name)
+        # stall-proofing: a single GC/JIT pause during one timed run
+        # wrote a 21x outlier (8.87 s join_range, steady-state 0.58 s)
+        # into the round-4 artifact. Any first timing over 1.5 s gets
+        # two more runs and reports the median-of-3, so one stall
+        # cannot define the official number.
+        if t > 1.5:
+            t = statistics.median([t, run_once(spark, name), run_once(spark, name)])
+        timings[name] = round(t, 4)
     timings[FLAGSHIP] = round(timings[FLAGSHIP], 4)
 
     sf = float(os.path.basename(SF_DIR.rstrip("/")).replace("sf", "") or "0.1")
