@@ -52,12 +52,15 @@ def run_once(spark, name: str) -> float:
 
 def main() -> None:
     only = sys.argv[1:]
-    # sf0.1 is ~20 MB of parquet: 8 post-scan partitions measured best
-    # (32 adds pure task-scheduling overhead). On a real cluster this
-    # is sized to data volume / 128 MB and AQE coalesces the rest.
+    # sf0.1 is ~20 MB of parquet: shuffle partitions sized to data
+    # volume, not cores — 2 post-shuffle partitions measured best
+    # (A/B at r5: 0.27 s/query floor vs 0.37 at 8 on a 12-key light
+    # set; iterative ops gain most — PageRank 8.7 -> 3.5 s — because
+    # every round schedules 2 tasks instead of 8). On a real cluster
+    # this is data volume / 128 MB and AQE coalesces the rest.
     spark = get_spark(
         "bench",
-        shuffle_partitions=int(os.environ.get("SPARK_GRAFT_SHUFFLE", "8")),
+        shuffle_partitions=int(os.environ.get("SPARK_GRAFT_SHUFFLE", "2")),
         extra_conf={"spark.ui.showConsoleProgress": "false"},
     )
     # warm the JVM/codegen paths AND the Python/Arrow worker pool so no
