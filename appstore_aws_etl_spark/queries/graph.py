@@ -76,10 +76,14 @@ def graph_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
         .distinct()
     )
     deg = edges.groupBy("src").agg(F.count(F.lit(1)).alias("d"))
-    # cache the JOINED message relation, not the bare edge list: the
-    # unrolled 3-iteration DAG references it three times, and caching
-    # edges alone still re-runs the edges-deg join per iteration
-    messages = edges.join(deg, "src").cache()
+    # materialize the JOINED message relation, not the bare edge list:
+    # the unrolled 3-iteration DAG references it three times, and
+    # caching edges alone still re-runs the edges-deg join per
+    # iteration. Lazy localCheckpoint (materialized by the n_nodes
+    # count just below) instead of cache(): blocks are released on GC
+    # rather than pinned in the CacheManager, and the checkpoint cuts
+    # the 3x-repeated subtree out of each iteration's analyzed plan.
+    messages = edges.join(deg, "src").localCheckpoint(eager=False)
     n_nodes = messages.select("src").distinct().count()  # parameter-only collect
     pr = deg.select(F.col("src").alias("node"), (F.lit(1.0) / F.lit(float(n_nodes))).alias("pr"))
     for _ in range(3):

@@ -1450,7 +1450,7 @@ def llm_dedup_survivors(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     und = pairs.union(
         pairs.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
-    ).persist()
+    ).localCheckpoint(eager=False)
     labels = und.select(F.col("src").alias("node")).distinct().withColumn(
         "component", F.col("node")
     )

@@ -80,3 +80,17 @@ def test_all_parquet_scans_vectorized(plans):
         for chunk in plan.split("\n\n"):
             if "Scan parquet" in chunk and "Location: InMemoryFileIndex" in chunk:
                 assert "Batched: true" in chunk, f"{name} has a row-based scan:\n{chunk}"
+
+
+def test_no_pinned_cache_entries_session_wide(spark, plans):
+    """Session hygiene: constructing every registered query (which runs
+    the eager parts — label-propagation loops, k-means fits, parameter
+    collects) must leave ZERO entries pinned in the CacheManager. A
+    df.persist()/cache() without a paired unpersist survives for the
+    life of the session and accumulates executor storage across a
+    201-query sweep; shared intermediates therefore use lazy
+    localCheckpoint, whose blocks the ContextCleaner frees on GC."""
+    assert spark._jsparkSession.sharedState().cacheManager().isEmpty(), (
+        "a registry query pinned a DataFrame in the CacheManager "
+        "(df.cache()/persist() without unpersist)"
+    )
