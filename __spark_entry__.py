@@ -25,116 +25,6 @@ from appstore_aws_etl_spark.registry import REGISTRY
 FLAGSHIP = "agg_group"
 SMOKE_SF_DIR = "/root/testdata/sf0.001"
 
-# Keys the round-1 driver sweep verified (CORRECTNESS_r01.json) — it
-# covered exactly the first 50 registry keys in dict order before its
-# budget ran out.  queries() therefore yields the keys with *no* hard
-# driver evidence yet first (cheapest first, heavy LLM ops at the end
-# of that block), and the already-proven round-1 keys last, so a
-# budgeted sweep maximizes fresh coverage.
-_R1_DRIVER_VERIFIED = frozenset(
-    {
-        "agg_global", "agg_count_distinct", "agg_approx_distinct",
-        "agg_approx_percentile", "agg_filtered", "agg_grouping_sets",
-        "agg_rollup", "agg_cube", "agg_stats", "agg_percentile",
-        "agg_argmax", "agg_collect", "agg_pivot", "agg_topk_group",
-        "ts_gapfill_rollup", "etl_merge_upsert", "etl_scd2_history",
-        "etl_snapshot_diff", "agg_histogram", "tpch_q3_shipping_priority",
-        "tpch_q5_local_supplier_volume", "tpch_q10_returned_items",
-        "sub_scalar_correlated", "sub_in_subquery", "sub_not_in_anti",
-        "agg_group", "fn_string_basic", "fn_string_pad", "fn_regex",
-        "fn_split", "fn_date_parts", "fn_date_arith", "fn_date_trunc",
-        "fn_math", "fn_conditional", "fn_array_explode", "fn_array_hof",
-        "fn_map", "fn_bitwise", "fn_map_explode", "fn_variant",
-        "fn_json_extract", "fn_json_struct", "join_inner", "join_broadcast",
-        "join_left", "join_right", "join_full", "join_semi", "join_anti",
-    }
-)
-# Keys the round-2 driver sweep verified green (CORRECTNESS_r02.json);
-# like the round-1 set they sort to the back of queries() so a
-# budgeted round-3 sweep spends its time on still-unverified keys.
-_R2_DRIVER_VERIFIED = frozenset(
-    {
-        "agg_boolean_aggs", "agg_corr_regr", "agg_decimal_money",
-        "agg_heavy_hitters", "agg_mad_robust", "agg_string_agg",
-        "agg_unpivot", "analytics_abc_class", "analytics_market_basket",
-        "analytics_mom_growth", "analytics_rfm", "fn_array_setops",
-        "fn_date_calendar", "fn_hash_encode", "graph_pagerank",
-        "join_bloom_prefilter", "join_cross", "join_multikey",
-        "join_null_safe", "join_range", "join_self", "join_theta",
-        "llm_cosine", "llm_dedup_exact", "llm_knn", "llm_wordcount",
-        "tpch_q13_customer_distribution", "tpch_q14_promo_share",
-        "tpch_q15_top_supplier", "tpch_q17_small_quantity_revenue",
-        "tpch_q18_large_orders", "tpch_q19_disjunctive",
-        "tpch_q22_dormant_customers", "tpch_q4_priority_exists",
-        "tpch_q6_forecast_revenue", "tpch_q7_volume_shipping",
-        "tpch_q8_market_share", "util_data_quality", "util_table_profile",
-        "util_zorder_layout",
-    }
-)
-_R3_DRIVER_VERIFIED = frozenset(
-    {
-        "agg_bloom_filter", "agg_countmin_sketch", "agg_hll_rollup",
-        "agg_mode", "analytics_cohort_retention", "analytics_dau_wau",
-        "analytics_event_transitions", "analytics_streaks", "filter_between",
-        "filter_boolean", "filter_compare", "filter_in", "filter_like",
-        "graph_connected_components", "graph_triangle_count", "join_asof",
-        "join_asof_nearest", "join_interval_overlap", "join_salted_skew",
-        "llm_char_entropy", "llm_clean_corpus", "llm_containment_pairs",
-        "llm_corpus_stats", "llm_doc_chunk", "llm_fingerprint",
-        "llm_hash_sample", "llm_keywords", "llm_knn_rerank", "llm_lang_id",
-        "llm_mix_weighted", "llm_multimodal_meta", "llm_ngrams",
-        "llm_pii_redact", "llm_quality_filter", "llm_repetition_score",
-        "llm_segment_dedup", "llm_split_assign", "llm_stratified_sample",
-        "llm_tfidf", "llm_token_count", "llm_unigram_logprob",
-        "llm_vector_centroid", "llm_vector_quantize", "project_alias",
-        "project_cast", "project_computed", "project_select",
-        "ts_anomaly_zscore", "ts_ewma", "util_compaction_plan",
-    }
-)
-# Keys the round-4 driver sweep verified (CORRECTNESS_r04.json):
-# 44 hash matches + 6 rows-only executions of oracle-less-by-design keys
-# (generated by tools/verified.py against the r4 artifact).
-_R4_DRIVER_VERIFIED = frozenset(
-    {
-        "distinct_rows", "filter_null", "llm_dedup_embedding",
-        "llm_dedup_minhash", "llm_dedup_simhash", "llm_dedup_survivors",
-        "llm_knn_ivf", "llm_multimodal_features", "llm_pack_sequences",
-        "llm_topic_cluster", "scan_csv", "scan_json", "scan_parquet",
-        "set_bag_ops", "set_except", "set_intersect", "set_union",
-        "set_union_all", "sort_limit", "sort_multi", "sort_topk",
-        "stream_dedup", "stream_enrich", "stream_funnel", "stream_join",
-        "stream_left_join", "stream_session", "stream_sliding",
-        "stream_tumbling", "sub_recursive_hierarchy",
-        "tpch_q11_important_stock", "tpch_q12_late_lines",
-        "tpch_q16_supplier_part_count", "tpch_q20_excess_share_suppliers",
-        "tpch_q21_waiting_supplier", "tpch_q2_min_cost_supplier",
-        "tpch_q9_product_profit", "udf_grouped_agg", "udf_pandas",
-        "udf_scalar", "udtf_explode_like", "win_first_last", "win_lag_lead",
-        "win_moving_avg", "win_ntile", "win_pct", "win_range_frame",
-        "win_rank", "win_row_number", "win_running_sum",
-    }
-)
-_DRIVER_VERIFIED = (
-    _R1_DRIVER_VERIFIED
-    | _R2_DRIVER_VERIFIED
-    | _R3_DRIVER_VERIFIED
-    | _R4_DRIVER_VERIFIED
-)
-# The 11 registry keys with NO driver evidence after four rounds (they
-# sat at sweep positions 50-60, just past the ~50-key/round budget) —
-# they lead queries() so round 5's sweep reaches them first.
-_NEVER_SWEPT = (
-    "llm_jaccard_ngram", "llm_sim_join", "llm_contamination",
-    "llm_dedup_clusters", "llm_multimodal_frames",
-    "llm_edit_distance_verify", "scan_orc", "win_nth_value",
-    "win_scalable_cumsum", "win_moving_median", "win_time_range_frame",
-)
-# Keys whose round-3 driver evidence was rows-only but which gained an
-# exact oracle in round 4 — queued right after the unswept block so the
-# sweep upgrades them to hash-level evidence.
-_ORACLE_UPGRADED = ("ts_ewma", "llm_knn_rerank")
-
-
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship query (TPC-H-Q1-style pricing summary) on sf0.001."""
     return REGISTRY[FLAGSHIP].fn(spark, SMOKE_SF_DIR)
@@ -143,27 +33,18 @@ def entry(spark: SparkSession) -> DataFrame:
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     """One entry per implemented operator from SURVEY.md §2, ordered so
     a budgeted correctness sweep (~50 keys/round, dict order) maximizes
-    fresh evidence: the 11 never-swept keys at positions 0-10, the 2
-    oracle-upgraded keys (rows-only -> exact oracle) at 11-12, then any
-    future-added keys without driver evidence, then the already-proven
-    keys oldest-evidence-first (r1 before r2 before r3 before r4) so the
-    remaining budget re-validates the stalest hash matches against the
-    current fixture."""
-    front = [n for n in _NEVER_SWEPT if n in REGISTRY]
-    front += [n for n in _ORACLE_UPGRADED if n in REGISTRY]
-    fresh = [n for n in REGISTRY if n not in _DRIVER_VERIFIED and n not in front]
-    newest_round = {}
-    for rnd, keys in enumerate(
-        (_R1_DRIVER_VERIFIED, _R2_DRIVER_VERIFIED,
-         _R3_DRIVER_VERIFIED, _R4_DRIVER_VERIFIED), start=1,
-    ):
-        for k in keys:
-            newest_round[k] = rnd
-    proven = sorted(
-        (n for n in REGISTRY if n in _DRIVER_VERIFIED and n not in front),
-        key=lambda n: (newest_round.get(n, 0), n),
-    )
-    return {name: REGISTRY[name].fn for name in front + fresh + proven}
+    fresh evidence. The order is DERIVED from the CORRECTNESS_r*.json
+    artifacts in the repo root (appstore_aws_etl_spark.evidence):
+    never-evidenced keys first, then keys whose oracle was upgraded
+    after a rows-only sweep, then proven keys oldest-evidence-first —
+    so a new round's artifact re-prioritizes the next sweep with no
+    code edit (rounds 2-4 hand-maintained frozensets here and twice
+    went stale, stranding unswept keys past the budget)."""
+    from appstore_aws_etl_spark.evidence import sweep_order
+
+    has_oracle = {name: spec.oracle is not None for name, spec in REGISTRY.items()}
+    order = sweep_order(list(REGISTRY), has_oracle)
+    return {name: REGISTRY[name].fn for name in order}
 
 
 def oracle_sql() -> dict[str, str]:

@@ -1,0 +1,79 @@
+"""Unit tests for the artifact-derived sweep ordering
+(appstore_aws_etl_spark.evidence) — no Spark session needed."""
+
+from __future__ import annotations
+
+import json
+
+from appstore_aws_etl_spark.evidence import classify, evidence, sweep_order
+
+
+def _write_round(tmp_path, n, records):
+    (tmp_path / f"CORRECTNESS_r0{n}.json").write_text(json.dumps(records))
+
+
+HASH_OK = {"rows_match": True, "schema_match": True, "hash_match": True,
+           "spark_rows": 5, "oracle_rows": 5, "err": None}
+ROWS_OK = {"rows_match": None, "schema_match": None, "hash_match": None,
+           "spark_rows": 9, "oracle_rows": None, "err": "no_oracle"}
+
+
+def test_classify_levels():
+    assert classify(HASH_OK) == "hash"
+    assert classify(ROWS_OK) == "rows_only"
+    assert classify({"err": "boom"}) == "failed"
+    assert classify({"hash_match": False}) == "failed"
+    # a no_oracle record that never executed is NOT rows-only green
+    assert classify({"err": "no_oracle", "spark_rows": None}) == "unclassified"
+    # a no_oracle record with a negative rows verdict is a failure
+    assert classify({"err": "no_oracle", "spark_rows": 3,
+                     "rows_match": False}) == "failed"
+    # an empty/malformed record carries no evidence
+    assert classify({}) == "unclassified"
+
+
+def test_evidence_keeps_best_level_and_newest_round(tmp_path):
+    _write_round(tmp_path, 1, {"a": HASH_OK, "b": ROWS_OK})
+    _write_round(tmp_path, 2, {"a": HASH_OK, "b": HASH_OK, "c": {"err": "x"}})
+    ev = evidence(str(tmp_path))
+    assert ev["a"] == ("hash", 2)       # re-verified: newest round wins
+    assert ev["b"] == ("hash", 2)       # upgraded rows_only -> hash
+    assert "c" not in ev                # failures are not evidence
+
+
+def test_sweep_order_fronts_unswept_then_upgrades_then_stalest(tmp_path):
+    _write_round(tmp_path, 1, {"old_hash": HASH_OK, "approx": ROWS_OK,
+                               "upgraded": ROWS_OK})
+    _write_round(tmp_path, 2, {"new_hash": HASH_OK})
+    registry = ["new_hash", "never1", "old_hash", "upgraded", "approx", "never2"]
+    # 'upgraded' now carries an oracle; 'approx' is oracle-less by design
+    has_oracle = {"new_hash": True, "never1": True, "old_hash": True,
+                  "upgraded": True, "approx": False, "never2": True}
+    order = sweep_order(registry, has_oracle, str(tmp_path))
+    assert order[:2] == ["never1", "never2"]          # registry order
+    assert order[2] == "upgraded"                     # oracle upgrade
+    assert order[3:] == ["approx", "old_hash", "new_hash"]  # oldest first
+    assert sorted(order) == sorted(registry)
+
+
+def test_sweep_order_without_artifacts_is_registry_order(tmp_path):
+    registry = ["q3", "q1", "q2"]
+    assert sweep_order(registry, {}, str(tmp_path)) == registry
+
+
+def test_live_ordering_covers_registry():
+    """Against the real repo artifacts: queries() must yield every
+    registry key exactly once, never-evidenced keys first."""
+    import __spark_entry__ as e
+    from appstore_aws_etl_spark.registry import REGISTRY
+
+    names = list(e.queries())
+    assert sorted(names) == sorted(REGISTRY)
+    ev = evidence()
+    seen_evidenced = False
+    for n in names:
+        if n in ev:
+            seen_evidenced = True
+        else:
+            # a never-evidenced key after an evidenced one = stale order
+            assert not seen_evidenced, f"unswept key {n} buried mid-order"

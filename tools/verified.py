@@ -27,42 +27,20 @@ ROOT = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 
 
 def round_green(path: str) -> tuple[list[str], list[str], list[str], list[str]]:
-    """Classify one round's records into (hashed, rows_only, failed, unclassified).
+    """Classify one round's records into (hashed, rows_only, failed,
+    unclassified) using the shared rules in
+    appstore_aws_etl_spark.evidence (the same classification drives the
+    queries() sweep ordering)."""
+    from appstore_aws_etl_spark.evidence import classify
 
-    rows-only green requires an actual successful execution: err == 'no_oracle'
-    AND a recorded spark_rows count AND no negative rows/schema verdict — a
-    malformed or partially-written record must not be promoted to "verified"
-    and then skipped by every future sweep.
-    """
     data = json.load(open(path))
-    hashed = sorted(
-        k for k, v in data.items() if v.get("hash_match") is True
+    buckets = {"hash": [], "rows_only": [], "failed": [], "unclassified": []}
+    for k, v in sorted(data.items()):
+        buckets[classify(v)].append(k)
+    return (
+        buckets["hash"], buckets["rows_only"],
+        buckets["failed"], buckets["unclassified"],
     )
-    rows_only = sorted(
-        k
-        for k, v in data.items()
-        if k not in hashed
-        and v.get("err") == "no_oracle"
-        and v.get("spark_rows") is not None
-        and v.get("rows_match") is not False
-        and v.get("schema_match") is not False
-    )
-    failed = sorted(
-        k
-        for k, v in data.items()
-        if k not in hashed
-        and k not in rows_only
-        and (
-            (v.get("err") and v.get("err") != "no_oracle")
-            or v.get("hash_match") is False
-            or v.get("rows_match") is False
-            or v.get("schema_match") is False
-        )
-    )
-    unclassified = sorted(
-        k for k in data if k not in hashed and k not in rows_only and k not in failed
-    )
-    return hashed, rows_only, failed, unclassified
 
 
 def main() -> None:
