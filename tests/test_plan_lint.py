@@ -46,6 +46,11 @@ SLOW_CONSTRUCT = {"llm_knn", "llm_knn_ivf"}
 
 @pytest.fixture(scope="module")
 def plans(spark, sf_dir):
+    # start from an empty CacheManager so the session-hygiene test
+    # below observes only what REGISTRY construction itself pins
+    # (other test modules legitimately cache frames in the shared
+    # session fixture)
+    spark.catalog.clearCache()
     out = {}
     for name, spec in REGISTRY.items():
         out[name] = formatted_plan(spec.fn(spark, sf_dir))
