@@ -53,6 +53,9 @@ def test_tumbling_watermark_emits_and_drops_late_data(spark, sf_dir, tmp_path):
     rows2 = run_collecting(
         tumbling_counts(stream_events(spark, path), lateness="10 minutes"), chk
     )
+    # exactly-once across the restart: the checkpointed second run must
+    # not re-emit any window the first run already finalized
+    assert not {r["bucket_start"] for r in rows1} & {r["bucket_start"] for r in rows2}
     got_map = {r["bucket_start"]: r["n_events"] for r in rows1 + rows2}
     assert len(got_map) > 0
     # every day-1 window was dropped as late
