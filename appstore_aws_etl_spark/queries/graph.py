@@ -63,6 +63,8 @@ def graph_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     """PageRank (3 power iterations, damping 0.85) on the co-purchase
     graph. The undirected edge set guarantees every node has both in-
     and out-edges, so there is no dangling-mass correction term."""
+    from pyspark.sql import Window
+
     li = load(spark, sf_dir, "lineitem")
     op = li.select("l_orderkey", "l_partkey").distinct()
     a, b = op.alias("a"), op.alias("b")
@@ -75,17 +77,23 @@ def graph_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select(F.col("a.l_partkey").alias("src"), F.col("b.l_partkey").alias("dst"))
         .distinct()
     )
-    deg = edges.groupBy("src").agg(F.count(F.lit(1)).alias("d"))
-    # materialize the JOINED message relation, not the bare edge list:
-    # the unrolled 3-iteration DAG references it three times, and
-    # caching edges alone still re-runs the edges-deg join per
-    # iteration. Lazy localCheckpoint (materialized by the n_nodes
-    # count just below) instead of cache(): blocks are released on GC
-    # rather than pinned in the CacheManager, and the checkpoint cuts
-    # the 3x-repeated subtree out of each iteration's analyzed plan.
-    messages = edges.join(deg, "src").localCheckpoint(eager=False)
+    # out-degree via a window over the SAME src partitioning instead of
+    # a separate groupBy + broadcast-join-back: one shuffle + in-
+    # partition sort builds the complete message relation in one stage
+    # and removes the degree aggregate/broadcast from the DAG entirely
+    # (local timing equal; fewer stages, and no reliance on the degree
+    # table staying broadcastable as the graph grows). Materialized
+    # once with a lazy localCheckpoint (triggered by the n_nodes count
+    # below): the unrolled 3-iteration DAG references it three times,
+    # blocks are ContextCleaner-released on GC, and the checkpoint
+    # keeps the repeated subtree out of each iteration's analyzed plan.
+    messages = edges.withColumn(
+        "d", F.count(F.lit(1)).over(Window.partitionBy("src"))
+    ).localCheckpoint(eager=False)
     n_nodes = messages.select("src").distinct().count()  # parameter-only collect
-    pr = deg.select(F.col("src").alias("node"), (F.lit(1.0) / F.lit(float(n_nodes))).alias("pr"))
+    pr = messages.select(F.col("src").alias("node")).distinct().withColumn(
+        "pr", F.lit(1.0) / F.lit(float(n_nodes))
+    )
     for _ in range(3):
         pr = (
             messages.join(pr, messages.src == pr.node)
