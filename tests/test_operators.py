@@ -413,3 +413,47 @@ def test_label_propagation_compress_handles_long_chain(spark):
     rows = out.collect()
     assert len(rows) == 200
     assert {r["component"] for r in rows} == {1}
+
+
+def test_operators_tolerate_empty_inputs(spark):
+    """Empty-relation degenerate cases must return empty results with
+    the right schema, not crash: an empty partition reaches every
+    custom operator eventually at 100 TB (skewed filters, empty
+    late-arriving files)."""
+    from appstore_aws_etl_spark.operators.labelprop import propagate_min_labels
+    from appstore_aws_etl_spark.operators.timeseries import ewma, gapfill_rollup
+
+    empty_events = spark.createDataFrame(
+        [], schema="user_id int, event_id int, ts timestamp, value double"
+    )
+    out = ewma(empty_events, key="user_id", ts="ts", value="value", alpha=0.3)
+    assert out.count() == 0 and "ewma" in out.columns
+    out_seg = ewma(
+        empty_events, key="user_id", ts="ts", value="value", alpha=0.3,
+        seg_seconds=60,
+    )
+    assert out_seg.count() == 0 and "ewma" in out_seg.columns
+
+    assert gapfill_rollup(empty_events, key="user_id", ts="ts").count() == 0
+
+    empty_edges = spark.createDataFrame([], schema="src long, dst long")
+    labels = spark.createDataFrame([(1, 1), (2, 2)], schema="node long, component long")
+    got = propagate_min_labels(empty_edges, labels, "node", "component")
+    assert {(r["node"], r["component"]) for r in got.collect()} == {(1, 1), (2, 2)}
+
+
+def test_asof_join_empty_quote_side(spark):
+    """As-of join with an empty right (quote) side: every left row
+    survives with null joined columns (left semantics), none dropped."""
+    left = spark.createDataFrame(
+        [Row(k="a", lts=ts("2024-01-01 10:00:00"), lid=1)]
+    )
+    right = spark.createDataFrame(
+        [], schema="k string, rts timestamp, rid int"
+    )
+    got = asof_join(
+        left, right, on=["k"], left_ts="lts", right_ts="rts",
+        right_payload=["rid"], tie_break="rid",
+    ).collect()
+    assert len(got) == 1
+    assert got[0]["asof_rid"] is None
