@@ -369,3 +369,38 @@ def label_centroids(df: DataFrame, vec_col: str = "embedding", label_col: str = 
         .groupBy(label_col, "dim")
         .agg((F.round(F.avg("v"), 6) + F.lit(0.0)).alias("centroid"))
     )
+
+
+def semantic_dedup(
+    df: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    n_centroids: int = 8,
+    iterations: int = 2,
+    threshold: float = 0.99,
+    max_cluster_rows: int | None = 20_000,
+) -> DataFrame:
+    """SemDeDup-style semantic deduplication (Abbas et al. 2023,
+    arXiv:2303.09540): cluster the embedding space with the seeded
+    Lloyd quantizer, compare vectors ONLY within their cluster, and
+    drop every vector whose cosine to a LOWER-id cluster-mate reaches
+    ``threshold`` — the deterministic keep-first greedy the paper uses
+    (per-cluster pairwise, never corpus-wide).
+
+    Scale shape: training is iterations x one-scan aggregations with
+    parameter-only collects (train_centroids); assignment is
+    shuffle-free (centroid matrix in the task closure); the pairwise
+    stage shuffles once on centroid_id and inherits cosine_pairs'
+    quadratic-scope guard — at 100 TB ``n_centroids`` scales with the
+    corpus so the per-cluster population (the quadratic term) stays
+    bounded, and the guard fails fast instead of melting the cluster
+    if a centroid collapses. Survivors come back as one anti-join.
+    """
+    centroids = train_centroids(df, n_centroids=n_centroids, iterations=iterations)
+    assigned = assign_to_centroids(df, centroids, vec_col)
+    dup_pairs = cosine_pairs(
+        assigned, id_col, vec_col,
+        scope_col="centroid_id", max_scope_rows=max_cluster_rows,
+    ).filter(F.col("cosine") >= threshold)
+    losers = dup_pairs.select(F.col("id_b").alias(id_col)).distinct()
+    return df.join(losers, id_col, "left_anti")

@@ -89,6 +89,27 @@ def llm_dedup_embedding(spark: SparkSession, sf_dir: str) -> DataFrame:
     return embedding_near_dup_pairs(emb, threshold=0.30)
 
 
+@query("llm_dedup_semantic", oracle=None, tags=("llm", "dedup", "similarity", "approx"))
+def llm_dedup_semantic(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SemDeDup-style semantic dedup (llm/similarity.py semantic_dedup):
+    seeded k-means clusters the embedding space, cosine comparisons run
+    only WITHIN a cluster (guarded quadratic scope), and any vector at
+    >= threshold to a lower-id cluster-mate is dropped — the
+    keep-first greedy of arXiv:2303.09540. Rows-only: survivor identity
+    depends on the seeded centroid initialization, not an
+    ANSI-expressible fixpoint; planted-duplicate recall is
+    unit-tested (tests/test_llm.py). Fixture vectors are near-random,
+    so the threshold sits at the upper tail and most rows survive."""
+    from ..llm.similarity import semantic_dedup
+
+    emb = load(spark, sf_dir, "embeddings")
+    return (
+        semantic_dedup(emb, n_centroids=8, iterations=2, threshold=0.95)
+        .select("vec_id", "label")
+        .orderBy("vec_id")
+    )
+
+
 @query(
     "llm_jaccard_ngram",
     oracle="""

@@ -284,3 +284,32 @@ def test_dedup_survivors_remove_planted_copies(spark, sf_dir):
     base_ids = {r["doc_id"] for r in docs.select("doc_id").collect()}
     assert survivors <= base_ids | planted
     assert len(survivors) >= len(base_ids) // 2
+
+
+def test_semantic_dedup_drops_planted_near_identical(spark):
+    """SemDeDup keep-first greedy: vectors pointing the same direction
+    as a lower-id vector are dropped; distinct directions all survive.
+    Vectors are spread far enough apart that every same-direction pair
+    lands in the same k-means cluster regardless of seeding."""
+    import numpy as np
+
+    from appstore_aws_etl_spark.llm.similarity import semantic_dedup
+
+    rng = np.random.default_rng(7)
+    bases = [rng.standard_normal(8).tolist() for _ in range(4)]
+    rows = []
+    vid = 0
+    expected_survivors = set()
+    for b in bases:
+        rows.append(Row(vec_id=vid, embedding=[float(x) for x in b], label=0))
+        expected_survivors.add(vid)
+        vid += 1
+        # planted near-identical copy: same direction, scaled — must drop
+        rows.append(Row(vec_id=vid, embedding=[float(x * 1.01) for x in b], label=0))
+        vid += 1
+    df = spark.createDataFrame(rows)
+    got = {r["vec_id"] for r in
+           semantic_dedup(df, n_centroids=2, iterations=2, threshold=0.99).collect()}
+    # every copy dropped, every original kept (cosine(original, copy)=1;
+    # random 8-dim directions are far below 0.99 pairwise)
+    assert got == expected_survivors
