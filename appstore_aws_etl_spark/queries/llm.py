@@ -61,6 +61,45 @@ def llm_dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@query(
+    "llm_dedup_normalized",
+    oracle="""
+    SELECT doc_id, lang, source
+    FROM (
+        SELECT doc_id, lang, source,
+               row_number() OVER (
+                   PARTITION BY trim(regexp_replace(regexp_replace(
+                       lower(text), '[^a-z0-9 ]', '', 'g'), ' +', ' ', 'g'))
+                   ORDER BY doc_id
+               ) AS rn
+        FROM documents
+    ) WHERE rn = 1
+    """,
+    tags=("llm", "dedup"),
+)
+def llm_dedup_normalized(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Normalize-then-dedup — the standard first hygiene pass of a
+    training-data pipeline: lowercase, strip non-alphanumerics,
+    collapse whitespace, then keep the lowest-id survivor per
+    normalized form. Catches the case/punctuation/whitespace variants
+    ``llm_dedup_exact`` (byte-identical text) misses; all JVM-side
+    regexp_replace + one window shuffle, so the normalization adds no
+    Python and no extra exchange over exact dedup."""
+    docs = load(spark, sf_dir, "documents")
+    norm = F.trim(
+        F.regexp_replace(
+            F.regexp_replace(F.lower(F.col("text")), "[^a-z0-9 ]", ""),
+            " +", " ",
+        )
+    )
+    w = Window.partitionBy(norm).orderBy("doc_id")
+    return (
+        docs.withColumn("__rn", F.row_number().over(w))
+        .filter(F.col("__rn") == 1)
+        .select("doc_id", "lang", "source")
+    )
+
+
 @query("llm_dedup_minhash", oracle=None, tags=("llm", "dedup", "approx"))
 def llm_dedup_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     """L2 MinHash-LSH near-dup candidate pairs (approx -> rows-only;
