@@ -66,7 +66,13 @@ def graph_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     from pyspark.sql import Window
 
     li = load(spark, sf_dir, "lineitem")
-    op = li.select("l_orderkey", "l_partkey").distinct()
+    # no per-side distinct before the self-join: (orderkey, partkey) is
+    # already ~unique in lineitem (599,935 of ~600k rows at sf0.1), so
+    # the pre-dedup was a full shuffle that removed almost nothing —
+    # the single pair-level distinct below collapses any multiplicity
+    # the raw join introduces, leaving the edge set identical to the
+    # oracle's DISTINCT-projected formulation.
+    op = li.select("l_orderkey", "l_partkey")
     a, b = op.alias("a"), op.alias("b")
     edges = (
         a.join(
