@@ -16,4 +16,4 @@ from .pipeline import (  # noqa: F401
     session_counts,
     tumbling_counts,
 )
-from .stateful import funnel_counts  # noqa: F401
+from .stateful import funnel_counts, funnel_counts_tws  # noqa: F401

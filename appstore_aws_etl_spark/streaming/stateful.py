@@ -66,3 +66,63 @@ def funnel_counts(events: DataFrame) -> DataFrame:
         outputMode="update",
         timeoutConf=GroupStateTimeout.NoTimeout,
     )
+
+
+class FunnelProcessorTWS:
+    """``transformWithStateInPandas`` (Spark 4 arbitrary-state API)
+    twin of the ``applyInPandasWithState`` funnel above: identical
+    per-user state machine, expressed as a StatefulProcessor with a
+    named ValueState — the API that adds composable typed state
+    (value/list/map), timers, and per-state TTL on the state store
+    rather than the whole key. Kept semantically in lockstep with
+    ``_update_funnel`` (the execution test asserts both emit the same
+    final counts, and the batch lag-window oracle checks the math).
+    Defined as a plain class and mixed with StatefulProcessor at call
+    time so importing this module never requires the Spark 4 API.
+
+    Environment note: executing this path needs ``google.protobuf``
+    (the TWS state-server wire protocol), which this container's
+    pyspark install lacks — the execution test self-skips with that
+    reason (tests/test_streaming.py), the same documented-env-gate
+    treatment as the multimodal decoders."""
+
+    def init(self, handle) -> None:
+        self._state = handle.getValueState("funnel", STATE_SCHEMA)
+
+    def handleInputRows(self, key, rows, timerValues):
+        prev = self._state.get() if self._state.exists() else None
+        last_type, transitions = (prev[0], prev[1]) if prev else (None, 0)
+        batch = pd.concat(list(rows), ignore_index=True)
+        batch = batch.sort_values(["ts", "event_id"])
+        for etype in batch["event_type"]:
+            if last_type == "view" and etype == "purchase":
+                transitions += 1
+            last_type = etype
+        self._state.update((last_type, transitions))
+        yield pd.DataFrame(
+            {"user_id": [key[0]], "view_to_purchase": [transitions]}
+        )
+
+    def close(self) -> None:
+        pass
+
+
+def funnel_counts_tws(events: DataFrame) -> DataFrame:
+    """Running per-user view->purchase counts via
+    ``transformWithStateInPandas`` — same contract as
+    ``funnel_counts``."""
+    from pyspark.sql.streaming.stateful_processor import StatefulProcessor
+
+    class _Proc(FunnelProcessorTWS, StatefulProcessor):
+        pass
+
+    return (
+        events.select("user_id", "event_id", "ts", "event_type")
+        .groupBy("user_id")
+        .transformWithStateInPandas(
+            statefulProcessor=_Proc(),
+            outputStructType=OUTPUT_SCHEMA,
+            outputMode="Update",
+            timeMode="None",
+        )
+    )

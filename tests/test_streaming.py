@@ -232,3 +232,50 @@ def test_stream_stream_left_join_preserves_unmatched_purchases(
     # the backlog spans days >> the 10-minute lateness, so the final
     # watermark finalizes (nearly) every unmatched purchase
     assert len(got_nulls) > 0
+
+
+def _protobuf_available() -> bool:
+    # transformWithStateInPandas speaks protobuf to its state server;
+    # this container ships pyspark without a usable google.protobuf
+    try:
+        from google.protobuf import descriptor  # noqa: F401
+        return True
+    except ImportError:
+        return False
+
+
+@pytest.mark.skipif(
+    not _protobuf_available(),
+    reason="transformWithStateInPandas requires google.protobuf "
+    "(state-server protocol); not installed in this container",
+)
+def test_transform_with_state_funnel_matches_apply_in_pandas(
+    spark, sf_dir, event_stream_dir, tmp_path
+):
+    """Spark 4's transformWithStateInPandas funnel must reach the same
+    final per-user view->purchase counts as the applyInPandasWithState
+    implementation (which itself is oracle-checked via the batch lag
+    window) when both consume the same file stream."""
+    from appstore_aws_etl_spark.streaming import (
+        funnel_counts,
+        funnel_counts_tws,
+        stream_events,
+    )
+
+    def final_counts(transform, name, chk):
+        out = run_to_memory(
+            transform(stream_events(spark, event_stream_dir)),
+            name, output_mode="update", checkpoint=chk,
+        )
+        # update mode re-emits per batch: keep the LAST emission per key
+        # (monotone counts, so max == final)
+        return {
+            r["user_id"]: r["mx"]
+            for r in out.groupBy("user_id").agg(
+                F.max("view_to_purchase").alias("mx")
+            ).collect()
+        }
+
+    got_apply = final_counts(funnel_counts, "t_f_apply", str(tmp_path / "c1"))
+    got_tws = final_counts(funnel_counts_tws, "t_f_tws", str(tmp_path / "c2"))
+    assert got_apply and got_apply == got_tws
