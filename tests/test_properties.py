@@ -231,3 +231,53 @@ def test_ewma_segmented_equals_single_pass(spark, data):
         assert math.isclose(single[k], segmented[k], rel_tol=1e-9, abs_tol=1e-9), (
             k, single[k], segmented[k],
         )
+
+
+@given(data=st.lists(
+    st.tuples(
+        st.integers(min_value=0, max_value=2),      # key
+        st.integers(min_value=0, max_value=72),     # hour offset (3 days)
+        st.integers(min_value=-50, max_value=50),   # value
+    ),
+    min_size=1, max_size=25,
+))
+@settings(max_examples=6, deadline=None,
+          suppress_health_check=[HealthCheck.function_scoped_fixture])
+def test_gapfill_dense_span_and_sum_preserving(spark, data):
+    """Any random sparse series: the gap-filled rollup must (a) emit
+    one bucket per hour of each key's [first, last] activity span with
+    no holes, (b) preserve each key's total event count and value sum,
+    and (c) zero-fill exactly the silent buckets."""
+    import datetime as dt
+
+    from appstore_aws_etl_spark.operators.timeseries import gapfill_rollup
+
+    base = dt.datetime(2024, 1, 1)
+    rows = [
+        (k, base + dt.timedelta(hours=h, minutes=7), float(v))
+        for k, h, v in data
+    ]
+    df = spark.createDataFrame(rows, schema="k int, t timestamp, v double")
+    out = gapfill_rollup(df, key="k", ts="t", grain="1 hour", agg_col="v").collect()
+
+    per_key_hours: dict[int, set[int]] = {}
+    per_key_n: dict[int, int] = {}
+    per_key_sum: dict[int, float] = {}
+    for r in out:
+        h = int((r["bucket"] - base).total_seconds() // 3600)
+        assert h not in per_key_hours.get(r["k"], set())  # no dup buckets
+        per_key_hours.setdefault(r["k"], set()).add(h)
+        per_key_n[r["k"]] = per_key_n.get(r["k"], 0) + r["n_events"]
+        per_key_sum[r["k"]] = per_key_sum.get(r["k"], 0.0) + r["sum_v"]
+
+    want_hours: dict[int, list[int]] = {}
+    want_n: dict[int, int] = {}
+    want_sum: dict[int, float] = {}
+    for k, h, v in data:
+        want_hours.setdefault(k, []).append(h)
+        want_n[k] = want_n.get(k, 0) + 1
+        want_sum[k] = want_sum.get(k, 0.0) + v
+    for k, hs in want_hours.items():
+        assert per_key_hours[k] == set(range(min(hs), max(hs) + 1))  # dense span
+        assert per_key_n[k] == want_n[k]
+        assert abs(per_key_sum[k] - round(want_sum[k], 2)) < 1e-6
