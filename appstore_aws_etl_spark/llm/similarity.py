@@ -378,15 +378,17 @@ def semantic_dedup(
     n_centroids: int | None = None,
     iterations: int = 2,
     threshold: float = 0.99,
-    max_cluster_rows: int | None = 20_000,
+    max_cluster_rows: int | None = 8192,
     target_cluster_rows: int = 250,
 ) -> DataFrame:
     """SemDeDup-style semantic deduplication (Abbas et al. 2023,
     arXiv:2303.09540): cluster the embedding space with the seeded
     Lloyd quantizer, compare vectors ONLY within their cluster, and
-    drop every vector whose cosine to a LOWER-id cluster-mate reaches
-    ``threshold`` — the deterministic keep-first greedy the paper uses
-    (per-cluster pairwise, never corpus-wide).
+    run the deterministic keep-first greedy per cluster: walk ids in
+    ascending order, KEEP a vector unless its cosine to an
+    already-KEPT lower-id cluster-mate reaches ``threshold`` (a vector
+    similar only to dropped vectors survives — similarity chains never
+    cascade into deleting non-duplicates).
 
     Scale shape: training is iterations x one-scan aggregations with
     parameter-only collects (train_centroids); assignment is
@@ -398,13 +400,19 @@ def semantic_dedup(
     (one count, parameter-only) so the per-cluster population (the
     quadratic term) stays bounded at ANY corpus size. A cluster larger
     than ``max_cluster_rows`` fails fast inside the UDF instead of
-    materializing an unbounded Gram matrix. Survivors come back as one
-    anti-join.
+    materializing an unbounded Gram matrix — the 8192 default caps the
+    float64 Gram at 8192^2 x 8B = 512 MB per task, sized to survive
+    typical executor memory rather than OOM before the check's
+    ValueError can surface.
     """
+    if df.isEmpty():
+        return df
     if n_centroids is None:
         n = df.count()  # parameter-only scalar
         n_centroids = max(4, -(-n // target_cluster_rows))
-    centroids = train_centroids(df, n_centroids=n_centroids, iterations=iterations)
+    centroids = train_centroids(
+        df, n_centroids=n_centroids, iterations=iterations, vec_col=vec_col
+    )
     assigned = assign_to_centroids(df, centroids, vec_col).select(
         id_col, vec_col, "centroid_id"
     )
@@ -418,14 +426,24 @@ def semantic_dedup(
                 "n_centroids/target_cluster_rows for this corpus"
             )
         ids = pdf[id_col].to_numpy()
-        order = np.argsort(ids)  # keep-first = keep lowest id
+        order = np.argsort(ids)  # greedy walks ascending ids
         x = np.stack(pdf[vec_col].to_numpy())[order].astype("float64")
         ids = ids[order]
         norms = np.linalg.norm(x, axis=1, keepdims=True)
         np.maximum(norms, 1e-12, out=norms)
         xn = x / norms
-        sims = np.triu(xn @ xn.T >= threshold, k=1)
-        return pd.DataFrame({id_col: ids[sims.any(axis=0)]})
+        sims = xn @ xn.T >= threshold
+        # sequential keep-first greedy: compare each row only against
+        # the KEPT prefix (one vectorized row slice per iteration), so
+        # a chain a~b, b~c, a!~c keeps {a, c} — not the transitive
+        # prune that any-lower-id masking would apply
+        kept_mask = np.zeros(len(ids), dtype=bool)
+        kept_idx: list[int] = []
+        for i in range(len(ids)):
+            if not kept_idx or not sims[i, kept_idx].any():
+                kept_mask[i] = True
+                kept_idx.append(i)
+        return pd.DataFrame({id_col: ids[~kept_mask]})
 
     losers = assigned.groupBy("centroid_id").applyInPandas(
         cluster_losers, schema=f"{id_col} {id_type}"

@@ -89,6 +89,12 @@ def propagate_min_labels(
                 F.min("__cand").alias(label_col),
                 F.max(F.when(F.col("__self"), F.col("__cand"))).alias("__old"),
             )
+            # a node present in ``und`` but never seeded in ``labels``
+            # has no self-message (__old NULL): keep the old left-join
+            # contract — such nodes neither appear in the output nor
+            # slip past the changed-count (a NULL __old would make
+            # label != __old evaluate NULL and hide real movement)
+            .filter(F.col("__old").isNotNull())
         )
         ptr = relaxed.select(
             F.col(node_col).alias("__pn"), F.col(label_col).alias("__pl")

@@ -313,3 +313,36 @@ def test_semantic_dedup_drops_planted_near_identical(spark):
     # every copy dropped, every original kept (cosine(original, copy)=1;
     # random 8-dim directions are far below 0.99 pairwise)
     assert got == expected_survivors
+
+
+def test_semantic_dedup_chain_keeps_non_duplicates(spark):
+    """Greedy chain semantics: a ~ b and b ~ c but a !~ c must keep
+    {a, c} — b is dropped against kept a, and c survives because its
+    only similar mate (b) was itself dropped. Transitive any-lower-id
+    masking would wrongly delete c. Vectors are 2-d unit directions
+    at angles 0, 20, 40 degrees with threshold cos(25deg)."""
+    import math
+
+    from appstore_aws_etl_spark.llm.similarity import semantic_dedup
+
+    def unit(deg):
+        r = math.radians(deg)
+        return [math.cos(r), math.sin(r)]
+
+    rows = [Row(vec_id=0, embedding=unit(0), label=0),
+            Row(vec_id=1, embedding=unit(20), label=0),
+            Row(vec_id=2, embedding=unit(40), label=0)]
+    df = spark.createDataFrame(rows)
+    got = {r["vec_id"] for r in
+           semantic_dedup(df, n_centroids=1, iterations=1,
+                          threshold=math.cos(math.radians(25))).collect()}
+    assert got == {0, 2}
+
+
+def test_semantic_dedup_empty_input(spark):
+    from appstore_aws_etl_spark.llm.similarity import semantic_dedup
+
+    empty = spark.createDataFrame(
+        [], schema="vec_id long, embedding array<double>, label int"
+    )
+    assert semantic_dedup(empty).count() == 0

@@ -457,3 +457,20 @@ def test_asof_join_empty_quote_side(spark):
     ).collect()
     assert len(got) == 1
     assert got[0]["asof_rid"] is None
+
+
+def test_label_propagation_ignores_unseeded_edge_nodes(spark):
+    """Contract: nodes present in the edge set but absent from the
+    seeded labels neither appear in the output nor break the
+    convergence count (a NULL old-label must not mask movement)."""
+    from appstore_aws_etl_spark.operators.labelprop import propagate_min_labels
+
+    edges = spark.createDataFrame(
+        [(1, 2), (2, 1), (2, 99), (99, 2)], schema="src long, dst long"
+    )
+    labels = spark.createDataFrame(
+        [(1, 1), (2, 2)], schema="node long, component long"
+    )
+    got = {(r["node"], r["component"])
+           for r in propagate_min_labels(edges, labels, "node", "component").collect()}
+    assert got == {(1, 1), (2, 1)}  # 99 never seeded -> never emitted

@@ -92,6 +92,9 @@ def main() -> int:
     json_path = None
     if "--json" in args:
         i = args.index("--json")
+        if i + 1 >= len(args):
+            print("usage: check.py [KEY ...] [--json OUT_PATH]", file=sys.stderr)
+            return 2
         json_path = args[i + 1]
         args = args[:i] + args[i + 2:]
     keys = args or list(REGISTRY)

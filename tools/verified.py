@@ -1,10 +1,13 @@
 """Summarize driver-recorded correctness evidence across rounds.
 
 Reads every CORRECTNESS_r*.json in the repo root and prints, per round,
-the keys that recorded hash-level or rows-only evidence, plus a ready-
-to-paste frozenset literal for `__spark_entry__._R{N}_DRIVER_VERIFIED`
-and the registry keys still carrying no driver evidence at all. Run at
-round start, right after reading the new artifacts:
+the keys that recorded hash-level or rows-only evidence, plus the
+registry keys still carrying no driver evidence at all. The sweep
+ordering itself is derived automatically from the same artifacts
+(appstore_aws_etl_spark.evidence feeding __spark_entry__.queries()),
+so this tool is purely a human-readable summary — nothing here gets
+pasted anywhere. Run at round start, right after reading the new
+artifacts:
 
     python tools/verified.py
 """
@@ -16,7 +19,6 @@ import json
 import os
 import re
 import sys
-import textwrap
 
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
@@ -53,10 +55,6 @@ def main() -> None:
         print(f"round {n}: {len(hashed)} hash + {len(rows_only)} rows-only"
               f" = {len(green)} green; {len(failed)} failed{': ' + str(failed) if failed else ''}"
               f"{'; ' + str(len(unclassified)) + ' unclassified: ' + str(unclassified) if unclassified else ''}")
-        body = ", ".join(f'"{k}"' for k in sorted(green))
-        print(f"_R{n}_DRIVER_VERIFIED = frozenset({{")
-        print(textwrap.indent(textwrap.fill(body, 68), "    "))
-        print("})\n")
     unswept = [k for k in REGISTRY if k not in verified]
     print(f"total driver-evidenced: {len(verified)}/{len(REGISTRY)}; "
           f"unswept ({len(unswept)}):")
