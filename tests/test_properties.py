@@ -281,3 +281,43 @@ def test_gapfill_dense_span_and_sum_preserving(spark, data):
         assert per_key_hours[k] == set(range(min(hs), max(hs) + 1))  # dense span
         assert per_key_n[k] == want_n[k]
         assert abs(per_key_sum[k] - round(want_sum[k], 2)) < 1e-6
+
+
+@given(vecs=st.lists(
+    st.lists(st.floats(min_value=-4, max_value=4, allow_nan=False,
+                       allow_infinity=False, width=32),
+             min_size=4, max_size=4),
+    min_size=1, max_size=12,
+))
+@settings(max_examples=6, deadline=None,
+          suppress_health_check=[HealthCheck.function_scoped_fixture])
+def test_semantic_dedup_matches_sequential_greedy(spark, vecs):
+    """Any random vector set, forced into ONE cluster: the distributed
+    keep-first greedy must return exactly what a sequential reference
+    greedy computes (keep a vector iff it is not >= threshold-similar
+    to any already-KEPT lower-id vector)."""
+    import math
+
+    from appstore_aws_etl_spark.llm.similarity import semantic_dedup
+
+    # avoid zero vectors (cosine undefined; operator clamps the norm)
+    vecs = [v if any(abs(x) > 1e-6 for x in v) else [1.0, 0, 0, 0] for v in vecs]
+    threshold = 0.9
+    df = spark.createDataFrame(
+        [(i, [float(x) for x in v], 0) for i, v in enumerate(vecs)],
+        schema="vec_id long, embedding array<double>, label int",
+    )
+    got = {r["vec_id"] for r in
+           semantic_dedup(df, n_centroids=1, iterations=1,
+                          threshold=threshold).collect()}
+
+    def cos(a, b):
+        da = math.sqrt(sum(x * x for x in a)) or 1e-12
+        db = math.sqrt(sum(x * x for x in b)) or 1e-12
+        return sum(x * y for x, y in zip(a, b)) / (da * db)
+
+    kept: list[int] = []
+    for i, v in enumerate(vecs):
+        if all(cos(v, vecs[j]) < threshold for j in kept):
+            kept.append(i)
+    assert got == set(kept)
