@@ -378,8 +378,9 @@ def semantic_dedup(
     n_centroids: int | None = None,
     iterations: int = 2,
     threshold: float = 0.99,
-    max_cluster_rows: int | None = 8192,
+    max_cluster_rows: int | None = 20_000,
     target_cluster_rows: int = 250,
+    gram_block_rows: int = 2048,
 ) -> DataFrame:
     """SemDeDup-style semantic deduplication (Abbas et al. 2023,
     arXiv:2303.09540): cluster the embedding space with the seeded
@@ -398,18 +399,20 @@ def semantic_dedup(
     a per-pair expression-tree cosine measured ~25x slower here), and
     ``n_centroids`` defaults to corpus_size / ``target_cluster_rows``
     (one count, parameter-only) so the per-cluster population (the
-    quadratic term) stays bounded at ANY corpus size. A cluster larger
-    than ``max_cluster_rows`` fails fast inside the UDF instead of
-    materializing an unbounded Gram matrix — the 8192 default caps the
-    float64 Gram at 8192^2 x 8B = 512 MB per task, sized to survive
-    typical executor memory rather than OOM before the check's
-    ValueError can surface.
+    quadratic term) stays bounded at ANY corpus size. The Gram product
+    is computed in ``gram_block_rows``-row BLOCKS against the kept
+    prefix, so peak per-task memory is block x cluster float64
+    (2048 x 20000 x 8B = 327 MB at the defaults) rather than a full
+    cluster^2 matrix; a cluster beyond ``max_cluster_rows`` still
+    fails fast with a clean ValueError rather than grinding.
     """
-    if df.isEmpty():
-        return df
     if n_centroids is None:
-        n = df.count()  # parameter-only scalar
+        n = df.count()  # parameter-only scalar; also the empty check
+        if n == 0:
+            return df
         n_centroids = max(4, -(-n // target_cluster_rows))
+    elif df.isEmpty():
+        return df
     centroids = train_centroids(
         df, n_centroids=n_centroids, iterations=iterations, vec_col=vec_col
     )
@@ -432,17 +435,31 @@ def semantic_dedup(
         norms = np.linalg.norm(x, axis=1, keepdims=True)
         np.maximum(norms, 1e-12, out=norms)
         xn = x / norms
-        sims = xn @ xn.T >= threshold
-        # sequential keep-first greedy: compare each row only against
-        # the KEPT prefix (one vectorized row slice per iteration), so
-        # a chain a~b, b~c, a!~c keeps {a, c} — not the transitive
-        # prune that any-lower-id masking would apply
+        # sequential keep-first greedy, computed block-by-block so the
+        # similarity product never materializes cluster^2 at once: each
+        # block multiplies against (a) the kept prefix from earlier
+        # blocks and (b) itself. A row is kept iff no already-KEPT
+        # lower-id row reaches the threshold — so a chain a~b, b~c,
+        # a!~c keeps {a, c}, never the transitive prune.
         kept_mask = np.zeros(len(ids), dtype=bool)
-        kept_idx: list[int] = []
-        for i in range(len(ids)):
-            if not kept_idx or not sims[i, kept_idx].any():
-                kept_mask[i] = True
-                kept_idx.append(i)
+        for start in range(0, len(ids), gram_block_rows):
+            end = min(start + gram_block_rows, len(ids))
+            block = xn[start:end]
+            prev_kept = xn[:start][kept_mask[:start]] if start else None
+            dup_prev = (
+                (block @ prev_kept.T >= threshold).any(axis=1)
+                if prev_kept is not None and len(prev_kept)
+                else np.zeros(end - start, dtype=bool)
+            )
+            local = block @ block.T >= threshold
+            kept_local: list[int] = []
+            for j in range(end - start):
+                if dup_prev[j]:
+                    continue
+                if kept_local and local[j, kept_local].any():
+                    continue
+                kept_local.append(j)
+                kept_mask[start + j] = True
         return pd.DataFrame({id_col: ids[~kept_mask]})
 
     losers = assigned.groupBy("centroid_id").applyInPandas(

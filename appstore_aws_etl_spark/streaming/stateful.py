@@ -37,21 +37,32 @@ STATE_SCHEMA = StructType(
 )
 
 
+def _advance_funnel(
+    last_type: str | None, transitions: int, batch: pd.DataFrame
+) -> tuple[str | None, int]:
+    """THE funnel state machine, shared verbatim by both streaming
+    APIs so the twins cannot diverge: fold one micro-batch (sorted by
+    event time) into (last_type, transitions). Within one micro-batch,
+    event-time order is recoverable by sorting; across batches the
+    source must deliver per-key time order (Kafka keyed partitions do;
+    file backfills should land time-ordered files)."""
+    batch = batch.sort_values(["ts", "event_id"])
+    for etype in batch["event_type"]:
+        if last_type == "view" and etype == "purchase":
+            transitions += 1
+        last_type = etype
+    return last_type, transitions
+
+
 def _update_funnel(
     key: tuple[Any, ...],
     pdfs: Iterable[pd.DataFrame],
     state: GroupState,
 ) -> Iterator[pd.DataFrame]:
     last_type, transitions = state.get if state.exists else (None, 0)
-    batch = pd.concat(list(pdfs), ignore_index=True)
-    # within one micro-batch, event-time order is recoverable; across
-    # batches the source must deliver per-key time order (Kafka keyed
-    # partitions do; file backfills should land time-ordered files)
-    batch = batch.sort_values(["ts", "event_id"])
-    for etype in batch["event_type"]:
-        if last_type == "view" and etype == "purchase":
-            transitions += 1
-        last_type = etype
+    last_type, transitions = _advance_funnel(
+        last_type, transitions, pd.concat(list(pdfs), ignore_index=True)
+    )
     state.update((last_type, transitions))
     yield pd.DataFrame({"user_id": [key[0]], "view_to_purchase": [transitions]})
 
@@ -74,9 +85,11 @@ class FunnelProcessorTWS:
     per-user state machine, expressed as a StatefulProcessor with a
     named ValueState — the API that adds composable typed state
     (value/list/map), timers, and per-state TTL on the state store
-    rather than the whole key. Kept semantically in lockstep with
-    ``_update_funnel`` (the execution test asserts both emit the same
-    final counts, and the batch lag-window oracle checks the math).
+    rather than the whole key. Both APIs fold batches through the
+    SHARED ``_advance_funnel`` state machine, so the twins cannot
+    diverge structurally (the execution test additionally asserts both
+    emit the same final counts where the TWS runtime is available, and
+    the batch lag-window oracle checks the math).
     Defined as a plain class and mixed with StatefulProcessor at call
     time so importing this module never requires the Spark 4 API.
 
@@ -92,12 +105,9 @@ class FunnelProcessorTWS:
     def handleInputRows(self, key, rows, timerValues):
         prev = self._state.get() if self._state.exists() else None
         last_type, transitions = (prev[0], prev[1]) if prev else (None, 0)
-        batch = pd.concat(list(rows), ignore_index=True)
-        batch = batch.sort_values(["ts", "event_id"])
-        for etype in batch["event_type"]:
-            if last_type == "view" and etype == "purchase":
-                transitions += 1
-            last_type = etype
+        last_type, transitions = _advance_funnel(
+            last_type, transitions, pd.concat(list(rows), ignore_index=True)
+        )
         self._state.update((last_type, transitions))
         yield pd.DataFrame(
             {"user_id": [key[0]], "view_to_purchase": [transitions]}

@@ -346,3 +346,31 @@ def test_semantic_dedup_empty_input(spark):
         [], schema="vec_id long, embedding array<double>, label int"
     )
     assert semantic_dedup(empty).count() == 0
+
+
+def test_semantic_dedup_blocked_gram_matches_unblocked(spark):
+    """The block-wise Gram computation must be invisible: forcing a
+    tiny block size (3) over a 12-vector single cluster gives exactly
+    the same survivors as one full matrix, including chains that span
+    block boundaries."""
+    import math
+
+    from appstore_aws_etl_spark.llm.similarity import semantic_dedup
+
+    def unit(deg):
+        r = math.radians(deg)
+        return [math.cos(r), math.sin(r)]
+
+    # 12 vectors at 15-degree steps with threshold cos(20deg):
+    # consecutive pairs are similar, skips are not -> greedy keeps
+    # every other vector (ids 0,2,4,...)
+    rows = [Row(vec_id=i, embedding=unit(15 * i), label=0) for i in range(12)]
+    df = spark.createDataFrame(rows)
+    thr = math.cos(math.radians(20))
+    full = {r["vec_id"] for r in semantic_dedup(
+        df, n_centroids=1, iterations=1, threshold=thr,
+        gram_block_rows=1024).collect()}
+    blocked = {r["vec_id"] for r in semantic_dedup(
+        df, n_centroids=1, iterations=1, threshold=thr,
+        gram_block_rows=3).collect()}
+    assert full == blocked == {0, 2, 4, 6, 8, 10}
