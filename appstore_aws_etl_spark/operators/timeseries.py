@@ -259,3 +259,81 @@ def _ewma_segmented(
         .withColumn("ewma", stitched)
         .select(key, id_col, value, "ewma")
     )
+
+
+def interpolate_linear(
+    events: DataFrame,
+    key: str,
+    ts: str,
+    value: str,
+    grain: str = "1 hour",
+    round_to: int = 4,
+) -> DataFrame:
+    """Gap-filled rollup with LINEAR interpolation: bucket ``value`` to
+    the grain per key (4-dp-rounded mean), densify each key's
+    [first, last] activity span, and fill every silent bucket with the
+    time-weighted line between its bracketing observations — the
+    hypertable `interpolate()` companion to ``gapfill_rollup``'s
+    zero-fill.
+
+    Plan shape (all JVM-side, no Python): one rollup shuffle, one span
+    aggregation + `sequence` explode for density, a LEFT join back,
+    then ONE window sort per key evaluating all four carry columns —
+    `last(ignorenulls)` carries the previous observation (value +
+    bucket) forward, `first(ignorenulls)` over the mirrored frame
+    carries the next observation backward, and the interpolation
+    itself is row-local arithmetic on epoch seconds. Spans are per-key,
+    so density scales with each key's own activity window, and the
+    window state is O(1) per direction — both frames are running
+    carries, not buffered ranges, so a key with a year-long span
+    streams through one sort with constant memory.
+
+    Determinism: the bucket mean is rounded to ``round_to`` before
+    interpolation, so the line endpoints are identical doubles on any
+    engine; the interpolated value is then a single rounded expression
+    over exact integer epoch differences.
+    """
+    from pyspark.sql import Window
+
+    step = F.expr(f"INTERVAL {grain}")
+    rolled = (
+        events.select(F.col(key), F.window(ts, grain).start.alias("bucket"), F.col(value))
+        .groupBy(key, "bucket")
+        .agg(F.round(F.avg(value), round_to).alias("v"))
+    )
+    spans = rolled.groupBy(key).agg(
+        F.min("bucket").alias("first_b"), F.max("bucket").alias("last_b")
+    )
+    dense = spans.select(
+        key, F.explode(F.sequence("first_b", "last_b", step)).alias("bucket")
+    )
+    j = dense.join(rolled, on=[key, "bucket"], how="left")
+
+    back = Window.partitionBy(key).orderBy("bucket").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    fwd = Window.partitionBy(key).orderBy("bucket").rowsBetween(
+        Window.currentRow, Window.unboundedFollowing
+    )
+    obs_bucket = F.when(F.col("v").isNotNull(), F.col("bucket"))
+    pv = F.last("v", ignorenulls=True).over(back)
+    pb = F.last(obs_bucket, ignorenulls=True).over(back)
+    nv = F.first("v", ignorenulls=True).over(fwd)
+    nb = F.first(obs_bucket, ignorenulls=True).over(fwd)
+    # interior gaps always have both brackets (the span is bounded by
+    # observed buckets), so the epoch difference is never zero here
+    frac = (
+        F.unix_timestamp("bucket") - F.unix_timestamp(pb)
+    ).cast("double") / (F.unix_timestamp(nb) - F.unix_timestamp(pb)).cast("double")
+    # round-half-up via floor(x*scale + 0.5): 4-dp endpoints with
+    # dyadic fracs (a gap's exact midpoint) put the true value ON a
+    # decimal midpoint, where engines' round() implementations differ
+    # on doubles — floor on the identical IEEE expression does not
+    scale = F.lit(float(10 ** round_to))
+    interp = F.floor((pv + (nv - pv) * frac) * scale + F.lit(0.5)) / scale
+    return j.select(
+        key,
+        "bucket",
+        F.when(F.col("v").isNotNull(), F.col("v")).otherwise(interp).alias("value_interp"),
+        F.col("v").isNull().alias("is_gap"),
+    )

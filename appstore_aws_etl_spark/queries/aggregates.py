@@ -667,3 +667,94 @@ def agg_mode(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("l_returnflag")
     )
+
+
+@query(
+    "agg_skew_kurtosis",
+    oracle="""
+    WITH m AS (
+        SELECT l_returnflag,
+               avg(l_quantity)                                     AS mu,
+               avg(l_quantity * l_quantity)                        AS r2,
+               avg(l_quantity * l_quantity * l_quantity)           AS r3,
+               avg(l_quantity*l_quantity*l_quantity*l_quantity)    AS r4
+        FROM lineitem GROUP BY l_returnflag
+    )
+    SELECT l_returnflag,
+           round((r3 - 3*mu*r2 + 2*mu*mu*mu)
+                 / pow(r2 - mu*mu, 1.5), 4)                        AS skew_qty,
+           round((r4 - 4*mu*r3 + 6*mu*mu*r2 - 3*mu*mu*mu*mu)
+                 / pow(r2 - mu*mu, 2.0) - 3.0, 4)                  AS kurt_qty
+    FROM m
+    """,
+    tags=("agg", "stats"),
+)
+def agg_skew_kurtosis(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Third/fourth standardized moments per group — population
+    skewness and excess kurtosis, matching Spark's built-in
+    ``skewness``/``kurtosis`` definitions (no sample-bias correction,
+    which is why the oracle states the raw-moment algebra explicitly
+    instead of calling DuckDB's sample-corrected builtins).
+
+    Scale shape: Spark's side IS the builtins — a single-pass
+    streaming central-moment aggregate inside whole-stage codegen, one
+    shuffle with map-side partials; l_quantity's bounded domain keeps
+    the fourth raw moment far from double overflow."""
+    return (
+        load(spark, sf_dir, "lineitem")
+        .groupBy("l_returnflag")
+        .agg(
+            F.round(F.skewness("l_quantity"), 4).alias("skew_qty"),
+            F.round(F.kurtosis("l_quantity"), 4).alias("kurt_qty"),
+        )
+    )
+
+
+@query(
+    "agg_exact_median_distributed",
+    oracle="""
+    SELECT l_returnflag, round(median(l_quantity), 4) AS median_qty
+    FROM lineitem GROUP BY l_returnflag
+    """,
+    tags=("agg", "scalable", "custom-operator"),
+)
+def agg_exact_median_distributed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EXACT interpolated median without a per-group value sort on one
+    reducer: aggregate to a (group, value) frequency table, running-sum
+    the counts in value order, and pick the bracketing rank(s) — the
+    classic rank-selection rewrite that turns an O(group size) sort
+    state into O(distinct values) aggregate state, the difference
+    between a median over 100 TB of skewed fact rows and an OOM.
+    Matches ``agg_percentile``'s sort-based `median()` exactly (even
+    counts average the two middle values).
+
+    Plan: two shuffles (value-level agg, then the tiny per-group
+    window over distinct values) and map-side partials do the heavy
+    reduction — the window input is |distinct values| rows per group,
+    not |rows|."""
+    li = load(spark, sf_dir, "lineitem")
+    counts = li.groupBy("l_returnflag", "l_quantity").agg(
+        F.count(F.lit(1)).alias("n")
+    )
+    w = Window.partitionBy("l_returnflag").orderBy("l_quantity").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    tot = Window.partitionBy("l_returnflag")
+    c = (
+        counts.withColumn("cum", F.sum("n").over(w))
+        .withColumn("total", F.sum("n").over(tot))
+    )
+    lo_rank = F.floor((F.col("total") + 1) / 2)
+    hi_rank = F.floor(F.col("total") / 2) + 1
+    covers = lambda k: (F.col("cum") - F.col("n") < k) & (F.col("cum") >= k)  # noqa: E731
+    return (
+        c.groupBy("l_returnflag")
+        .agg(
+            F.max(F.when(covers(lo_rank), F.col("l_quantity"))).alias("_lo"),
+            F.max(F.when(covers(hi_rank), F.col("l_quantity"))).alias("_hi"),
+        )
+        .select(
+            "l_returnflag",
+            F.round((F.col("_lo") + F.col("_hi")) / 2.0, 4).alias("median_qty"),
+        )
+    )

@@ -1494,6 +1494,55 @@ def ts_ewma(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "ts_interpolate",
+    oracle="""
+    WITH rolled AS (
+        SELECT user_id, date_trunc('hour', ts) AS bucket, round(avg(value), 4) AS v
+        FROM events GROUP BY user_id, date_trunc('hour', ts)
+    ), spans AS (
+        SELECT user_id, min(bucket) AS f, max(bucket) AS l FROM rolled GROUP BY user_id
+    ), dense AS (
+        SELECT user_id, unnest(generate_series(f, l, INTERVAL 1 HOUR)) AS bucket FROM spans
+    ), j AS (
+        SELECT d.user_id, d.bucket, r.v
+        FROM dense d LEFT JOIN rolled r ON d.user_id = r.user_id AND d.bucket = r.bucket
+    ), w AS (
+        SELECT user_id, bucket, v,
+            last_value(v IGNORE NULLS) OVER back AS pv,
+            last_value(CASE WHEN v IS NOT NULL THEN bucket END IGNORE NULLS) OVER back AS pb,
+            first_value(v IGNORE NULLS) OVER fwd AS nv,
+            first_value(CASE WHEN v IS NOT NULL THEN bucket END IGNORE NULLS) OVER fwd AS nb
+        FROM j
+        WINDOW back AS (PARTITION BY user_id ORDER BY bucket ROWS UNBOUNDED PRECEDING),
+               fwd  AS (PARTITION BY user_id ORDER BY bucket
+                        ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING)
+    )
+    SELECT user_id, bucket,
+           CASE WHEN v IS NOT NULL THEN v
+                ELSE floor((pv + (nv - pv) * ((epoch(bucket) - epoch(pb))
+                                              / (epoch(nb) - epoch(pb))))
+                           * 10000.0 + 0.5) / 10000.0
+           END AS value_interp,
+           v IS NULL AS is_gap
+    FROM w
+    """,
+    tags=("analytics", "timeseries", "custom-operator"),
+)
+def ts_interpolate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hypertable-style `interpolate()`: dense hourly per-user series
+    where every silent hour carries the time-weighted linear
+    interpolation between its bracketing observed buckets — the
+    smooth-fill companion to ts_gapfill_rollup's zero-fill
+    (operators/timeseries.py interpolate_linear). One rollup shuffle +
+    one per-key window sort; both carry frames are O(1) running state,
+    so a key's span length never buffers."""
+    from ..operators.timeseries import interpolate_linear
+
+    ev = load(spark, sf_dir, "events")
+    return interpolate_linear(ev, key="user_id", ts="ts", value="value", grain="1 hour")
+
+
+@query(
     "util_compaction_plan",
     oracle="""
     SELECT doc_id, source,

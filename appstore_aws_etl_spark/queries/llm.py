@@ -1564,3 +1564,43 @@ def llm_topic_cluster(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("centroid_id")
     )
+
+
+@query(
+    "llm_length_percentile_trim",
+    oracle="""
+    WITH ranked AS (
+        SELECT doc_id, lang, n_chars,
+               cume_dist() OVER (PARTITION BY lang ORDER BY n_chars) AS cd
+        FROM documents
+    )
+    SELECT doc_id, lang, n_chars, round(cd, 6) AS length_pctile
+    FROM ranked WHERE cd >= 0.05 AND cd <= 0.95
+    """,
+    tags=("llm", "text", "filter"),
+)
+def llm_length_percentile_trim(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-language length-percentile corpus trim: drop the shortest
+    5% and longest 5% of documents WITHIN each language — the standard
+    outlier cut before training-mix assembly (absolute length bands
+    like llm_quality_filter's misfire across languages whose scripts
+    have different chars-per-token).
+
+    Scale shape: cume_dist needs no second pass or percentile collect
+    — one shuffle on lang, one in-partition sort; ties share a rank so
+    the cut is deterministic under any row order. Skewed language
+    sizes (English is always most of a web corpus) are the classic
+    single-hot-partition case: at 100 TB, pre-aggregate to
+    (lang, n_chars) counts first — same trick as
+    agg_exact_median_distributed — and broadcast the tiny threshold
+    table back onto the docs."""
+    docs = load(spark, sf_dir, "documents")
+    w = Window.partitionBy("lang").orderBy("n_chars")
+    cd = F.cume_dist().over(w)
+    return (
+        docs.select(
+            "doc_id", "lang", "n_chars", F.round(cd, 6).alias("length_pctile"), cd.alias("_cd")
+        )
+        .filter((F.col("_cd") >= 0.05) & (F.col("_cd") <= 0.95))
+        .drop("_cd")
+    )

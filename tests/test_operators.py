@@ -120,6 +120,29 @@ def test_gapfill_rollup_dense_and_zero_filled(spark):
     }
 
 
+def test_interpolate_linear_fills_gaps_on_the_line(spark):
+    from appstore_aws_etl_spark.operators.timeseries import interpolate_linear
+
+    ev = spark.createDataFrame(
+        [
+            Row(u=1, t=ts("2024-01-01 10:10:00"), v=1.0),
+            Row(u=1, t=ts("2024-01-01 10:40:00"), v=3.0),  # hour 10 avg = 2.0
+            # silent hours 11:00 and 12:00 -> thirds of the 2.0 -> 5.0 line
+            Row(u=1, t=ts("2024-01-01 13:05:00"), v=5.0),
+            Row(u=2, t=ts("2024-01-01 00:00:00"), v=7.0),  # single-bucket span
+        ]
+    )
+    out = interpolate_linear(ev, key="u", ts="t", value="v", grain="1 hour")
+    rows = {(r["u"], r["bucket"].hour): (r["value_interp"], r["is_gap"]) for r in out.collect()}
+    assert rows == {
+        (1, 10): (2.0, False),
+        (1, 11): (3.0, True),
+        (1, 12): (4.0, True),
+        (1, 13): (5.0, False),
+        (2, 0): (7.0, False),
+    }
+
+
 def test_merge_upsert_insert_update_passthrough(spark):
     from appstore_aws_etl_spark.operators.upsert import merge_upsert
 
