@@ -603,3 +603,46 @@ def fn_date_calendar(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.day(F.last_day("o_orderdate")).cast("long").alias("days_in_month"),
         (((yr % 4 == 0) & (yr % 100 != 0)) | (yr % 400 == 0)).alias("is_leap_year"),
     )
+
+
+@query(
+    "fn_url_parse",
+    oracle="""
+    SELECT doc_id,
+           'https://' || source || '.example.com/docs/' || doc_id
+               || '?lang=' || lang || '&id=' || doc_id              AS url,
+           source || '.example.com'                                AS host,
+           '/docs/' || doc_id                                      AS path,
+           'lang=' || lang || '&id=' || doc_id                     AS query,
+           lang                                                    AS lang_param,
+           'https'                                                 AS protocol
+    FROM documents
+    """,
+    tags=("fn", "llm", "text"),
+)
+def fn_url_parse(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """URL decomposition — HOST / PATH / QUERY / a named QUERY
+    parameter / PROTOCOL via Spark's JVM-side ``parse_url`` — the
+    domain-extraction primitive web-corpus curation filters on
+    (per-domain quotas, blocklists, source attribution).
+
+    The URL is constructed from the row's own columns, so the oracle
+    states each component as ground truth by construction — the check
+    verifies parse_url's extraction agrees with the generative schema
+    exactly (any divergence — encoding, delimiter handling — would
+    hash-mismatch)."""
+    docs = load(spark, sf_dir, "documents")
+    url = F.concat(
+        F.lit("https://"), F.col("source"), F.lit(".example.com/docs/"),
+        F.col("doc_id"), F.lit("?lang="), F.col("lang"),
+        F.lit("&id="), F.col("doc_id"),
+    )
+    return docs.select(
+        "doc_id",
+        url.alias("url"),
+        F.parse_url(url, F.lit("HOST")).alias("host"),
+        F.parse_url(url, F.lit("PATH")).alias("path"),
+        F.parse_url(url, F.lit("QUERY")).alias("query"),
+        F.parse_url(url, F.lit("QUERY"), F.lit("lang")).alias("lang_param"),
+        F.parse_url(url, F.lit("PROTOCOL")).alias("protocol"),
+    )

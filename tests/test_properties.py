@@ -283,6 +283,62 @@ def test_gapfill_dense_span_and_sum_preserving(spark, data):
         assert abs(per_key_sum[k] - round(want_sum[k], 2)) < 1e-6
 
 
+@given(data=st.lists(
+    st.tuples(
+        st.integers(min_value=0, max_value=2),      # key
+        st.integers(min_value=0, max_value=30),     # hour offset
+        st.integers(min_value=-50, max_value=50),   # value
+    ),
+    min_size=1, max_size=20,
+))
+@settings(max_examples=6, deadline=None,
+          suppress_health_check=[HealthCheck.function_scoped_fixture])
+def test_interpolate_linear_matches_numpy_interp(spark, data):
+    """Any random sparse series: the distributed linear interpolation
+    must equal numpy.interp over each key's observed (hour, mean)
+    points at every dense bucket (to the operator's 4-dp rounding),
+    mark exactly the unobserved buckets as gaps, and never extrapolate
+    outside the observed span."""
+    import datetime as dt
+
+    import numpy as np
+
+    from appstore_aws_etl_spark.operators.timeseries import interpolate_linear
+
+    base = dt.datetime(2024, 1, 1)
+    rows = [
+        (k, base + dt.timedelta(hours=h, minutes=11), float(v))
+        for k, h, v in data
+    ]
+    df = spark.createDataFrame(rows, schema="k int, t timestamp, v double")
+    out = interpolate_linear(df, key="k", ts="t", value="v", grain="1 hour").collect()
+
+    obs: dict[int, dict[int, list[float]]] = {}
+    for k, h, v in data:
+        obs.setdefault(k, {}).setdefault(h, []).append(float(v))
+    expect: dict[int, dict[int, float]] = {}
+    observed_hours: dict[int, set[int]] = {}
+    for k, by_h in obs.items():
+        hs = sorted(by_h)
+        means = [round(float(np.mean(by_h[h])), 4) for h in hs]
+        observed_hours[k] = set(hs)
+        dense = range(hs[0], hs[-1] + 1)
+        interped = np.interp(list(dense), hs, means)
+        expect[k] = {h: float(y) for h, y in zip(dense, interped)}
+
+    seen: dict[int, set[int]] = {}
+    for r in out:
+        h = int((r["bucket"] - base).total_seconds() // 3600)
+        k = r["k"]
+        assert h in expect[k]  # never outside the observed span
+        assert h not in seen.get(k, set())  # no duplicate buckets
+        seen.setdefault(k, set()).add(h)
+        assert r["is_gap"] == (h not in observed_hours[k])
+        assert abs(r["value_interp"] - expect[k][h]) <= 1e-4 + 1e-9
+    for k in expect:
+        assert seen[k] == set(expect[k])  # dense span, no holes
+
+
 @given(vecs=st.lists(
     st.lists(st.floats(min_value=-4, max_value=4, allow_nan=False,
                        allow_infinity=False, width=32),
