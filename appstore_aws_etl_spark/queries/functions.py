@@ -646,3 +646,42 @@ def fn_url_parse(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.parse_url(url, F.lit("QUERY"), F.lit("lang")).alias("lang_param"),
         F.parse_url(url, F.lit("PROTOCOL")).alias("protocol"),
     )
+
+
+@query(
+    "fn_try_arith",
+    oracle="""
+    SELECT o_orderkey,
+           try_cast(CAST(o_orderkey AS VARCHAR) AS BIGINT)      AS parsed_ok,
+           try_cast(o_orderstatus || '-' || CAST(o_orderkey AS VARCHAR)
+                    AS BIGINT)                                  AS parsed_bad,
+           round(o_totalprice / nullif(o_orderkey % 7, 0), 4)   AS safe_ratio,
+           CAST(try_cast('2024-02-' || lpad(CAST(o_orderkey % 31 + 1 AS VARCHAR), 2, '0')
+                         AS DATE) AS TIMESTAMP)                 AS maybe_date
+    FROM orders
+    """,
+    tags=("fn", "error-handling"),
+)
+def fn_try_arith(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Error-safe expression family — ``try_cast`` / ``try_divide`` /
+    ``try_to_date`` return NULL instead of failing the task, the
+    difference between one malformed row poisoning a 100 TB job at
+    stage 40 and it flowing to a quarantine filter. Cases exercised:
+    a valid numeric parse, a guaranteed-invalid parse, division whose
+    denominator cycles through zero, and calendar-invalid dates
+    (Feb 30/31) from a constructed day-of-month."""
+    o = load(spark, sf_dir, "orders")
+    okey_s = F.col("o_orderkey").cast("string")
+    return o.select(
+        "o_orderkey",
+        okey_s.try_cast("bigint").alias("parsed_ok"),
+        F.concat(F.col("o_orderstatus"), F.lit("-"), okey_s)
+            .try_cast("bigint").alias("parsed_bad"),
+        F.round(
+            F.try_divide(F.col("o_totalprice"), F.col("o_orderkey") % 7), 4
+        ).alias("safe_ratio"),
+        F.try_to_date(
+            F.concat(F.lit("2024-02-"), F.lpad((F.col("o_orderkey") % 31 + 1).cast("string"), 2, "0")),
+            "yyyy-MM-dd",
+        ).cast("timestamp").alias("maybe_date"),
+    )
