@@ -758,3 +758,65 @@ def agg_exact_median_distributed(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round((F.col("_lo") + F.col("_hi")) / 2.0, 4).alias("median_qty"),
         )
     )
+
+
+@query(
+    "agg_exact_quantiles_distributed",
+    oracle="""
+    SELECT l_returnflag,
+           round(quantile_cont(l_quantity, 0.25), 4) AS p25_qty,
+           round(quantile_cont(l_quantity, 0.50), 4) AS p50_qty,
+           round(quantile_cont(l_quantity, 0.75), 4) AS p75_qty
+    FROM lineitem GROUP BY l_returnflag
+    """,
+    tags=("agg", "scalable", "custom-operator"),
+)
+def agg_exact_quantiles_distributed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EXACT interpolated quartiles by rank selection over a value-
+    frequency table — ``agg_exact_median_distributed`` generalized to
+    quantile_cont semantics (position h=(n-1)q over the multiset,
+    linear interpolation between the bracketing order statistics).
+    Aggregate state is O(distinct values) per group instead of a full
+    per-group sort, so the same query runs over 100 TB of fact rows.
+
+    Quantiles are restricted to dyadic fractions (1/4, 1/2, 3/4) on
+    purpose: h and the interpolation fraction are then exactly
+    representable doubles, so the bracket choice and interpolated
+    value are bit-identical on any engine — q=0.95 would put h within
+    one ulp of an integer whenever (n-1) is a multiple of 20 and let
+    the two engines pick different brackets."""
+    li = load(spark, sf_dir, "lineitem")
+    counts = li.groupBy("l_returnflag", "l_quantity").agg(
+        F.count(F.lit(1)).alias("n")
+    )
+    w = Window.partitionBy("l_returnflag").orderBy("l_quantity").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    tot = Window.partitionBy("l_returnflag")
+    c = (
+        counts.withColumn("cum", F.sum("n").over(w))
+        .withColumn("total", F.sum("n").over(tot))
+    )
+
+    def covers(rank):
+        return (F.col("cum") - F.col("n") < rank) & (F.col("cum") >= rank)
+
+    aggs, finals = [], ["l_returnflag"]
+    for q, name in ((0.25, "p25_qty"), (0.50, "p50_qty"), (0.75, "p75_qty")):
+        h = (F.col("total") - 1) * F.lit(q)
+        lo = F.floor(h) + 1            # 1-based rank of the lower bracket
+        frac = h - F.floor(h)
+        hi = F.when(frac == 0, lo).otherwise(lo + 1)
+        aggs += [
+            F.max(F.when(covers(lo), F.col("l_quantity"))).alias(f"_lo_{name}"),
+            F.max(F.when(covers(hi), F.col("l_quantity"))).alias(f"_hi_{name}"),
+            F.max(frac).alias(f"_f_{name}"),  # constant within the group
+        ]
+        finals.append(
+            F.round(
+                F.col(f"_lo_{name}")
+                + F.col(f"_f_{name}") * (F.col(f"_hi_{name}") - F.col(f"_lo_{name}")),
+                4,
+            ).alias(name)
+        )
+    return c.groupBy("l_returnflag").agg(*aggs).select(*finals)
