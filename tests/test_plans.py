@@ -109,3 +109,30 @@ def test_timestamp_pushdown_survives_ntz_normalization(spark, sf_dir):
     assert "LessThan(l_shipdate," in plan
     read_schema = [ln for ln in plan.splitlines() if "ReadSchema" in ln][0]
     assert "l_orderkey" not in read_schema and "l_comment" not in read_schema
+
+
+def test_interpolate_single_window_both_directions(spark, sf_dir):
+    """ts_interpolate's forward and backward carries must fuse into ONE
+    Window operator over one partitioned sort — a second sort per
+    direction would double the operator's only per-key cost."""
+    import re
+
+    df = REGISTRY["ts_interpolate"].fn(spark, sf_dir)
+    plan = formatted_plan(df)
+    # formatted explain lists each node once in the tree and once in
+    # the detail section — count detail entries
+    assert len(re.findall(r"\(\d+\) Window", plan)) == 1
+
+
+def test_rank_selection_quantiles_avoid_global_sort(spark, sf_dir):
+    """The distributed median/quartiles must aggregate to a value-
+    frequency table — never sort the raw rows (no Sort over the fact
+    scan; the only Sort allowed is the per-group window over distinct
+    values, downstream of the first aggregation)."""
+    for key in ("agg_exact_median_distributed", "agg_exact_quantiles_distributed"):
+        plan = formatted_plan(REGISTRY[key].fn(spark, sf_dir))
+        assert "percentile" not in plan.lower()
+        assert "HashAggregate" in plan
+        # exactly one Sort: the window over the distinct-value relation;
+        # a raw-row sort would show up as a second one
+        assert plan.count("Sort ") == 1
