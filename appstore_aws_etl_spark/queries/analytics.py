@@ -1667,3 +1667,105 @@ def sub_recursive_hierarchy(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.coalesce("top_branch", F.when(F.col("anc") > 0, F.col("anc")), F.col("node"))
         .alias("top_branch"),
     ).orderBy("node")
+
+
+@query(
+    "analytics_attribution",
+    oracle="""
+    WITH w AS (
+        SELECT event_id, user_id, ts, event_type,
+               last_value(CASE WHEN event_type = 'click' THEN event_id END IGNORE NULLS)
+                   OVER back AS last_click_id,
+               last_value(CASE WHEN event_type = 'click' THEN ts END IGNORE NULLS)
+                   OVER back AS last_click_ts,
+               first_value(CASE WHEN event_type = 'click' THEN event_id END IGNORE NULLS)
+                   OVER back AS first_click_id
+        FROM events
+        WINDOW back AS (PARTITION BY user_id ORDER BY ts, event_id
+                        ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+    )
+    SELECT event_id, user_id, last_click_id, first_click_id,
+           date_diff('second', last_click_ts, ts) AS secs_since_click
+    FROM w WHERE event_type = 'purchase'
+    """,
+    tags=("analytics", "window"),
+)
+def analytics_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """First-touch / last-touch marketing attribution: each purchase is
+    credited to the user's first and most recent preceding click (the
+    current row excluded, so a simultaneous click never self-credits).
+    Both carries ride ONE window sort per user — running O(1) state,
+    no click-table self-join, no per-purchase subquery; the classic
+    decorrelation that turns an O(purchases x clicks) lookup into one
+    shuffle at any scale."""
+    ev = load(spark, sf_dir, "events")
+    back = (
+        Window.partitionBy("user_id")
+        .orderBy("ts", "event_id")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    click_id = F.when(F.col("event_type") == "click", F.col("event_id"))
+    click_ts = F.when(F.col("event_type") == "click", F.col("ts"))
+    return (
+        ev.select(
+            "event_id",
+            "user_id",
+            "ts",
+            "event_type",
+            F.last(click_id, ignorenulls=True).over(back).alias("last_click_id"),
+            F.last(click_ts, ignorenulls=True).over(back).alias("last_click_ts"),
+            F.first(click_id, ignorenulls=True).over(back).alias("first_click_id"),
+        )
+        .filter(F.col("event_type") == "purchase")
+        .select(
+            "event_id",
+            "user_id",
+            "last_click_id",
+            "first_click_id",
+            (F.col("ts").cast("long") - F.col("last_click_ts").cast("long")).alias("secs_since_click"),
+        )
+    )
+
+
+@query(
+    "win_reset_running_sum",
+    oracle="""
+    WITH seg AS (
+        SELECT event_id, user_id, ts, value,
+               CAST(sum(CASE WHEN event_type = 'signup' THEN 1 ELSE 0 END)
+                        OVER (PARTITION BY user_id ORDER BY ts, event_id
+                              ROWS UNBOUNDED PRECEDING) AS BIGINT) AS epoch
+        FROM events
+    )
+    SELECT event_id, user_id, epoch,
+           round(sum(value) OVER (PARTITION BY user_id, epoch ORDER BY ts, event_id
+                                  ROWS UNBOUNDED PRECEDING), 2) AS running_value
+    FROM seg
+    """,
+    tags=("window", "custom-operator"),
+)
+def win_reset_running_sum(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Running sum with RESET — cumulative per-user value that restarts
+    at every signup event. No engine has a native 'reset' frame; the
+    portable rewrite is window algebra: a running count of reset
+    markers assigns each row an epoch, then the running sum partitions
+    by (user, epoch). Two windows, but the second re-sorts the SAME
+    (user-prefixed) ordering, so at scale this is one shuffle and two
+    in-partition sorts of already-nearly-sorted runs."""
+    ev = load(spark, sf_dir, "events")
+    seq = Window.partitionBy("user_id").orderBy("ts", "event_id").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    epoch = F.sum(
+        F.when(F.col("event_type") == "signup", 1).otherwise(0)
+    ).over(seq)
+    seg = ev.select("event_id", "user_id", "ts", "value", epoch.alias("epoch"))
+    run = Window.partitionBy("user_id", "epoch").orderBy("ts", "event_id").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    return seg.select(
+        "event_id",
+        "user_id",
+        "epoch",
+        F.round(F.sum("value").over(run), 2).alias("running_value"),
+    )
