@@ -39,7 +39,14 @@ def partitioned_prefix_sum(
     ranged = df.repartitionByRange(parts, *[F.col(c) for c in order_by]).sortWithinPartitions(
         *order_by
     )
-    with_pid = ranged.withColumn("_pid", F.spark_partition_id())
+    # one physical evaluation of the range partitioning: the offsets
+    # subtree and the main subtree both consume _pid, and two
+    # independent evaluations of repartitionByRange can sample
+    # DIFFERENT range boundaries — misaligned pids silently corrupt
+    # the offsets (observed on the prefix-max sibling)
+    with_pid = ranged.withColumn(
+        "_pid", F.spark_partition_id()
+    ).localCheckpoint(eager=False)
     w_off = Window.orderBy("_pid").rowsBetween(Window.unboundedPreceding, -1)
     offsets = (
         with_pid.groupBy("_pid")
@@ -55,5 +62,52 @@ def partitioned_prefix_sum(
     return (
         with_pid.join(F.broadcast(offsets), "_pid")
         .withColumn(out, F.sum(value).over(w_local) + F.col("_offset"))
+        .drop("_pid", "_offset")
+    )
+
+
+def partitioned_prefix_max(
+    df: DataFrame,
+    value: str,
+    order_by: list[str],
+    out: str = "run_max",
+    strict: bool = False,
+    num_partitions: int | None = None,
+) -> DataFrame:
+    """Global running maximum in arrival order, same two-phase shape as
+    ``partitioned_prefix_sum`` (and simpler: max needs no offset
+    arithmetic, just a greatest() against the preceding partitions'
+    max). ``strict=True`` excludes the current row — the watermark
+    semantics ("the high-water mark BEFORE this element arrived").
+    Exactness: max is association-free, so the distributed result is
+    bit-identical to the single-partition window for any type."""
+    parts = num_partitions or int(
+        df.sparkSession.conf.get("spark.sql.shuffle.partitions", "32")
+    )
+    ranged = df.repartitionByRange(parts, *[F.col(c) for c in order_by]).sortWithinPartitions(
+        *order_by
+    )
+    # same single-evaluation guard as partitioned_prefix_sum: both
+    # subtrees must see ONE pid assignment
+    with_pid = ranged.withColumn(
+        "_pid", F.spark_partition_id()
+    ).localCheckpoint(eager=False)
+    w_off = Window.orderBy("_pid").rowsBetween(Window.unboundedPreceding, -1)
+    offsets = (
+        with_pid.groupBy("_pid")
+        .agg(F.max(value).alias("_pmax"))
+        .withColumn("_offset", F.max("_pmax").over(w_off))
+        .select("_pid", "_offset")
+    )
+    hi = -1 if strict else Window.currentRow
+    w_local = (
+        Window.partitionBy("_pid")
+        .orderBy(*order_by)
+        .rowsBetween(Window.unboundedPreceding, hi)
+    )
+    local = F.max(value).over(w_local)
+    return (
+        with_pid.join(F.broadcast(offsets), "_pid")
+        .withColumn(out, F.greatest(local, F.col("_offset")))
         .drop("_pid", "_offset")
     )

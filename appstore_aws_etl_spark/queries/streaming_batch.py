@@ -300,3 +300,55 @@ def stream_left_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.date_trunc("second", "p_ts_raw").alias("p_ts"),
         F.round("value", 2).alias("purchase_value"),
     )
+
+
+@query(
+    "stream_late_drop",
+    oracle="""
+    WITH wm AS (
+        SELECT event_id, user_id, ts,
+               max(ts) OVER (ORDER BY event_id
+                             ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+                   AS high_water
+        FROM events
+    )
+    SELECT event_id, user_id, ts,
+           CAST(high_water AS TIMESTAMP) AS high_water,
+           high_water IS NOT NULL
+               AND ts < high_water - INTERVAL 10 MINUTE AS is_late
+    FROM wm
+    """,
+    tags=("streaming", "custom-operator", "scalable"),
+)
+def stream_late_drop(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """T4 watermark late-drop, stated as a batch fixpoint: arrival
+    order is event_id, the watermark before each arrival is the
+    running max event-time STRICTLY preceding it minus the 10-minute
+    delay, and an event is late iff its own time is below that mark —
+    exactly the rows a ``withWatermark('ts', '10 minutes')`` stream
+    drops for this arrival sequence (the true-streaming path is
+    exercised in tests/test_streaming.py; this twin makes the
+    semantics hash-checkable).
+
+    Scale shape: a naive global ``max OVER (ORDER BY arrival)`` is the
+    single-reducer window anti-pattern; this runs the two-phase
+    range-partitioned prefix max (operators/prefix.py) — partition-
+    local running max plus a broadcast of the preceding partitions'
+    maxes, exact for max under any partitioning because max is
+    association-free."""
+    from ..operators.prefix import partitioned_prefix_max
+
+    ev = load(spark, sf_dir, "events").select("event_id", "user_id", "ts")
+    marked = partitioned_prefix_max(
+        ev, value="ts", order_by=["event_id"], out="high_water", strict=True
+    )
+    return marked.select(
+        "event_id",
+        "user_id",
+        "ts",
+        "high_water",
+        (
+            F.col("high_water").isNotNull()
+            & (F.col("ts") < F.col("high_water") - F.expr("INTERVAL 10 MINUTES"))
+        ).alias("is_late"),
+    )

@@ -497,3 +497,27 @@ def test_label_propagation_ignores_unseeded_edge_nodes(spark):
     got = {(r["node"], r["component"])
            for r in propagate_min_labels(edges, labels, "node", "component").collect()}
     assert got == {(1, 1), (2, 1)}  # 99 never seeded -> never emitted
+
+
+def test_prefix_max_strict_matches_sequential(spark):
+    import datetime as dt
+    import random
+
+    from appstore_aws_etl_spark.operators.prefix import partitioned_prefix_max
+
+    rng = random.Random(7)
+    base = dt.datetime(2024, 1, 1)
+    rows = [
+        (i, base + dt.timedelta(seconds=rng.randrange(0, 100000)))
+        for i in range(400)
+    ]
+    df = spark.createDataFrame(rows, schema="arrival int, t timestamp")
+    out = partitioned_prefix_max(
+        df, value="t", order_by=["arrival"], out="hw", strict=True,
+        num_partitions=7,
+    )
+    got = {r["arrival"]: r["hw"] for r in out.collect()}
+    hw = None
+    for i, t in rows:
+        assert got[i] == hw, f"arrival {i}: {got[i]} != {hw}"
+        hw = t if hw is None or t > hw else hw
