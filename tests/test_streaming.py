@@ -279,3 +279,58 @@ def test_transform_with_state_funnel_matches_apply_in_pandas(
     got_apply = final_counts(funnel_counts, "t_f_apply", str(tmp_path / "c1"))
     got_tws = final_counts(funnel_counts_tws, "t_f_tws", str(tmp_path / "c2"))
     assert got_apply and got_apply == got_tws
+
+
+def test_late_drop_fixpoint_predicts_real_watermark_drops(spark, sf_dir, tmp_path):
+    """stream_late_drop's batch fixpoint must predict EXACTLY which
+    events a real watermarked stream drops when the arrival order is
+    reproduced: each event lands as its own file (distinct mtimes) and
+    maxFilesPerTrigger=1 makes every event its own micro-batch, so the
+    engine's watermark before event i is the strict-preceding running
+    max event-time minus the delay — the operator's definition."""
+    import os
+
+    # arrival order: a deterministic 5-way interleave of the first 24
+    # events — event-time jumps backward at every stripe boundary, so
+    # late arrivals are guaranteed. The walk below follows the SAME
+    # order; the arrival sequence is the operator's input, not a claim
+    # about the fixture.
+    rows = (
+        load(spark, sf_dir, "events")
+        .orderBy("event_id")
+        .limit(24)
+        .select("event_id", "ts", "user_id", "event_type", "value", "props")
+        .collect()
+    )
+    rows = sorted(rows, key=lambda r: (r["event_id"] % 5, r["event_id"]))
+    src = tmp_path / "one_per_file"
+    src.mkdir()
+    base = 1_700_000_000
+    for i, r in enumerate(rows):
+        f = str(src / f"ev_{i:04d}")
+        spark.createDataFrame([r]).coalesce(1).write.mode("overwrite").parquet(f)
+        for root, _dirs, files in os.walk(f):
+            for name in files:
+                os.utime(os.path.join(root, name), (base + i, base + i))
+        os.utime(f, (base + i, base + i))
+
+    stream = stream_events(spark, str(src) + "/*", max_files_per_trigger=1)
+    kept = run_to_memory(
+        stream.withWatermark("ts", "10 minutes").dropDuplicates(["event_id"]),
+        "late_drop_xcheck",
+        checkpoint=str(tmp_path / "chk"),
+    )
+    got_kept = {r["event_id"] for r in kept.collect()}
+
+    # independent sequential reference of the fixpoint
+    hw = None
+    want_kept = set()
+    import datetime as dt
+
+    for r in rows:
+        late = hw is not None and r["ts"] < hw - dt.timedelta(minutes=10)
+        if not late:
+            want_kept.add(r["event_id"])
+        hw = r["ts"] if hw is None or r["ts"] > hw else hw
+    assert want_kept != {r["event_id"] for r in rows}  # some event IS late
+    assert got_kept == want_kept
