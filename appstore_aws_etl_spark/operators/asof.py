@@ -40,6 +40,7 @@ def asof_join(
     allow_exact_matches: bool = True,
     direction: str = "backward",
     payload_prefix: str = "asof_",
+    tolerance_seconds: float | None = None,
 ) -> DataFrame:
     """For each left row, attach the payload of the nearest right row
     within the same ``on`` key group: the latest with
@@ -112,12 +113,20 @@ def asof_join(
         use_backward = F.when(b_ts.isNull(), F.lit(False)).otherwise(
             f_ts.isNull() | ((here - b_ts) <= (f_ts - here))
         )
+        chosen_ts = F.when(use_backward, b_ts).otherwise(f_ts)
+        in_tol = (
+            F.lit(True)
+            if tolerance_seconds is None
+            else chosen_ts.isNotNull()
+            & (F.abs(here - chosen_ts) <= F.lit(float(tolerance_seconds)))
+        )
         return carried.filter(F.col(_SIDE) == 1).select(
             *[F.col(c) for c in left.columns],
             *[
-                F.when(use_backward, F.col(f"__b_{c}"))
-                .otherwise(F.col(f"__f_{c}"))
-                .alias(f"{payload_prefix}{c}")
+                F.when(
+                    in_tol,
+                    F.when(use_backward, F.col(f"__b_{c}")).otherwise(F.col(f"__f_{c}")),
+                ).alias(f"{payload_prefix}{c}")
                 for c in right_payload
             ],
         )
@@ -146,15 +155,31 @@ def asof_join(
         )
         carry = F.first
 
+    carry_cols = list(right_payload)
+    if tolerance_seconds is not None:
+        carry_cols.append("__rts")
     carried = unioned.select(
         "*",
         *[
             carry(f"{payload_prefix}{c}", ignorenulls=True).over(w).alias(f"__carry_{c}")
-            for c in right_payload
+            for c in carry_cols
         ],
     )
+    if tolerance_seconds is not None:
+        here = F.col(ts).cast("double")
+        there = F.col("__carry___rts").cast("double")
+        dist = (here - there) if direction == "backward" else (there - here)
+        keep = there.isNotNull() & (dist <= F.lit(float(tolerance_seconds)))
+        payload_out = [
+            F.when(keep, F.col(f"__carry_{c}")).alias(f"{payload_prefix}{c}")
+            for c in right_payload
+        ]
+    else:
+        payload_out = [
+            F.col(f"__carry_{c}").alias(f"{payload_prefix}{c}") for c in right_payload
+        ]
     out = carried.filter(F.col(_SIDE) == 1).select(
         *[F.col(c) for c in left.columns],
-        *[F.col(f"__carry_{c}").alias(f"{payload_prefix}{c}") for c in right_payload],
+        *payload_out,
     )
     return out

@@ -570,3 +570,64 @@ def join_salted_skew(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("c_mktsegment")
     )
+
+
+@query(
+    "join_asof_tolerance",
+    oracle="""
+    WITH c AS (
+        SELECT user_id, date_trunc('second', ts) AS cts, event_id
+        FROM events WHERE event_type = 'click'
+    ), p AS (
+        SELECT user_id, date_trunc('second', ts) AS pts, event_id
+        FROM events WHERE event_type = 'purchase'
+    )
+    SELECT p.event_id AS purchase_id,
+           p.user_id,
+           p.pts AS purchase_ts,
+           (SELECT max(c.event_id) FROM c
+             WHERE c.user_id = p.user_id AND c.cts <= p.pts
+               AND c.cts >= p.pts - INTERVAL 1 HOUR
+               AND c.cts = (SELECT max(c2.cts) FROM c c2
+                            WHERE c2.user_id = p.user_id AND c2.cts <= p.pts
+                              AND c2.cts >= p.pts - INTERVAL 1 HOUR)
+           ) AS asof_event_id
+    FROM p
+    """,
+    tags=("join", "custom-operator"),
+)
+def join_asof_tolerance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """As-of join with a match-distance cap (pandas merge_asof
+    ``tolerance``): each purchase matched to the user's latest click
+    at-or-before it, but only within the last hour — a stale quote
+    must NOT attach. The cap is a row-local null-out after the carry
+    (operators/asof.py tolerance_seconds), so the plan stays one
+    shuffle + one window; the oracle states the same cap inside the
+    correlated-subquery form of join_asof."""
+    from ..operators.asof import asof_join
+
+    ev = load(spark, sf_dir, "events").withColumn(
+        "ts2", F.date_trunc("second", F.col("ts"))
+    )
+    clicks = ev.filter(F.col("event_type") == "click").select(
+        "user_id", F.col("event_id"), F.col("ts2").alias("cts")
+    )
+    purchases = ev.filter(F.col("event_type") == "purchase").select(
+        F.col("event_id").alias("purchase_id"), "user_id", F.col("ts2").alias("pts")
+    )
+    out = asof_join(
+        purchases,
+        clicks,
+        on=["user_id"],
+        left_ts="pts",
+        right_ts="cts",
+        right_payload=["event_id"],
+        tie_break="event_id",
+        tolerance_seconds=3600.0,
+    )
+    return out.select(
+        "purchase_id",
+        "user_id",
+        F.col("pts").alias("purchase_ts"),
+        F.col("asof_event_id"),
+    )

@@ -521,3 +521,24 @@ def test_prefix_max_strict_matches_sequential(spark):
     for i, t in rows:
         assert got[i] == hw, f"arrival {i}: {got[i]} != {hw}"
         hw = t if hw is None or t > hw else hw
+
+
+def test_asof_tolerance_nulls_stale_matches(spark):
+    from appstore_aws_etl_spark.operators.asof import asof_join
+
+    left = spark.createDataFrame(
+        [
+            Row(k="a", lts=ts("2024-01-01 10:00:00"), lid=1),  # match 5 min back
+            Row(k="a", lts=ts("2024-01-01 13:00:00"), lid=2),  # stale: 2h55m back
+        ]
+    )
+    right = spark.createDataFrame(
+        [Row(k="a", rts=ts("2024-01-01 09:55:00"), rid=10, v=1.5)]
+    )
+    out = asof_join(
+        left, right, on=["k"], left_ts="lts", right_ts="rts",
+        right_payload=["rid", "v"], tie_break="rid",
+        tolerance_seconds=3600.0,
+    )
+    got = {r["lid"]: (r["asof_rid"], r["asof_v"]) for r in out.collect()}
+    assert got == {1: (10, 1.5), 2: (None, None)}
