@@ -377,3 +377,36 @@ def test_semantic_dedup_matches_sequential_greedy(spark, vecs):
         if all(cos(v, vecs[j]) < threshold for j in kept):
             kept.append(i)
     assert got == set(kept)
+
+
+@given(data=st.lists(
+    st.tuples(
+        st.integers(min_value=0, max_value=10_000),   # order key
+        st.integers(min_value=-100, max_value=100),   # integer value (exact sums)
+    ),
+    min_size=1, max_size=60, unique_by=lambda t: t[0],
+))
+@settings(max_examples=6, deadline=None,
+          suppress_health_check=[HealthCheck.function_scoped_fixture])
+def test_prefix_sum_partition_count_invariant(spark, data):
+    """The two-phase prefix sum must equal the sequential cumulative sum
+    for EVERY partition count (regression net for the r5 bug where two
+    independent evaluations of repartitionByRange could sample different
+    range boundaries and corrupt the offsets). Integer values make the
+    comparison exact."""
+    from appstore_aws_etl_spark.operators.prefix import partitioned_prefix_sum
+
+    df = spark.createDataFrame(
+        [(k, float(v)) for k, v in data], schema="k int, v double"
+    )
+    want = {}
+    run = 0.0
+    for k, v in sorted(data):
+        run += v
+        want[k] = run
+    for parts in (1, 3, 11):
+        out = partitioned_prefix_sum(
+            df, value="v", order_by=["k"], out="cum", num_partitions=parts
+        )
+        got = {r["k"]: r["cum"] for r in out.collect()}
+        assert got == want, f"num_partitions={parts}"
