@@ -87,3 +87,46 @@ def scan_orc(spark: SparkSession, sf_dir: str) -> DataFrame:
     path = os.path.join(CACHE_DIR, "scan_orc", os.path.basename(sf_dir.rstrip("/")))
     load(spark, sf_dir, "nation").coalesce(1).write.mode("overwrite").orc(path)
     return spark.read.orc(path).select("n_nationkey", "n_name", "n_regionkey")
+
+
+@query(
+    "scan_csv_malformed",
+    oracle="""
+    SELECT CAST(count(*) AS BIGINT) AS n_good,
+           CAST(3 AS BIGINT)        AS n_corrupt
+    FROM nation
+    """,
+    tags=("scan", "error-handling"),
+)
+def scan_csv_malformed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """S6 ingest under dirty input: the nation TSV plus a file of three
+    deterministically malformed lines (wrong arity, unparseable key),
+    read in PERMISSIVE mode — the production contract for 100 TB of
+    third-party exports is that bad lines become null-keyed rows that
+    route to quarantine, never a failed stage. The malformed rows are
+    injected by construction, so the oracle states the good/corrupt
+    split as ground truth (nation has no null keys, so a null key IS
+    the corruption marker)."""
+    path = os.path.join(
+        CACHE_DIR, "scan_csv_malformed", os.path.basename(sf_dir.rstrip("/"))
+    )
+    (
+        load(spark, sf_dir, "nation")
+        .select("n_nationkey", "n_name", "n_regionkey")
+        .coalesce(1)
+        .write.mode("overwrite")
+        .options(sep="\t", header=False)
+        .csv(path)
+    )
+    bad = os.path.join(path, "part-99999-malformed.csv")
+    with open(bad, "w") as fh:
+        fh.write("###garbage###\nnot\tan-int\nonly-one-field\n")
+    df = (
+        spark.read.schema("n_nationkey bigint, n_name string, n_regionkey bigint")
+        .options(sep="\t", header=False, mode="PERMISSIVE")
+        .csv(path)
+    )
+    return df.agg(
+        F.count(F.when(F.col("n_nationkey").isNotNull(), 1)).alias("n_good"),
+        F.count(F.when(F.col("n_nationkey").isNull(), 1)).alias("n_corrupt"),
+    )
