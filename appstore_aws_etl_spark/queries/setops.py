@@ -89,3 +89,32 @@ def set_bag_ops(spark: SparkSession, sf_dir: str) -> DataFrame:
     single key covers both variants."""
     hi, urgent = _hi(spark, sf_dir), _urgent(spark, sf_dir)
     return hi.intersectAll(urgent).unionByName(hi.exceptAll(urgent))
+
+
+@query(
+    "set_union_by_name",
+    oracle="""
+    SELECT c_custkey, c_mktsegment,
+           CAST(NULL AS DOUBLE) AS c_acctbal, 'v1' AS schema_ver
+    FROM customer WHERE c_custkey % 2 = 0
+    UNION ALL
+    SELECT c_custkey, c_mktsegment, c_acctbal, 'v2' AS schema_ver
+    FROM customer WHERE c_custkey % 2 = 1
+    """,
+    tags=("setop", "schema-evolution"),
+)
+def set_union_by_name(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Schema-evolution union: a v1 extract (no balance column) and a
+    v2 extract (balance added) combined by COLUMN NAME with the missing
+    column null-filled — ``unionByName(allowMissingColumns=True)``, the
+    append path every long-lived 100 TB table needs when producers add
+    fields (positional UNION would silently misalign columns instead).
+    """
+    c = load(spark, sf_dir, "customer")
+    v1 = c.filter(F.col("c_custkey") % 2 == 0).select(
+        "c_custkey", "c_mktsegment", F.lit("v1").alias("schema_ver")
+    )
+    v2 = c.filter(F.col("c_custkey") % 2 == 1).select(
+        "c_custkey", "c_mktsegment", "c_acctbal", F.lit("v2").alias("schema_ver")
+    )
+    return v1.unionByName(v2, allowMissingColumns=True)
