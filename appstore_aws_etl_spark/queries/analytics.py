@@ -1769,3 +1769,58 @@ def win_reset_running_sum(spark: SparkSession, sf_dir: str) -> DataFrame:
         "epoch",
         F.round(F.sum("value").over(run), 2).alias("running_value"),
     )
+
+
+@query(
+    "ts_ohlc_bars",
+    oracle="""
+    WITH seq AS (
+        SELECT user_id, date_trunc('hour', ts) AS bucket, value,
+               row_number() OVER (PARTITION BY user_id, date_trunc('hour', ts)
+                                  ORDER BY ts, event_id) AS rn_open,
+               row_number() OVER (PARTITION BY user_id, date_trunc('hour', ts)
+                                  ORDER BY ts DESC, event_id DESC) AS rn_close
+        FROM events
+    )
+    SELECT user_id, bucket,
+           round(max(CASE WHEN rn_open  = 1 THEN value END), 2) AS open,
+           round(max(value), 2)                                 AS high,
+           round(min(value), 2)                                 AS low,
+           round(max(CASE WHEN rn_close = 1 THEN value END), 2) AS close,
+           CAST(count(*) AS BIGINT)                             AS n_ticks
+    FROM seq GROUP BY user_id, bucket
+    """,
+    tags=("analytics", "timeseries"),
+)
+def ts_ohlc_bars(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """OHLC bar resampling — per (user, hour): first/max/min/last value
+    in (ts, event_id) order, the candlestick rollup every tick store
+    serves. Open/close ride the SAME window sort (ascending and
+    descending row_number over one partitioning), then one grouped
+    aggregation; engines' first()/arg_min() builtins break timestamp
+    ties arbitrarily, so the explicit row_number tie-break is what
+    makes the bar deterministic — on any engine, at any partitioning."""
+    ev = load(spark, sf_dir, "events")
+    bucket = F.date_trunc("hour", F.col("ts"))
+    w_open = Window.partitionBy("user_id", "bucket").orderBy(
+        F.col("ts").asc(), F.col("event_id").asc()
+    )
+    w_close = Window.partitionBy("user_id", "bucket").orderBy(
+        F.col("ts").desc(), F.col("event_id").desc()
+    )
+    seq = ev.select(
+        "user_id", bucket.alias("bucket"), "value", "ts", "event_id"
+    ).select(
+        "user_id",
+        "bucket",
+        "value",
+        F.row_number().over(w_open).alias("rn_open"),
+        F.row_number().over(w_close).alias("rn_close"),
+    )
+    return seq.groupBy("user_id", "bucket").agg(
+        F.round(F.max(F.when(F.col("rn_open") == 1, F.col("value"))), 2).alias("open"),
+        F.round(F.max("value"), 2).alias("high"),
+        F.round(F.min("value"), 2).alias("low"),
+        F.round(F.max(F.when(F.col("rn_close") == 1, F.col("value"))), 2).alias("close"),
+        F.count(F.lit(1)).alias("n_ticks"),
+    )
