@@ -1,0 +1,62 @@
+"""k-core decomposition by iterative peeling (SURVEY.md §4.2 "custom
+operators" — the third iterative graph primitive beside min-label
+propagation and unrolled power iteration).
+
+The k-core is the maximal subgraph where every node has degree >= k.
+Peeling computes it as a fixpoint: repeatedly delete nodes with degree
+< k (deleting a node lowers its neighbors' degrees, which can cascade).
+Each round is ONE grouped degree count + TWO semi-joins against the
+surviving node set — no driver-side data, only the convergence counter
+crosses to the driver. Rounds needed = peel depth of the graph, and
+each round shrinks the edge set monotonically, so the work per round
+decreases; localCheckpoint truncates the growing lineage exactly like
+operators/labelprop.py.
+
+Not SQL-expressible as a recursive CTE (the recursive term would need
+a GROUP BY over itself, which recursive SQL forbids), so the query key
+is rows-only; correctness is property-tested against a sequential peel
+(tests/test_properties.py).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def kcore_nodes(
+    edges: DataFrame,
+    k: int,
+    src: str = "src",
+    dst: str = "dst",
+    max_rounds: int = 64,
+) -> DataFrame:
+    """Nodes of the k-core of an UNDIRECTED graph given as a symmetric
+    edge list (both directions present). Returns (node, degree) with
+    each survivor's within-core degree. Raises RuntimeError if the
+    fixpoint is not reached within ``max_rounds`` (peel depth > rounds
+    — raise the cap) rather than returning a half-peeled subgraph."""
+    alive = edges.select(F.col(src).alias("src"), F.col(dst).alias("dst"))
+    n_alive = alive.select("src").distinct().count()
+    for _ in range(max_rounds):
+        deg = alive.groupBy("src").agg(F.count(F.lit(1)).alias("degree"))
+        keep = deg.filter(F.col("degree") >= k).select("src").localCheckpoint(
+            eager=False
+        )
+        nxt = (
+            alive.join(keep, "src", "left_semi")
+            .join(keep.select(F.col("src").alias("dst")), "dst", "left_semi")
+            .localCheckpoint(eager=False)
+        )
+        n_next = nxt.select("src").distinct().count()  # convergence counter only
+        alive = nxt
+        if n_next == n_alive:
+            return alive.groupBy(F.col("src").alias("node")).agg(
+                F.count(F.lit(1)).alias("degree")
+            )
+        n_alive = n_next
+        if n_alive == 0:
+            return alive.groupBy(F.col("src").alias("node")).agg(
+                F.count(F.lit(1)).alias("degree")
+            )
+    raise RuntimeError(f"k-core peel did not converge within {max_rounds} rounds")

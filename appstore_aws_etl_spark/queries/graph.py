@@ -293,3 +293,22 @@ def graph_degree_distribution(spark: SparkSession, sf_dir: str) -> DataFrame:
             "frac_nodes"
         ),
     )
+
+
+@query("graph_kcore", oracle=None, tags=("graph", "iterative", "custom-operator"))
+def graph_kcore(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """3-core of the support-2 co-purchase graph by iterative peeling
+    (operators/kcore.py): repeatedly delete nodes with fewer than 3
+    surviving co-purchase partners until stable — the dense backbone
+    community detectors and influence models start from. Rows-only by
+    design: the peeling fixpoint needs a GROUP BY inside the recursion,
+    which recursive SQL forbids; correctness is property-tested against
+    a sequential peel (tests/test_properties.py) and the convergence
+    walk raises rather than returning a half-peeled subgraph."""
+    from ..operators.kcore import kcore_nodes
+
+    edges = _weighted_copurchase_edges(spark, sf_dir, min_support=2)
+    und = edges.unionAll(
+        edges.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
+    )
+    return kcore_nodes(und, k=3).orderBy("node")

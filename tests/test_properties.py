@@ -410,3 +410,33 @@ def test_prefix_sum_partition_count_invariant(spark, data):
         )
         got = {r["k"]: r["cum"] for r in out.collect()}
         assert got == want, f"num_partitions={parts}"
+
+
+@given(edges=edges_strategy, k=st.sampled_from([2, 3]))
+@settings(max_examples=5, deadline=None,
+          suppress_health_check=[HealthCheck.function_scoped_fixture])
+def test_kcore_matches_sequential_peel(spark, edges, k):
+    """Any random graph: the distributed peel must keep exactly the
+    nodes a sequential peel keeps, with the same within-core degrees."""
+    from appstore_aws_etl_spark.operators.kcore import kcore_nodes
+
+    uniq = {(a, b) for a, b in edges if a != b}
+    df = spark.createDataFrame(sorted(uniq), schema="src int, dst int")
+    und = df.union(df.select(F.col("dst").alias("src"), F.col("src").alias("dst")))
+    got = {r["node"]: r["degree"] for r in kcore_nodes(und, k=k).collect()}
+
+    adj: dict[int, set[int]] = {}
+    for a, b in uniq:
+        adj.setdefault(a, set()).add(b)
+        adj.setdefault(b, set()).add(a)
+    changed = True
+    while changed:
+        changed = False
+        for n in list(adj):
+            if len(adj[n]) < k:
+                for m in adj.pop(n):
+                    if m in adj:
+                        adj[m].discard(n)
+                changed = True
+    expect = {n: len(ns) for n, ns in adj.items()}
+    assert got == expect
