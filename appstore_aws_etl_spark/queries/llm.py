@@ -1604,3 +1604,45 @@ def llm_length_percentile_trim(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter((F.col("_cd") >= 0.05) & (F.col("_cd") <= 0.95))
         .drop("_cd")
     )
+
+
+@query(
+    "llm_shuffle_shard",
+    oracle="""
+    WITH h AS (
+        SELECT doc_id,
+               (((doc_id + 1) * 2654435761) % 4294967296) AS hv
+        FROM documents
+    )
+    SELECT doc_id,
+           CAST(hv % 8 AS BIGINT) AS shard,
+           CAST(row_number() OVER (PARTITION BY hv % 8 ORDER BY hv, doc_id) - 1
+                AS BIGINT) AS pos_in_shard
+    FROM h
+    """,
+    tags=("llm", "sampling", "custom-operator"),
+)
+def llm_shuffle_shard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic global training-order shuffle: every document gets
+    a shard (hash-routed, so shards are balanced and reshuffling is a
+    salt change) and a position within its shard (hash-ordered, so the
+    read order inside each shard is decorrelated from ingest order) —
+    the (shard, position) layout a dataloader consumes. Crucially there
+    is NO global row_number: ordering is per-shard, so the sort
+    parallelizes across shards instead of collapsing onto one reducer —
+    the difference between shuffling 100 TB and shuffling one
+    partition. The epoch salt here is the +1 in the Knuth hash."""
+    docs = load(spark, sf_dir, "documents")
+    hv = ((F.col("doc_id") + 1) * F.lit(2654435761)) % F.lit(4294967296)
+    w = Window.partitionBy("shard").orderBy("hv", "doc_id")
+    return (
+        docs.select("doc_id", hv.alias("hv"))
+        .withColumn("shard", (F.col("hv") % 8).cast("long"))
+        .select(
+            "doc_id",
+            "shard",
+            (F.row_number().over(w) - 1).cast("long").alias("pos_in_shard"),
+            "hv",
+        )
+        .drop("hv")
+    )
