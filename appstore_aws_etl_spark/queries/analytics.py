@@ -1824,3 +1824,46 @@ def ts_ohlc_bars(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(F.max(F.when(F.col("rn_close") == 1, F.col("value"))), 2).alias("close"),
         F.count(F.lit(1)).alias("n_ticks"),
     )
+
+
+@query(
+    "ts_seasonal_baseline",
+    oracle="""
+    WITH base AS (
+        SELECT event_id, user_id, ts, value,
+               CAST(strftime(ts, '%H') AS BIGINT) AS hr
+        FROM events
+    ), season AS (
+        SELECT user_id, hr, round(avg(value), 4) AS seasonal
+        FROM base GROUP BY user_id, hr
+    )
+    SELECT b.event_id, b.user_id, b.hr, s.seasonal,
+           round(b.value - s.seasonal, 4) AS residual
+    FROM base b JOIN season s ON b.user_id = s.user_id AND b.hr = s.hr
+    """,
+    tags=("analytics", "timeseries"),
+)
+def ts_seasonal_baseline(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Seasonal decomposition, the groupBy way: each event's value
+    split into a per-(user, hour-of-day) seasonal baseline and a
+    residual — the de-seasoning step before thresholding residuals
+    (ts_anomaly_zscore scores raw values; scoring residuals is what
+    catches a 3 a.m. spike that is normal at 3 p.m.). The baseline is
+    one grouped mean over a bounded key (|users| x 24) joined back —
+    at scale Catalyst broadcasts the tiny profile, so the fact side is
+    never shuffled twice; the 4-dp round pins the baseline before the
+    subtraction so the residual is engine-exact."""
+    ev = load(spark, sf_dir, "events")
+    base = ev.select(
+        "event_id", "user_id", "ts", "value", F.hour("ts").cast("long").alias("hr")
+    )
+    season = base.groupBy("user_id", "hr").agg(
+        F.round(F.avg("value"), 4).alias("seasonal")
+    )
+    return base.join(season, ["user_id", "hr"]).select(
+        "event_id",
+        "user_id",
+        "hr",
+        "seasonal",
+        F.round(F.col("value") - F.col("seasonal"), 4).alias("residual"),
+    )
