@@ -1867,3 +1867,41 @@ def ts_seasonal_baseline(spark: SparkSession, sf_dir: str) -> DataFrame:
         "seasonal",
         F.round(F.col("value") - F.col("seasonal"), 4).alias("residual"),
     )
+
+
+@query(
+    "util_file_manifest",
+    oracle="""
+    SELECT 'nation' AS table_name, 'nation.parquet' AS file_name,
+           CAST(count(*) AS BIGINT) AS n_rows FROM nation
+    UNION ALL
+    SELECT 'region', 'region.parquet', CAST(count(*) AS BIGINT) FROM region
+    UNION ALL
+    SELECT 'supplier', 'supplier.parquet', CAST(count(*) AS BIGINT) FROM supplier
+    """,
+    tags=("util", "maintenance"),
+)
+def util_file_manifest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """File-level lineage manifest: per input file, which table it
+    feeds and how many rows it contributed — ``input_file_name()``
+    grouped per file, the audit a lakehouse ingestion job emits to
+    reconcile against the upstream export manifest. The oracle states
+    the expected (table, file, rows) triples as ground truth by
+    construction, so the check verifies Spark's scan-level lineage
+    attribution (a wrong or empty input_file_name would mismatch).
+    File names are basenames, so the manifest is layout-portable."""
+    parts = []
+    for t in ("nation", "region", "supplier"):
+        df = load(spark, sf_dir, t)
+        parts.append(
+            df.select(
+                F.lit(t).alias("table_name"),
+                F.regexp_extract(F.input_file_name(), r"[^/]+$", 0).alias("file_name"),
+            )
+            .groupBy("table_name", "file_name")
+            .agg(F.count(F.lit(1)).alias("n_rows"))
+        )
+    out = parts[0]
+    for p in parts[1:]:
+        out = out.unionAll(p)
+    return out

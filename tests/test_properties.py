@@ -440,3 +440,49 @@ def test_kcore_matches_sequential_peel(spark, edges, k):
                 changed = True
     expect = {n: len(ns) for n, ns in adj.items()}
     assert got == expect
+
+
+@given(data=st.lists(
+    st.tuples(
+        st.integers(min_value=0, max_value=2),     # group
+        st.integers(min_value=-50, max_value=50),  # value
+    ),
+    min_size=1, max_size=40,
+))
+@settings(max_examples=6, deadline=None,
+          suppress_health_check=[HealthCheck.function_scoped_fixture])
+def test_rank_selection_median_matches_sort_based(spark, data):
+    """Any random grouped multiset: the value-frequency rank-selection
+    median must equal Spark's sort-based median() exactly (dyadic
+    interpolation on integer inputs is exact, so == not approx)."""
+    df = spark.createDataFrame(
+        [(k, float(v)) for k, v in data], schema="g int, v double"
+    )
+    from pyspark.sql import Window
+
+    counts = df.groupBy("g", "v").agg(F.count(F.lit(1)).alias("n"))
+    w = Window.partitionBy("g").orderBy("v").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    tot = Window.partitionBy("g")
+    c = counts.withColumn("cum", F.sum("n").over(w)).withColumn(
+        "total", F.sum("n").over(tot)
+    )
+    lo_r = F.floor((F.col("total") + 1) / 2)
+    hi_r = F.floor(F.col("total") / 2) + 1
+    covers = lambda r: (F.col("cum") - F.col("n") < r) & (F.col("cum") >= r)  # noqa: E731
+    got = {
+        r["g"]: r["med"]
+        for r in c.groupBy("g")
+        .agg(
+            F.max(F.when(covers(lo_r), F.col("v"))).alias("_lo"),
+            F.max(F.when(covers(hi_r), F.col("v"))).alias("_hi"),
+        )
+        .select("g", ((F.col("_lo") + F.col("_hi")) / 2.0).alias("med"))
+        .collect()
+    }
+    want = {
+        r["g"]: r["med"]
+        for r in df.groupBy("g").agg(F.median("v").alias("med")).collect()
+    }
+    assert got == want
