@@ -1313,7 +1313,10 @@ def analytics_market_basket(spark: SparkSession, sf_dir: str) -> DataFrame:
     n_orders = li.agg(F.countDistinct("l_orderkey").alias("n_orders"))
     freq = op.groupBy("l_partkey").agg(F.count(F.lit(1)).alias("cnt"))
     a = op.alias("a")
-    b = op.alias("b")
+    # shuffle_hash: bounded uniform fanout on the order key — skips
+    # SMJ's sort of both sides (same rationale/measurement as the
+    # graph family's pair joins, queries/graph.py)
+    b = op.alias("b").hint("shuffle_hash")
     pairs = (
         a.join(b, (F.col("a.l_orderkey") == F.col("b.l_orderkey")) & (F.col("a.l_partkey") < F.col("b.l_partkey")))
         .groupBy(F.col("a.l_partkey").alias("part_a"), F.col("b.l_partkey").alias("part_b"))

@@ -80,9 +80,15 @@ def graph_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     # data — the mirror union is a zero-shuffle projection (measured
     # 5.4 -> 4.0 s at sf0.1; at 100 TB it halves the dominant
     # pair-generation exchange)
+    # shuffle_hash: the probe/build key is l_orderkey with bounded,
+    # uniform fanout (items per order), so the per-partition build
+    # table is rows/partitions and configurable — and SHJ skips SMJ's
+    # sort of BOTH 600k-row sides (measured 2.2 -> 1.4 s for
+    # pair+distinct at sf0.1; Spark 3.1+ SHJ spills if a partition
+    # misestimates, so the hint degrades gracefully at scale)
     canon = (
         a.join(
-            b,
+            b.hint("shuffle_hash"),
             (F.col("a.l_orderkey") == F.col("b.l_orderkey"))
             & (F.col("a.l_partkey") < F.col("b.l_partkey")),
         )
@@ -128,9 +134,11 @@ def _weighted_copurchase_edges(spark: SparkSession, sf_dir: str, min_support: in
     li = load(spark, sf_dir, "lineitem")
     op = li.select("l_orderkey", "l_partkey").distinct()
     a, b = op.alias("a"), op.alias("b")
+    # shuffle_hash for the same reason as graph_pagerank's pair join:
+    # bounded uniform fanout on the join key, no sort of either side
     return (
         a.join(
-            b,
+            b.hint("shuffle_hash"),
             (F.col("a.l_orderkey") == F.col("b.l_orderkey"))
             & (F.col("a.l_partkey") < F.col("b.l_partkey")),
         )
