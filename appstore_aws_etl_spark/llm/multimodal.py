@@ -197,3 +197,39 @@ def sample_frames(
             yield pd.DataFrame(out)
 
     return media.mapInPandas(run, schema=FRAME_SCHEMA)
+
+
+def fake_resize(payload: bytes, num: int = 1, den: int = 2) -> bytes:
+    """Deterministic stand-in for a resize kernel: decode, keep the
+    first ceil(n*num/den) code points, re-encode — a content-prefix
+    "downsample" with the same contract a real resize has (pure
+    function of payload + scale, output strictly smaller). Same
+    payload => same bytes on any executor."""
+    text = payload.decode("utf-8", errors="surrogateescape")
+    keep = -(-len(text) * num // den)  # ceil
+    return text[:keep].encode("utf-8", errors="surrogateescape")
+
+
+def resize_media(media: DataFrame, num: int = 1, den: int = 2) -> DataFrame:
+    """Resize stage over media payloads via mapInPandas — identical
+    plumbing to extract_features (Arrow batches of whole payloads,
+    memory bounded by upstream batch sizing); emits the resized
+    payload's size and sha-256 so the transform is digest-checkable
+    without shipping the bytes back."""
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            resized = [fake_resize(p, num, den) for p in pdf["payload"]]
+            yield pd.DataFrame(
+                {
+                    "media_id": pdf["media_id"],
+                    "orig_bytes": [len(p) for p in pdf["payload"]],
+                    "resized_bytes": [len(r) for r in resized],
+                    "resized_sha": [hashlib.sha256(r).hexdigest() for r in resized],
+                }
+            )
+
+    return media.mapInPandas(
+        run,
+        schema="media_id long, orig_bytes long, resized_bytes long, resized_sha string",
+    )

@@ -1646,3 +1646,29 @@ def llm_shuffle_shard(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .drop("hv")
     )
+
+
+@query(
+    "llm_multimodal_resize",
+    oracle="""
+    SELECT doc_id AS media_id,
+           octet_length(encode(text)) AS orig_bytes,
+           octet_length(encode(substr(text, 1,
+               CAST(ceil(length(text) / 2.0) AS BIGINT)))) AS resized_bytes,
+           sha256(substr(text, 1,
+               CAST(ceil(length(text) / 2.0) AS BIGINT))) AS resized_sha
+    FROM documents
+    """,
+    tags=("llm", "multimodal"),
+)
+def llm_multimodal_resize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """L10 resize stage: mapInPandas over binary payloads with the
+    decode->kernel->encode step stubbed deterministically (half the
+    code points — no codec libs in this container; the Arrow batch
+    shape, schema, and memory bounds are the real article, shared with
+    extract_features). The oracle restates the transform digest-for-
+    digest, so the full binary round trip is exactly checkable."""
+    from ..llm.multimodal import documents_as_media, resize_media
+
+    media = documents_as_media(load(spark, sf_dir, "documents"))
+    return resize_media(media, num=1, den=2)
