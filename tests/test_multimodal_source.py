@@ -22,3 +22,16 @@ def test_binary_file_source_roundtrip(spark, tmp_path):
     ).collect()
     assert len(feats) == 5
     assert all(len(r["feature"]) == 8 for r in feats)
+
+
+def test_fake_resize_multibyte_and_ratio():
+    from appstore_aws_etl_spark.llm.multimodal import fake_resize
+
+    payload = "héllo wörld".encode()
+    half = fake_resize(payload)  # 11 chars -> keep 6: "héllo "
+    assert half.decode() == "héllo "
+    assert fake_resize(payload, 1, 1) == payload  # identity scale
+    assert fake_resize(b"", 1, 2) == b""          # empty payload
+    # non-utf8 bytes survive the surrogateescape round trip
+    raw = bytes([0xFF, 0x41, 0x42, 0x43])
+    assert fake_resize(raw, 1, 1) == raw
