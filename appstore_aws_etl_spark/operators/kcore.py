@@ -36,7 +36,11 @@ def kcore_nodes(
     each survivor's within-core degree. Raises RuntimeError if the
     fixpoint is not reached within ``max_rounds`` (peel depth > rounds
     — raise the cap) rather than returning a half-peeled subgraph."""
-    alive = edges.select(F.col(src).alias("src"), F.col(dst).alias("dst"))
+    # k-core is defined on SIMPLE graphs: collapse parallel edges up
+    # front so degree means #distinct neighbors (a caller handing in a
+    # multigraph — e.g. both directions of the same pair plus its
+    # mirror — would otherwise double-count degrees and under-peel)
+    alive = edges.select(F.col(src).alias("src"), F.col(dst).alias("dst")).distinct()
     n_alive = alive.select("src").distinct().count()
     for _ in range(max_rounds):
         deg = alive.groupBy("src").agg(F.count(F.lit(1)).alias("degree"))
