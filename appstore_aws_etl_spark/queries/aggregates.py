@@ -820,3 +820,62 @@ def agg_exact_quantiles_distributed(spark: SparkSession, sf_dir: str) -> DataFra
             ).alias(name)
         )
     return c.groupBy("l_returnflag").agg(*aggs).select(*finals)
+
+
+@query(
+    "agg_bitwise",
+    oracle="""
+    SELECT l_returnflag,
+           bit_and(CAST(l_quantity AS BIGINT)) AS qty_and,
+           bit_or(CAST(l_quantity AS BIGINT))  AS qty_or,
+           bit_xor(CAST(l_quantity AS BIGINT)) AS qty_xor
+    FROM lineitem GROUP BY l_returnflag
+    """,
+    tags=("agg",),
+)
+def agg_bitwise(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bitwise aggregates (AND/OR/XOR fold per group) — flag-mask
+    consolidation and parity checking; single-pass, commutative, so
+    map-side partials combine like any algebraic aggregate."""
+    li = load(spark, sf_dir, "lineitem")
+    q = F.col("l_quantity").cast("long")
+    return li.groupBy("l_returnflag").agg(
+        F.bit_and(q).alias("qty_and"),
+        F.bit_or(q).alias("qty_or"),
+        F.bit_xor(q).alias("qty_xor"),
+    )
+
+
+@query(
+    "agg_entropy_group",
+    oracle="""
+    WITH c AS (
+        SELECT user_id, event_type, count(*) AS n
+        FROM events GROUP BY user_id, event_type
+    ), t AS (
+        SELECT user_id, event_type, n, sum(n) OVER (PARTITION BY user_id) AS tot
+        FROM c
+    )
+    SELECT user_id,
+           round(-sum((n * 1.0 / tot) * log2(n * 1.0 / tot)), 4) AS type_entropy,
+           CAST(count(*) AS BIGINT) AS n_types
+    FROM t GROUP BY user_id
+    """,
+    tags=("agg", "stats"),
+)
+def agg_entropy_group(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Shannon entropy of each user's event-type mix — the behavioral-
+    diversity score (0 = monomaniac, log2(5) = uniform over the five
+    types). Two grouped aggregations over bounded keys; the inner
+    count relation is |users| x |types|, so the window total is cheap
+    at any scale. At most five log terms per user, so the 4-dp round
+    is far above float noise."""
+    ev = load(spark, sf_dir, "events")
+    c = ev.groupBy("user_id", "event_type").agg(F.count(F.lit(1)).alias("n"))
+    tot = Window.partitionBy("user_id")
+    t = c.withColumn("tot", F.sum("n").over(tot))
+    p = F.col("n") * 1.0 / F.col("tot")
+    return t.groupBy("user_id").agg(
+        F.round(-F.sum(p * F.log2(p)), 4).alias("type_entropy"),
+        F.count(F.lit(1)).alias("n_types"),
+    )
