@@ -1908,3 +1908,49 @@ def util_file_manifest(spark: SparkSession, sf_dir: str) -> DataFrame:
     for p in parts[1:]:
         out = out.unionAll(p)
     return out
+
+
+@query(
+    "util_date_dim",
+    oracle="""
+    SELECT CAST(d AS TIMESTAMP)                              AS date_key,
+           year(d)                                           AS yr,
+           quarter(d)                                        AS qtr,
+           month(d)                                          AS mon,
+           isodow(d)                                         AS iso_dow,
+           isodow(d) >= 6                                    AS is_weekend,
+           CAST(date_trunc('month', d) AS TIMESTAMP)         AS month_start,
+           CAST(last_day(CAST(d AS DATE)) AS TIMESTAMP)      AS month_end
+    FROM (SELECT unnest(generate_series(DATE '1995-01-01', DATE '1995-12-31',
+                                        INTERVAL 1 DAY)) AS d)
+    """,
+    tags=("util", "generator"),
+)
+def util_date_dim(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Calendar-dimension generation from nothing: one sequence()
+    explode produces a dense date spine with the usual conformed
+    attributes — the broadcastable dimension every date-logic join
+    wants, generated JVM-side with zero input I/O (the same spine
+    primitive ts_gapfill_rollup uses per key, here as a standalone
+    utility). A year is 365 rows; a century is ~36.5k — always
+    broadcastable, never worth persisting at any scale."""
+    spine = spark.range(1).select(
+        F.explode(
+            F.sequence(
+                F.lit("1995-01-01").cast("date"),
+                F.lit("1995-12-31").cast("date"),
+                F.expr("INTERVAL 1 DAY"),
+            )
+        ).alias("d")
+    )
+    iso_dow = F.weekday("d") + 1
+    return spine.select(
+        F.col("d").cast("timestamp").alias("date_key"),
+        F.year("d").alias("yr"),
+        F.quarter("d").alias("qtr"),
+        F.month("d").alias("mon"),
+        iso_dow.alias("iso_dow"),
+        (iso_dow >= 6).alias("is_weekend"),
+        F.date_trunc("month", F.col("d")).alias("month_start"),
+        F.last_day("d").cast("timestamp").alias("month_end"),
+    )
