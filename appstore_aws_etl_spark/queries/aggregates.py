@@ -879,3 +879,29 @@ def agg_entropy_group(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(-F.sum(p * F.log2(p)), 4).alias("type_entropy"),
         F.count(F.lit(1)).alias("n_types"),
     )
+
+
+@query(
+    "agg_geometric_mean",
+    oracle="""
+    SELECT l_returnflag,
+           round(exp(avg(ln(1.0 + l_discount))), 4) AS geo_mean_factor,
+           round(exp(avg(ln(l_extendedprice))), 2)  AS geo_mean_price
+    FROM lineitem GROUP BY l_returnflag
+    """,
+    tags=("agg", "stats"),
+)
+def agg_geometric_mean(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Geometric mean via the log-space rewrite exp(avg(ln x)) — the
+    compound-growth/ratio average engines lack as a builtin. The
+    rewrite is also WHY it scales: a naive running product overflows
+    a double after a few thousand factors, while the log-sum is an
+    ordinary algebraic aggregate with map-side partials and bounded
+    magnitude."""
+    li = load(spark, sf_dir, "lineitem")
+    return li.groupBy("l_returnflag").agg(
+        F.round(F.exp(F.avg(F.log(F.lit(1.0) + F.col("l_discount")))), 4).alias(
+            "geo_mean_factor"
+        ),
+        F.round(F.exp(F.avg(F.log("l_extendedprice"))), 2).alias("geo_mean_price"),
+    )
