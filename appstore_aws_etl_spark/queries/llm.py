@@ -1672,3 +1672,46 @@ def llm_multimodal_resize(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     media = documents_as_media(load(spark, sf_dir, "documents"))
     return resize_media(media, num=1, den=2)
+
+
+@query(
+    "llm_boilerplate_detect",
+    oracle="""
+    WITH p AS (
+        SELECT source, substr(text, 1, 16) AS prefix, count(*) AS n
+        FROM documents GROUP BY source, substr(text, 1, 16)
+    ), tot AS (
+        SELECT p.*, sum(n) OVER (PARTITION BY source) AS n_docs,
+               max(n) OVER (PARTITION BY source) AS mx
+        FROM p
+    )
+    SELECT source,
+           min(prefix)                              AS top_prefix,
+           CAST(max(n) AS BIGINT)                   AS n_with_prefix,
+           round(max(n) * 1.0 / max(n_docs), 4)     AS prefix_share
+    FROM tot WHERE n = mx
+    GROUP BY source
+    """,
+    tags=("llm", "text"),
+)
+def llm_boilerplate_detect(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Template/boilerplate detection per source: the most common
+    16-char document prefix and the share of the source's documents
+    carrying it — a high share means a scraped template ("Sign in to
+    continue...") that a cleaning pass should strip before training.
+    Same two-level deterministic tie-break as agg_mode (max count,
+    then smallest prefix); both aggregations run over the bounded
+    (source, prefix) relation, never the raw corpus twice."""
+    docs = load(spark, sf_dir, "documents")
+    p = docs.groupBy("source", F.substring("text", 1, 16).alias("prefix")).agg(
+        F.count(F.lit(1)).alias("n")
+    )
+    w = Window.partitionBy("source")
+    t = p.withColumn("n_docs", F.sum("n").over(w)).withColumn(
+        "mx", F.max("n").over(w)
+    ).filter(F.col("n") == F.col("mx"))
+    return t.groupBy("source").agg(
+        F.min("prefix").alias("top_prefix"),
+        F.max("n").alias("n_with_prefix"),
+        F.round(F.max("n") * 1.0 / F.max("n_docs"), 4).alias("prefix_share"),
+    )
