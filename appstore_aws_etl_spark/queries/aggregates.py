@@ -905,3 +905,48 @@ def agg_geometric_mean(spark: SparkSession, sf_dir: str) -> DataFrame:
         ),
         F.round(F.exp(F.avg(F.log("l_extendedprice"))), 2).alias("geo_mean_price"),
     )
+
+
+@query(
+    "agg_weighted_median",
+    oracle="""
+    WITH c AS (
+        SELECT l_returnflag, l_extendedprice AS v, sum(l_quantity) AS w
+        FROM lineitem GROUP BY l_returnflag, l_extendedprice
+    ), t AS (
+        SELECT l_returnflag, v, w,
+               sum(w) OVER (PARTITION BY l_returnflag ORDER BY v
+                            ROWS UNBOUNDED PRECEDING) AS cw,
+               sum(w) OVER (PARTITION BY l_returnflag) AS tw
+        FROM c
+    )
+    SELECT l_returnflag,
+           round(min(CASE WHEN cw >= tw / 2.0 THEN v END), 4) AS weighted_median_price
+    FROM t GROUP BY l_returnflag
+    """,
+    tags=("agg", "stats", "scalable", "custom-operator"),
+)
+def agg_weighted_median(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Weighted (lower) median — the smallest value whose cumulative
+    weight reaches half the total, weights = quantities: 'the price at
+    which half the shipped units are cheaper'. Same rank-selection-
+    over-a-frequency-table shape as agg_exact_median_distributed, but
+    the frequency is a SUM of weights, which no sort-based percentile
+    builtin supports — the rewrite is the only way to get it, and it
+    scales the same way (aggregate state = distinct values)."""
+    li = load(spark, sf_dir, "lineitem")
+    c = li.groupBy("l_returnflag", F.col("l_extendedprice").alias("v")).agg(
+        F.sum("l_quantity").alias("w")
+    )
+    w_cum = Window.partitionBy("l_returnflag").orderBy("v").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    w_tot = Window.partitionBy("l_returnflag")
+    t = c.withColumn("cw", F.sum("w").over(w_cum)).withColumn(
+        "tw", F.sum("w").over(w_tot)
+    )
+    return t.groupBy("l_returnflag").agg(
+        F.round(
+            F.min(F.when(F.col("cw") >= F.col("tw") / 2.0, F.col("v"))), 4
+        ).alias("weighted_median_price")
+    )
