@@ -30,6 +30,7 @@ def kcore_nodes(
     src: str = "src",
     dst: str = "dst",
     max_rounds: int = 64,
+    assume_simple: bool = False,
 ) -> DataFrame:
     """Nodes of the k-core of an UNDIRECTED graph given as a symmetric
     edge list (both directions present). Returns (node, degree) with
@@ -39,8 +40,14 @@ def kcore_nodes(
     # k-core is defined on SIMPLE graphs: collapse parallel edges up
     # front so degree means #distinct neighbors (a caller handing in a
     # multigraph — e.g. both directions of the same pair plus its
-    # mirror — would otherwise double-count degrees and under-peel)
-    alive = edges.select(F.col(src).alias("src"), F.col(dst).alias("dst")).distinct()
+    # mirror — would otherwise double-count degrees and under-peel;
+    # hypothesis found exactly that input). assume_simple=True skips
+    # the dedup shuffle when the caller can PROVE simplicity (e.g. a
+    # distinct canonical src<dst set unioned with its mirror — the two
+    # halves are disjoint by construction).
+    alive = edges.select(F.col(src).alias("src"), F.col(dst).alias("dst"))
+    if not assume_simple:
+        alive = alive.distinct()
     n_alive = alive.select("src").distinct().count()
     for _ in range(max_rounds):
         deg = alive.groupBy("src").agg(F.count(F.lit(1)).alias("degree"))

@@ -319,4 +319,6 @@ def graph_kcore(spark: SparkSession, sf_dir: str) -> DataFrame:
     und = edges.unionAll(
         edges.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
     )
-    return kcore_nodes(und, k=3).orderBy("node")
+    # und is provably simple: distinct canonical (src<dst) edges
+    # unioned with their strict mirror — disjoint halves, no dups
+    return kcore_nodes(und, k=3, assume_simple=True).orderBy("node")
