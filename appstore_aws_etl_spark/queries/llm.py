@@ -1715,3 +1715,50 @@ def llm_boilerplate_detect(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.max("n").alias("n_with_prefix"),
         F.round(F.max("n") * 1.0 / F.max("n_docs"), 4).alias("prefix_share"),
     )
+
+
+@query(
+    "llm_dedup_incremental",
+    oracle="""
+    WITH fp AS (
+        SELECT doc_id, source,
+               md5(trim(regexp_replace(lower(text), '\\s+', ' ', 'g'))) AS fingerprint,
+               doc_id % 5 = 0 AS is_new
+        FROM documents
+    ), corpus AS (
+        SELECT DISTINCT fingerprint FROM fp WHERE NOT is_new
+    )
+    SELECT f.doc_id, f.source,
+           c.fingerprint IS NOT NULL AS dup_of_corpus
+    FROM fp f LEFT JOIN corpus c ON f.fingerprint = c.fingerprint
+    WHERE f.is_new
+    """,
+    tags=("llm", "dedup"),
+)
+def llm_dedup_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental ingestion dedup: only the NEW batch (every fifth
+    doc here) is checked against the existing corpus's canonical
+    fingerprints — the steady-state shape of a production pipeline,
+    where re-deduping 100 TB of history per day is not an option and
+    the daily batch joins against a fingerprint index instead.
+    Plan: the batch is the small side; Catalyst broadcasts it (or the
+    fingerprint set, whichever is smaller) and the corpus is touched
+    exactly once — at real scale the corpus side is a bucketed
+    fingerprint table, making this a shuffle-free probe."""
+    docs = load(spark, sf_dir, "documents")
+    canon = F.trim(F.regexp_replace(F.lower(F.col("text")), r"\s+", " "))
+    fp = docs.select(
+        "doc_id", "source", F.md5(canon).alias("fingerprint")
+    ).withColumn("is_new", F.col("doc_id") % 5 == 0)
+    corpus = fp.filter(~F.col("is_new")).select("fingerprint").distinct()
+    new = fp.filter(F.col("is_new"))
+    return (
+        new.join(
+            corpus.withColumn("dup_marker", F.lit(1)), "fingerprint", "left"
+        )
+        .select(
+            "doc_id",
+            "source",
+            F.col("dup_marker").isNotNull().alias("dup_of_corpus"),
+        )
+    )
