@@ -1954,3 +1954,32 @@ def util_date_dim(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.date_trunc("month", F.col("d")).alias("month_start"),
         F.last_day("d").cast("timestamp").alias("month_end"),
     )
+
+
+@query(
+    "etl_unknown_member",
+    oracle="""
+    SELECT e.event_id,
+           coalesce(c.c_custkey, -1)          AS cust_key,
+           coalesce(c.c_mktsegment, 'UNKNOWN') AS mktsegment,
+           c.c_custkey IS NULL                AS is_orphan
+    FROM events e LEFT JOIN customer c ON e.user_id = c.c_custkey
+    """,
+    tags=("etl", "quality"),
+)
+def etl_unknown_member(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Foreign-key repair via the unknown-member pattern: fact rows
+    whose dimension key has no match are remapped to the reserved
+    member (-1 / 'UNKNOWN') instead of being dropped by an inner join
+    or nulled into every downstream GROUP BY — util_data_quality
+    COUNTS the orphans; this is the transform that makes them
+    harmless. One broadcastable dimension join; the orphan flag rides
+    along for the audit trail."""
+    ev = load(spark, sf_dir, "events")
+    c = load(spark, sf_dir, "customer").select("c_custkey", "c_mktsegment")
+    return ev.join(c, ev.user_id == c.c_custkey, "left").select(
+        "event_id",
+        F.coalesce("c_custkey", F.lit(-1)).alias("cust_key"),
+        F.coalesce("c_mktsegment", F.lit("UNKNOWN")).alias("mktsegment"),
+        F.col("c_custkey").isNull().alias("is_orphan"),
+    )
