@@ -342,6 +342,18 @@ sql_query(
 )
 
 sql_query(
+    "sub_lateral_topk",
+    """
+    SELECT c.c_custkey, t.o_orderkey, round(t.o_totalprice, 2) AS o_totalprice
+    FROM customer c,
+    LATERAL (SELECT o_orderkey, o_totalprice FROM orders o
+             WHERE o.o_custkey = c.c_custkey
+             ORDER BY o_totalprice DESC, o_orderkey LIMIT 2) t
+    """,
+    tags=("subquery", "lateral"),
+)
+
+sql_query(
     "sub_not_in_anti",
     """
     SELECT c_custkey FROM customer
