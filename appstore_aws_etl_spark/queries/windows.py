@@ -354,3 +354,47 @@ def win_time_range_frame(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).over(w).alias("n_trailing_hour"),
         F.round(F.sum("value").over(w), 2).alias("sum_trailing_hour"),
     ).orderBy("event_id")
+
+
+@query(
+    "win_running_distinct",
+    oracle="""
+    WITH flagged AS (
+        SELECT user_id, ts, event_id, event_type,
+               row_number() OVER (PARTITION BY user_id, event_type
+                                  ORDER BY ts, event_id) = 1 AS first_seen
+        FROM events
+    )
+    SELECT user_id, event_id,
+           CAST(sum(CASE WHEN first_seen THEN 1 ELSE 0 END)
+                    OVER (PARTITION BY user_id ORDER BY ts, event_id
+                          ROWS UNBOUNDED PRECEDING) AS BIGINT) AS distinct_types_so_far
+    FROM flagged
+    """,
+    tags=("window", "custom-operator"),
+)
+def win_running_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Running COUNT(DISTINCT) — 'how many distinct event types has
+    this user produced so far' at every event. No engine supports
+    DISTINCT inside a window frame; the portable rewrite flags each
+    (user, type)'s first occurrence with one row_number, then running-
+    sums the flags — two windows over compatible partitionings, state
+    O(1) per frame, versus the naive per-row set accumulation that
+    needs unbounded memory."""
+    ev = load(spark, sf_dir, "events")
+    w_first = Window.partitionBy("user_id", "event_type").orderBy("ts", "event_id")
+    w_run = Window.partitionBy("user_id").orderBy("ts", "event_id").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    flagged = ev.select(
+        "user_id", "ts", "event_id",
+        (F.row_number().over(w_first) == 1).alias("first_seen"),
+    )
+    return flagged.select(
+        "user_id",
+        "event_id",
+        F.sum(F.when(F.col("first_seen"), 1).otherwise(0))
+        .over(w_run)
+        .cast("long")
+        .alias("distinct_types_so_far"),
+    )
