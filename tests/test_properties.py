@@ -486,3 +486,47 @@ def test_rank_selection_median_matches_sort_based(spark, data):
         for r in df.groupBy("g").agg(F.median("v").alias("med")).collect()
     }
     assert got == want
+
+
+@given(data=st.lists(
+    st.tuples(
+        st.integers(min_value=0, max_value=2),   # user
+        st.integers(min_value=0, max_value=30),  # time
+        st.integers(min_value=0, max_value=4),   # type
+    ),
+    min_size=1, max_size=40,
+))
+@settings(max_examples=6, deadline=None,
+          suppress_health_check=[HealthCheck.function_scoped_fixture])
+def test_running_distinct_matches_sequential(spark, data):
+    """Any random event stream: the first-occurrence-flag rewrite must
+    equal a sequential per-user set walk at every event."""
+    import datetime as dt
+
+    rows = [
+        (u, i, dt.datetime(2024, 1, 1) + dt.timedelta(hours=t), f"t{ty}")
+        for i, (u, t, ty) in enumerate(data)
+    ]
+    df = spark.createDataFrame(rows, schema="user_id int, event_id int, ts timestamp, event_type string")
+    from pyspark.sql import Window
+
+    w_first = Window.partitionBy("user_id", "event_type").orderBy("ts", "event_id")
+    w_run = Window.partitionBy("user_id").orderBy("ts", "event_id").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    got = {
+        r["event_id"]: r["n"]
+        for r in df.select(
+            "user_id", "ts", "event_id",
+            (F.row_number().over(w_first) == 1).alias("f"),
+        )
+        .select(
+            "event_id",
+            F.sum(F.when(F.col("f"), 1).otherwise(0)).over(w_run).alias("n"),
+        )
+        .collect()
+    }
+    seen: dict[int, set[str]] = {}
+    for u, i, ts_, ty in sorted(rows, key=lambda r: (r[0], r[2], r[1])):
+        seen.setdefault(u, set()).add(ty)
+        assert got[i] == len(seen[u]), f"event {i}"
