@@ -1995,3 +1995,49 @@ def etl_unknown_member(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.coalesce("c_mktsegment", F.lit("UNKNOWN")).alias("mktsegment"),
         F.col("c_custkey").isNull().alias("is_orphan"),
     )
+
+
+@query(
+    "ts_cusum",
+    oracle="""
+    WITH RECURSIVE ordered AS (
+        SELECT user_id, event_id, value,
+               row_number() OVER (PARTITION BY user_id ORDER BY ts, event_id) AS rn
+        FROM events
+    ), walk AS (
+        SELECT user_id, event_id, value, rn,
+               greatest(0.0, value - 5.0) AS s
+        FROM ordered WHERE rn = 1
+        UNION ALL
+        SELECT o.user_id, o.event_id, o.value, o.rn,
+               greatest(0.0, w.s + (o.value - 5.0))
+        FROM walk w JOIN ordered o ON o.user_id = w.user_id AND o.rn = w.rn + 1
+    )
+    SELECT user_id, event_id, round(s, 6) AS cusum FROM walk
+    """,
+    tags=("analytics", "timeseries", "stateful", "custom-operator"),
+)
+def ts_cusum(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """One-sided CUSUM drift statistic per user — the nonlinear
+    recurrence S_t = max(0, S_{t-1} + (x_t - target)) every monitoring
+    system runs. Unlike EWMA it needs NO Python at all: the reflected
+    random walk obeys the closed form S_t = C_t - min(0, min_{j<=t}
+    C_j) over the plain prefix sum C, so two frames of ONE window sort
+    (running sum + running min) compute it JVM-side at any scale. The
+    oracle states the recurrence itself as a recursive-CTE walk — a
+    cross-formulation check, not a restatement."""
+    ev = load(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    with_c = ev.select(
+        "user_id", "ts", "event_id",
+        F.sum(F.col("value") - F.lit(5.0)).over(w).alias("c"),
+    )
+    return with_c.select(
+        "user_id",
+        "event_id",
+        F.round(
+            F.col("c") - F.least(F.lit(0.0), F.min("c").over(w)), 6
+        ).alias("cusum"),
+    )
