@@ -685,3 +685,44 @@ def fn_try_arith(spark: SparkSession, sf_dir: str) -> DataFrame:
             "yyyy-MM-dd",
         ).cast("timestamp").alias("maybe_date"),
     )
+
+
+@query(
+    "fn_surrogate_key",
+    oracle="""
+    WITH h AS (
+        SELECT o_orderkey, md5('ord:' || CAST(o_orderkey AS VARCHAR)) AS hx
+        FROM orders
+    )
+    SELECT o_orderkey,
+           substr(hx, 1, 8) || '-' || substr(hx, 9, 4) || '-' ||
+           substr(hx, 13, 4) || '-' || substr(hx, 17, 4) || '-' ||
+           substr(hx, 21, 12)                                  AS surrogate_uuid,
+           CAST((o_orderkey * 2654435761) % 4294967296 AS BIGINT) AS surrogate_int
+    FROM h
+    """,
+    tags=("fn", "etl"),
+)
+def fn_surrogate_key(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic surrogate keys: a UUID-shaped id derived from the
+    namespaced md5 of the business key (UUIDv3's construction) and a
+    Knuth-hash integer key — both reproducible on any engine and any
+    run, unlike uuid()/monotonically_increasing_id(), which change
+    under retry and break idempotent re-loads (the engine has ZERO
+    nondeterministic id generation anywhere for this reason)."""
+    o = load(spark, sf_dir, "orders")
+    hx = F.md5(F.concat(F.lit("ord:"), F.col("o_orderkey").cast("string")))
+    return o.select(
+        "o_orderkey",
+        F.concat_ws(
+            "-",
+            F.substring(hx, 1, 8),
+            F.substring(hx, 9, 4),
+            F.substring(hx, 13, 4),
+            F.substring(hx, 17, 4),
+            F.substring(hx, 21, 12),
+        ).alias("surrogate_uuid"),
+        ((F.col("o_orderkey") * F.lit(2654435761)) % F.lit(4294967296))
+        .cast("long")
+        .alias("surrogate_int"),
+    )
