@@ -337,3 +337,81 @@ def interpolate_linear(
         F.when(F.col("v").isNotNull(), F.col("v")).otherwise(interp).alias("value_interp"),
         F.col("v").isNull().alias("is_gap"),
     )
+
+
+def holt_linear(
+    events: DataFrame,
+    key: str,
+    ts: str,
+    value: str,
+    alpha: float = 0.3,
+    beta: float = 0.1,
+    id_col: str = "event_id",
+    order_cols: tuple[str, ...] = (),
+    round_to: int | None = 6,
+) -> DataFrame:
+    """Holt double exponential smoothing per key — the COUPLED linear
+    recurrence (level l, trend b):
+
+        l_t = a*x_t + (1-a)*(l_{t-1} + b_{t-1})
+        b_t = g*(l_t - l_{t-1}) + (1-g)*b_{t-1}
+
+    seeded l_1 = x_1, b_1 = 0. Same execution shape as ``ewma``'s
+    default path: ONE mapInPandas over key-repartitioned, key-and-time
+    sorted partitions, a python walk per key (the state is a 2-vector,
+    so there is no pandas cython shortcut).
+
+    Scale note: the update is affine — [l, b, 1]_t = M_t @ [l, b, 1]_
+    {t-1} for a per-row 3x3 matrix — so matrix products compose
+    associatively and the segmented parallel-prefix treatment used by
+    ``ewma(seg_seconds=...)`` generalizes directly when single keys
+    outgrow a worker; not implemented until needed."""
+    import pandas as pd
+
+    fields = [events.schema[c] for c in (key, id_col, value)]
+    out_schema = ", ".join(f"{f.name} {f.dataType.simpleString()}" for f in fields)
+    out_schema += ", level double, trend double"
+    sort_cols = [key, ts, *order_cols]
+
+    def fn(batches):
+        chunks = list(batches)
+        if not chunks:
+            return
+        pdf = pd.concat(chunks, ignore_index=True)
+        if pdf.empty:
+            return
+        # rows arrive partition-sorted by (key, ts, ...), so keys are
+        # CONTIGUOUS and groupby(sort=False) iterates groups in row
+        # order with within-group order preserved — positional append
+        # below therefore aligns with pdf's row order (the same
+        # contiguity argument ewma's docstring makes)
+        out_rows = []
+        for _, g in pdf.groupby(key, sort=False):
+            l = b = None
+            for x in g[value].astype("float64"):
+                if l is None:
+                    l, b = float(x), 0.0
+                else:
+                    l_prev = l
+                    l = alpha * x + (1.0 - alpha) * (l + b)
+                    b = beta * (l - l_prev) + (1.0 - beta) * b
+                out_rows.append((l, b))
+        res = pdf[[key, id_col, value]].copy()
+        res["level"] = [r[0] for r in out_rows]
+        res["trend"] = [r[1] for r in out_rows]
+        yield res
+
+    cols = list(dict.fromkeys([key, id_col, value, ts, *order_cols]))
+    shuffled = (
+        events.select(*cols)
+        .repartition(F.col(key))
+        .sortWithinPartitions(*sort_cols)
+    )
+    out = shuffled.mapInPandas(fn, schema=out_schema)
+    if round_to is not None:
+        out = out.select(
+            key, id_col, value,
+            F.round("level", round_to).alias("level"),
+            F.round("trend", round_to).alias("trend"),
+        )
+    return out

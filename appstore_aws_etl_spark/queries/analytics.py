@@ -2041,3 +2041,44 @@ def ts_cusum(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("c") - F.least(F.lit(0.0), F.min("c").over(w)), 6
         ).alias("cusum"),
     )
+
+
+@query(
+    "ts_holt_linear",
+    oracle="""
+    WITH RECURSIVE ordered AS (
+        SELECT user_id, event_id, value,
+               row_number() OVER (PARTITION BY user_id ORDER BY ts, event_id) AS rn
+        FROM events
+    ), walk AS (
+        SELECT user_id, event_id, value, rn,
+               CAST(value AS DOUBLE) AS l, CAST(0.0 AS DOUBLE) AS b
+        FROM ordered WHERE rn = 1
+        UNION ALL
+        SELECT o.user_id, o.event_id, o.value, o.rn,
+               0.3 * o.value + 0.7 * (w.l + w.b),
+               0.1 * ((0.3 * o.value + 0.7 * (w.l + w.b)) - w.l) + 0.9 * w.b
+        FROM walk w JOIN ordered o ON o.user_id = w.user_id AND o.rn = w.rn + 1
+    )
+    SELECT user_id, event_id, value, round(l, 6) AS level, round(b, 6) AS trend
+    FROM walk
+    """,
+    tags=("analytics", "timeseries", "stateful", "custom-operator"),
+)
+def ts_holt_linear(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Holt double exponential smoothing (level + trend, alpha=0.3,
+    beta=0.1) per user — the coupled recurrence one step up from
+    ts_ewma, run as one mapInPandas walk per key-sorted partition
+    (operators/timeseries.py holt_linear; the state is a 2-vector, so
+    no window rewrite exists — but the update is affine, so the
+    matrix-product parallel-prefix treatment generalizes the EWMA
+    segmented path if a single key ever outgrows a worker). The oracle
+    states the identical recurrence as a two-accumulator recursive-CTE
+    walk, making the operator exactly hash-checkable."""
+    from ..operators.timeseries import holt_linear
+
+    ev = load(spark, sf_dir, "events")
+    return holt_linear(
+        ev, key="user_id", ts="ts", value="value",
+        alpha=0.3, beta=0.1, order_cols=("event_id",),
+    )

@@ -542,3 +542,29 @@ def test_asof_tolerance_nulls_stale_matches(spark):
     )
     got = {r["lid"]: (r["asof_rid"], r["asof_v"]) for r in out.collect()}
     assert got == {1: (10, 1.5), 2: (None, None)}
+
+
+def test_holt_linear_matches_hand_recurrence(spark):
+    from appstore_aws_etl_spark.operators.timeseries import holt_linear
+
+    xs = [10.0, 12.0, 11.0, 15.0, 14.0]
+    rows = [
+        Row(u=1, event_id=i, t=ts(f"2024-01-01 10:0{i}:00"), v=x)
+        for i, x in enumerate(xs)
+    ] + [Row(u=2, event_id=9, t=ts("2024-01-01 10:00:00"), v=7.0)]
+    df = spark.createDataFrame(rows)
+    out = {
+        (r["u"], r["event_id"]): (r["level"], r["trend"])
+        for r in holt_linear(
+            df, key="u", ts="t", value="v", alpha=0.3, beta=0.1
+        ).collect()
+    }
+    l, b = xs[0], 0.0
+    expect = {(1, 0): (round(l, 6), 0.0)}
+    for i, x in enumerate(xs[1:], start=1):
+        lp = l
+        l = 0.3 * x + 0.7 * (l + b)
+        b = 0.1 * (l - lp) + 0.9 * b
+        expect[(1, i)] = (round(l, 6), round(b, 6))
+    expect[(2, 9)] = (7.0, 0.0)  # single-row key: seed only
+    assert out == expect
