@@ -950,3 +950,60 @@ def agg_weighted_median(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.min(F.when(F.col("cw") >= F.col("tw") / 2.0, F.col("v"))), 4
         ).alias("weighted_median_price")
     )
+
+
+@query(
+    "agg_variance_merge",
+    oracle="""
+    SELECT n.n_regionkey AS region,
+           CAST(count(*) AS BIGINT)        AS n,
+           round(var_pop(c.c_acctbal), 4)  AS var_bal
+    FROM customer c JOIN nation n ON c.c_nationkey = n.n_nationkey
+    GROUP BY n.n_regionkey
+    """,
+    tags=("agg", "stats", "scalable", "custom-operator"),
+)
+def agg_variance_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact variance by MERGING per-nation summary states into
+    region-level results — Chan's parallel update, written out as two
+    grouped aggregations:
+
+        state_i = (n_i, mean_i, M2_i)                 per nation
+        merged  = (sum n_i,
+                   weighted mean,
+                   sum M2_i + sum n_i*(mean_i - mean)^2)   per region
+
+    This is the algebra that makes EVERY distributed moment aggregate
+    work (Spark's own partial aggregation does exactly this under the
+    hood); stating it explicitly makes the mergeable-state contract
+    testable — the oracle computes var_pop directly from the raw rows,
+    so the hash check proves the merge is exact, not approximate. The
+    same shape is how pre-aggregated daily summaries roll up to
+    monthly stats without touching row data again."""
+    c = load(spark, sf_dir, "customer")
+    n = load(spark, sf_dir, "nation").select("n_nationkey", "n_regionkey")
+    states = (
+        c.join(F.broadcast(n), c.c_nationkey == n.n_nationkey)
+        .groupBy("n_nationkey", "n_regionkey")
+        .agg(
+            F.count(F.lit(1)).alias("n_i"),
+            F.avg("c_acctbal").alias("mean_i"),
+            (F.var_pop("c_acctbal") * F.count(F.lit(1))).alias("m2_i"),
+        )
+    )
+    merged = states.groupBy(F.col("n_regionkey").alias("region")).agg(
+        F.sum("n_i").alias("n"),
+        (F.sum(F.col("n_i") * F.col("mean_i")) / F.sum("n_i")).alias("mean"),
+        F.sum("m2_i").alias("m2_within"),
+        F.sum(F.col("n_i") * F.col("mean_i") * F.col("mean_i")).alias("nm2"),
+    )
+    # between-group term: sum n_i*(mean_i - mean)^2 = sum n_i*mean_i^2 - n*mean^2
+    return merged.select(
+        "region",
+        "n",
+        F.round(
+            (F.col("m2_within") + F.col("nm2") - F.col("n") * F.col("mean") * F.col("mean"))
+            / F.col("n"),
+            4,
+        ).alias("var_bal"),
+    )
