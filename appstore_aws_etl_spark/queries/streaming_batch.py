@@ -352,3 +352,50 @@ def stream_late_drop(spark: SparkSession, sf_dir: str) -> DataFrame:
             & (F.col("ts") < F.col("high_water") - F.expr("INTERVAL 10 MINUTES"))
         ).alias("is_late"),
     )
+
+
+@query(
+    "stream_sliding_topk",
+    oracle="""
+    WITH e AS (
+        SELECT user_id,
+               date_trunc('hour', ts)
+                 + CASE WHEN minute(ts) >= 30 THEN INTERVAL 30 MINUTE
+                        ELSE INTERVAL 0 MINUTE END AS s0
+        FROM events
+    ), u AS (
+        SELECT user_id, s0 AS wstart FROM e
+        UNION ALL
+        SELECT user_id, s0 - INTERVAL 30 MINUTE AS wstart FROM e
+    ), counts AS (
+        SELECT wstart, user_id, count(*) AS n_events FROM u GROUP BY wstart, user_id
+    ), ranked AS (
+        SELECT wstart, user_id, n_events,
+               row_number() OVER (PARTITION BY wstart
+                                  ORDER BY n_events DESC, user_id) AS rk
+        FROM counts
+    )
+    SELECT wstart, user_id, n_events, CAST(rk AS INTEGER) AS rk
+    FROM ranked WHERE rk <= 2
+    """,
+    tags=("streaming", "window"),
+)
+def stream_sliding_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sliding-window top-k (the trending-now query): the two most
+    active users of every 1 h / 30 min window, deterministic tie-break
+    on user_id. Batch twin of the classic streaming leaderboard — in
+    true streaming this runs as the windowed count plus a per-window
+    rank in the sink query; here the whole pipeline is one exact
+    relation. The rank input is the (window, user) count relation —
+    |windows| x |active users|, far smaller than the event stream —
+    so the per-window sort never touches raw events."""
+    ev = load(spark, sf_dir, "events")
+    counts = (
+        ev.groupBy(F.window("ts", "1 hour", "30 minutes").alias("w"), "user_id")
+        .agg(F.count(F.lit(1)).alias("n_events"))
+        .select(F.col("w.start").alias("wstart"), "user_id", "n_events")
+    )
+    rk = F.row_number().over(
+        Window.partitionBy("wstart").orderBy(F.col("n_events").desc(), "user_id")
+    )
+    return counts.withColumn("rk", rk).filter(F.col("rk") <= 2)
