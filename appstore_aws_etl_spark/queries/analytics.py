@@ -2082,3 +2082,96 @@ def ts_holt_linear(spark: SparkSession, sf_dir: str) -> DataFrame:
         ev, key="user_id", ts="ts", value="value",
         alpha=0.3, beta=0.1, order_cols=("event_id",),
     )
+
+
+@query(
+    "join_role_playing_dates",
+    oracle="""
+    WITH cal AS (
+        SELECT CAST(unnest(generate_series(DATE '1992-01-01', DATE '1998-12-31',
+                                           INTERVAL 1 DAY)) AS TIMESTAMP) AS date_key
+    ), cal2 AS (
+        SELECT date_key, isodow(date_key) >= 6 AS is_weekend FROM cal
+    )
+    SELECT l.l_orderkey, l.l_linenumber,
+           ocal.is_weekend AS ordered_on_weekend,
+           scal.is_weekend AS shipped_on_weekend
+    FROM lineitem l
+    JOIN orders o ON l.l_orderkey = o.o_orderkey
+    JOIN cal2 ocal ON ocal.date_key = CAST(CAST(o.o_orderdate AS DATE) AS TIMESTAMP)
+    JOIN cal2 scal ON scal.date_key = CAST(CAST(l.l_shipdate  AS DATE) AS TIMESTAMP)
+    """,
+    tags=("join", "analytics"),
+)
+def join_role_playing_dates(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Role-playing dimension: ONE generated calendar joined twice
+    under different roles (order date, ship date) — the star-schema
+    pattern where a single conformed dimension serves many fact
+    foreign keys via aliases instead of duplicated tables. Both roles
+    broadcast the same tiny spine; the fact side is scanned once."""
+    li = load(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_linenumber", "l_shipdate"
+    )
+    o = load(spark, sf_dir, "orders").select("o_orderkey", "o_orderdate")
+    cal = (
+        spark.range(1)
+        .select(
+            F.explode(
+                F.sequence(
+                    F.lit("1992-01-01").cast("date"),
+                    F.lit("1998-12-31").cast("date"),
+                    F.expr("INTERVAL 1 DAY"),
+                )
+            ).alias("d")
+        )
+        .select(
+            F.col("d").cast("timestamp").alias("date_key"),
+            ((F.weekday("d") + 1) >= 6).alias("is_weekend"),
+        )
+    )
+    ocal = cal.select(
+        F.col("date_key").alias("o_key"), F.col("is_weekend").alias("ordered_on_weekend")
+    )
+    scal = cal.select(
+        F.col("date_key").alias("s_key"), F.col("is_weekend").alias("shipped_on_weekend")
+    )
+    return (
+        li.join(o, li.l_orderkey == o.o_orderkey)
+        .join(F.broadcast(ocal), F.date_trunc("day", "o_orderdate") == F.col("o_key"))
+        .join(F.broadcast(scal), F.date_trunc("day", "l_shipdate") == F.col("s_key"))
+        .select("l_orderkey", "l_linenumber", "ordered_on_weekend", "shipped_on_weekend")
+    )
+
+
+@query(
+    "analytics_minmax_scale",
+    oracle="""
+    WITH stats AS (
+        SELECT l_returnflag,
+               min(l_extendedprice) AS mn, max(l_extendedprice) AS mx
+        FROM lineitem GROUP BY l_returnflag
+    )
+    SELECT l.l_orderkey, l.l_linenumber, l.l_returnflag,
+           round((l.l_extendedprice - s.mn) / (s.mx - s.mn), 6) AS price_scaled
+    FROM lineitem l JOIN stats s ON l.l_returnflag = s.l_returnflag
+    """,
+    tags=("analytics", "ml-prep"),
+)
+def analytics_minmax_scale(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-group min-max feature scaling to [0, 1] — the standard ML
+    normalization pass, done the scalable way: a tiny per-group stats
+    aggregate broadcast-joined back, NOT a window over the fact rows
+    (a global window would sort 100 TB for two scalars). The 6-dp
+    round pins the division identically on both engines."""
+    li = load(spark, sf_dir, "lineitem")
+    stats = li.groupBy("l_returnflag").agg(
+        F.min("l_extendedprice").alias("mn"), F.max("l_extendedprice").alias("mx")
+    )
+    return li.join(F.broadcast(stats), "l_returnflag").select(
+        "l_orderkey",
+        "l_linenumber",
+        "l_returnflag",
+        F.round(
+            (F.col("l_extendedprice") - F.col("mn")) / (F.col("mx") - F.col("mn")), 6
+        ).alias("price_scaled"),
+    )
