@@ -530,3 +530,94 @@ def test_running_distinct_matches_sequential(spark, data):
     for u, i, ts_, ty in sorted(rows, key=lambda r: (r[0], r[2], r[1])):
         seen.setdefault(u, set()).add(ty)
         assert got[i] == len(seen[u]), f"event {i}"
+
+
+@given(data=st.lists(
+    st.tuples(
+        st.integers(min_value=0, max_value=2),                  # key
+        st.floats(min_value=-20, max_value=20,
+                  allow_nan=False, allow_infinity=False),       # value
+    ),
+    min_size=1, max_size=40,
+))
+@settings(max_examples=6, deadline=None,
+          suppress_health_check=[HealthCheck.function_scoped_fixture])
+def test_cusum_reflected_walk_identity(spark, data):
+    """Any random per-key series: the window-algebra closed form
+    C_t - min(0, running-min C) must equal the direct recurrence
+    S_t = max(0, S_{t-1} + d_t) to float tolerance."""
+    import datetime as dt
+
+    from pyspark.sql import Window
+
+    rows = [
+        (k, i, dt.datetime(2024, 1, 1) + dt.timedelta(minutes=i), float(v))
+        for i, (k, v) in enumerate(data)
+    ]
+    df = spark.createDataFrame(rows, schema="k int, event_id int, ts timestamp, v double")
+    w = Window.partitionBy("k").orderBy("ts", "event_id").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    target = 1.5
+    with_c = df.select(
+        "k", "ts", "event_id",
+        F.sum(F.col("v") - F.lit(target)).over(w).alias("c"),
+    )
+    got = {
+        r["event_id"]: r["s"]
+        for r in with_c.select(
+            "event_id",
+            (F.col("c") - F.least(F.lit(0.0), F.min("c").over(w))).alias("s"),
+        ).collect()
+    }
+    state: dict[int, float] = {}
+    for k, i, _ts, v in rows:
+        state[k] = max(0.0, state.get(k, 0.0) + (v - target))
+        assert abs(got[i] - state[k]) < 1e-9, f"event {i}"
+
+
+@given(data=st.lists(
+    st.tuples(
+        st.integers(min_value=0, max_value=2),    # group
+        st.integers(min_value=0, max_value=30),   # value
+        st.integers(min_value=1, max_value=9),    # weight
+    ),
+    min_size=1, max_size=30,
+))
+@settings(max_examples=6, deadline=None,
+          suppress_health_check=[HealthCheck.function_scoped_fixture])
+def test_weighted_median_matches_sequential(spark, data):
+    """Any random weighted multiset: the cumulative-weight rank
+    selection must return the smallest value whose cumulative weight
+    reaches half the total — checked against a sequential walk."""
+    from pyspark.sql import Window
+
+    df = spark.createDataFrame(
+        [(g, float(v), float(w)) for g, v, w in data], schema="g int, v double, w double"
+    )
+    c = df.groupBy("g", "v").agg(F.sum("w").alias("w"))
+    w_cum = Window.partitionBy("g").orderBy("v").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    w_tot = Window.partitionBy("g")
+    t = c.withColumn("cw", F.sum("w").over(w_cum)).withColumn(
+        "tw", F.sum("w").over(w_tot)
+    )
+    got = {
+        r["g"]: r["m"]
+        for r in t.groupBy("g")
+        .agg(F.min(F.when(F.col("cw") >= F.col("tw") / 2.0, F.col("v"))).alias("m"))
+        .collect()
+    }
+    agg: dict[int, dict[float, float]] = {}
+    for g, v, w in data:
+        agg.setdefault(g, {})
+        agg[g][float(v)] = agg[g].get(float(v), 0.0) + w
+    for g, vw in agg.items():
+        tot = sum(vw.values())
+        cw = 0.0
+        for v in sorted(vw):
+            cw += vw[v]
+            if cw >= tot / 2.0:
+                assert got[g] == v, f"group {g}"
+                break
