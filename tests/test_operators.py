@@ -568,3 +568,36 @@ def test_holt_linear_matches_hand_recurrence(spark):
         expect[(1, i)] = (round(l, 6), round(b, 6))
     expect[(2, 9)] = (7.0, 0.0)  # single-row key: seed only
     assert out == expect
+
+
+def test_asof_tolerance_forward_and_nearest(spark):
+    from appstore_aws_etl_spark.operators.asof import asof_join
+
+    left = spark.createDataFrame(
+        [
+            Row(k="a", lts=ts("2024-01-01 10:00:00"), lid=1),
+            Row(k="a", lts=ts("2024-01-01 06:00:00"), lid=2),  # next right 3h away
+        ]
+    )
+    right = spark.createDataFrame(
+        [Row(k="a", rts=ts("2024-01-01 09:00:00"), rid=10)]
+    )
+    fwd = asof_join(
+        left, right, on=["k"], left_ts="lts", right_ts="rts",
+        right_payload=["rid"], tie_break="rid", direction="forward",
+        tolerance_seconds=3600.0,
+    )
+    got = {r["lid"]: r["asof_rid"] for r in fwd.collect()}
+    # lid=1: next right is 1h BEFORE it (no forward match at all)
+    # lid=2: right is 3h ahead -> outside the 1h cap -> nulled
+    assert got == {1: None, 2: None}
+
+    near = asof_join(
+        left, right, on=["k"], left_ts="lts", right_ts="rts",
+        right_payload=["rid"], tie_break="rid", direction="nearest",
+        tolerance_seconds=3600.0,
+    )
+    got = {r["lid"]: r["asof_rid"] for r in near.collect()}
+    # lid=1: nearest right is 1h back -> inside the cap
+    # lid=2: nearest right is 3h ahead -> capped out
+    assert got == {1: 10, 2: None}
