@@ -601,3 +601,24 @@ def test_asof_tolerance_forward_and_nearest(spark):
     # lid=1: nearest right is 1h back -> inside the cap
     # lid=2: nearest right is 3h ahead -> capped out
     assert got == {1: 10, 2: None}
+
+
+def test_session_operators_handle_empty_input(spark):
+    from appstore_aws_etl_spark.operators.kcore import kcore_nodes
+    from appstore_aws_etl_spark.operators.prefix import partitioned_prefix_max
+    from appstore_aws_etl_spark.operators.timeseries import (
+        holt_linear,
+        interpolate_linear,
+    )
+
+    empty_ev = spark.createDataFrame([], schema="u int, event_id int, t timestamp, v double")
+    assert interpolate_linear(empty_ev, key="u", ts="t", value="v").count() == 0
+    assert holt_linear(empty_ev, key="u", ts="t", value="v").count() == 0
+    assert (
+        partitioned_prefix_max(
+            empty_ev, value="t", order_by=["event_id"], strict=True
+        ).count()
+        == 0
+    )
+    empty_edges = spark.createDataFrame([], schema="src int, dst int")
+    assert kcore_nodes(empty_edges, k=2).count() == 0
