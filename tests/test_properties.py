@@ -621,3 +621,62 @@ def test_weighted_median_matches_sequential(spark, data):
             if cw >= tot / 2.0:
                 assert got[g] == v, f"group {g}"
                 break
+
+
+@given(data=st.lists(
+    st.tuples(
+        st.integers(min_value=0, max_value=1),    # user
+        st.integers(min_value=0, max_value=5),    # hour
+        st.integers(min_value=0, max_value=59),   # minute
+        st.integers(min_value=-50, max_value=50), # value
+    ),
+    min_size=1, max_size=30,
+))
+@settings(max_examples=6, deadline=None,
+          suppress_health_check=[HealthCheck.function_scoped_fixture])
+def test_ohlc_bars_match_sequential(spark, data):
+    """Any random tick stream: per-(user, hour) open/high/low/close
+    must equal a sequential walk in (ts, event_id) order, including
+    same-timestamp ties broken by event_id."""
+    import datetime as dt
+
+    import appstore_aws_etl_spark.queries  # noqa: F401
+
+    rows = [
+        (u, i, dt.datetime(2024, 1, 1, h, m), float(v))
+        for i, (u, h, m, v) in enumerate(data)
+    ]
+    df = spark.createDataFrame(rows, schema="user_id int, event_id int, ts timestamp, value double")
+    from pyspark.sql import Window
+
+    w_open = Window.partitionBy("user_id", "bucket").orderBy("ts", "event_id")
+    w_close = Window.partitionBy("user_id", "bucket").orderBy(
+        F.col("ts").desc(), F.col("event_id").desc()
+    )
+    seq = df.select(
+        "user_id", F.date_trunc("hour", "ts").alias("bucket"), "value", "ts", "event_id"
+    ).select(
+        "user_id", "bucket", "value",
+        F.row_number().over(w_open).alias("ro"),
+        F.row_number().over(w_close).alias("rc"),
+    )
+    got = {
+        (r["user_id"], r["bucket"].hour): (r["open"], r["high"], r["low"], r["close"], r["n"])
+        for r in seq.groupBy("user_id", "bucket").agg(
+            F.max(F.when(F.col("ro") == 1, F.col("value"))).alias("open"),
+            F.max("value").alias("high"),
+            F.min("value").alias("low"),
+            F.max(F.when(F.col("rc") == 1, F.col("value"))).alias("close"),
+            F.count(F.lit(1)).alias("n"),
+        ).collect()
+    }
+    bars: dict[tuple, list] = {}
+    for u, i, t, v in sorted(rows, key=lambda r: (r[0], r[2], r[1])):
+        k = (u, t.hour)
+        if k not in bars:
+            bars[k] = [v, v, v, v, 0]
+        bars[k][1] = max(bars[k][1], v)
+        bars[k][2] = min(bars[k][2], v)
+        bars[k][3] = v  # last in order = close
+        bars[k][4] += 1
+    assert got == {k: tuple(b) for k, b in bars.items()}
