@@ -622,3 +622,23 @@ def test_session_operators_handle_empty_input(spark):
     )
     empty_edges = spark.createDataFrame([], schema="src int, dst int")
     assert kcore_nodes(empty_edges, k=2).count() == 0
+
+
+def test_resize_media_batch_plumbing(spark):
+    """The Arrow plumbing: resized sizes/digests come back row-aligned
+    for a multi-row frame crossing batch boundaries."""
+    import hashlib
+
+    from appstore_aws_etl_spark.llm.multimodal import resize_media
+
+    rows = [Row(media_id=i, payload=("doc-%03d " % i * (i + 1)).encode()) for i in range(7)]
+    media = spark.createDataFrame(rows)
+    got = {r["media_id"]: (r["orig_bytes"], r["resized_bytes"], r["resized_sha"])
+           for r in resize_media(media, num=1, den=2).collect()}
+    for i in range(7):
+        payload = ("doc-%03d " % i * (i + 1)).encode()
+        text = payload.decode()
+        keep = -(-len(text) // 2)
+        resized = text[:keep].encode()
+        assert got[i] == (len(payload), len(resized),
+                          hashlib.sha256(resized).hexdigest())
