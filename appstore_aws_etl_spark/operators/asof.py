@@ -8,8 +8,12 @@ O(n*m) inequality join:
    null-padded on the left side;
 2. one window partitioned by the join keys, ordered by
    (ts, side, tie-break), frame = unbounded preceding .. current row;
-3. ``last(payload, ignorenulls=True)`` carries the most recent right
-   payload forward onto each left row.
+3. ``last(struct(ts, *payloads), ignorenulls=True)`` carries the most
+   recent right row — one struct per row, so the matched timestamp and
+   every payload column always come from the *same* right row even when
+   payload values are null (null payloads never fall back to older rows,
+   and the tolerance gate judges exactly the row whose payload is
+   emitted).
 
 Cost model: one exchange on the join keys + one in-partition sort —
 identical asymptotics to a sort-merge join, so it scales wherever SMJ
@@ -81,12 +85,22 @@ def asof_join(
         tie_col(right, False).alias(tie),
         *[F.col(c).alias(f"{payload_prefix}{c}") for c in right_payload],
     )
-    # __rts carries the matched right row's timestamp so "nearest" can
-    # compare distances; harmless (dropped) for backward/forward.
-    rts_payload = f"{payload_prefix}__rts"
-    l_tagged = l_tagged.withColumn(rts_payload, F.lit(None).cast(right.schema[right_ts].dataType))
-    r_tagged = r_tagged.withColumn(rts_payload, F.col(ts))
     unioned = l_tagged.unionByName(r_tagged)
+
+    # One struct per right row bundles its timestamp with ALL its payload
+    # columns, and is null on left rows. Carrying this single struct (not
+    # each payload independently) guarantees the tolerance check and every
+    # emitted payload come from the same right row: a nearest right row
+    # with a null payload value yields null payload, never a stale value
+    # from an older right row smuggled past the tolerance gate.
+    row_struct = F.when(
+        F.col(_SIDE) == 0,
+        F.struct(
+            F.col(ts).alias("__rts"),
+            *[F.col(f"{payload_prefix}{c}").alias(c) for c in right_payload],
+        ),
+    )
+    unioned = unioned.withColumn("__asof_row", row_struct)
 
     if direction == "nearest":
         # two frames over the same key partition: backward carry (right
@@ -102,14 +116,14 @@ def asof_join(
             .orderBy(F.col(ts).asc(), F.col(_SIDE).desc(), F.col(tie).asc_nulls_last())
             .rowsBetween(Window.currentRow, Window.unboundedFollowing)
         )
-        both = [*right_payload, "__rts"]
         carried = unioned.select(
             "*",
-            *[F.last(f"{payload_prefix}{c}", ignorenulls=True).over(wb).alias(f"__b_{c}") for c in both],
-            *[F.first(f"{payload_prefix}{c}", ignorenulls=True).over(wf).alias(f"__f_{c}") for c in both],
+            F.last("__asof_row", ignorenulls=True).over(wb).alias("__b_row"),
+            F.first("__asof_row", ignorenulls=True).over(wf).alias("__f_row"),
         )
         here = F.col(ts).cast("double")
-        b_ts, f_ts = F.col("__b___rts").cast("double"), F.col("__f___rts").cast("double")
+        b_ts = F.col("__b_row").getField("__rts").cast("double")
+        f_ts = F.col("__f_row").getField("__rts").cast("double")
         use_backward = F.when(b_ts.isNull(), F.lit(False)).otherwise(
             f_ts.isNull() | ((here - b_ts) <= (f_ts - here))
         )
@@ -125,7 +139,9 @@ def asof_join(
             *[
                 F.when(
                     in_tol,
-                    F.when(use_backward, F.col(f"__b_{c}")).otherwise(F.col(f"__f_{c}")),
+                    F.when(
+                        use_backward, F.col("__b_row").getField(c)
+                    ).otherwise(F.col("__f_row").getField(c)),
                 ).alias(f"{payload_prefix}{c}")
                 for c in right_payload
             ],
@@ -155,28 +171,23 @@ def asof_join(
         )
         carry = F.first
 
-    carry_cols = list(right_payload)
-    if tolerance_seconds is not None:
-        carry_cols.append("__rts")
     carried = unioned.select(
         "*",
-        *[
-            carry(f"{payload_prefix}{c}", ignorenulls=True).over(w).alias(f"__carry_{c}")
-            for c in carry_cols
-        ],
+        carry("__asof_row", ignorenulls=True).over(w).alias("__carry_row"),
     )
+    crow = F.col("__carry_row")
     if tolerance_seconds is not None:
         here = F.col(ts).cast("double")
-        there = F.col("__carry___rts").cast("double")
+        there = crow.getField("__rts").cast("double")
         dist = (here - there) if direction == "backward" else (there - here)
         keep = there.isNotNull() & (dist <= F.lit(float(tolerance_seconds)))
         payload_out = [
-            F.when(keep, F.col(f"__carry_{c}")).alias(f"{payload_prefix}{c}")
+            F.when(keep, crow.getField(c)).alias(f"{payload_prefix}{c}")
             for c in right_payload
         ]
     else:
         payload_out = [
-            F.col(f"__carry_{c}").alias(f"{payload_prefix}{c}") for c in right_payload
+            crow.getField(c).alias(f"{payload_prefix}{c}") for c in right_payload
         ]
     out = carried.filter(F.col(_SIDE) == 1).select(
         *[F.col(c) for c in left.columns],

@@ -544,6 +544,39 @@ def test_asof_tolerance_nulls_stale_matches(spark):
     assert got == {1: (10, 1.5), 2: (None, None)}
 
 
+def test_asof_null_payload_never_falls_back_to_stale_row(spark):
+    """The matched right row's null payload must be emitted as null — not
+    silently replaced by an older right row's value that the tolerance
+    gate never inspected (struct-carry contract, operators/asof.py)."""
+    from appstore_aws_etl_spark.operators.asof import asof_join
+
+    left = spark.createDataFrame([Row(k="a", lts=ts("2024-01-01 10:00:00"), lid=1)])
+    right = spark.createDataFrame(
+        [
+            # old row, OUTSIDE tolerance, non-null payload
+            Row(k="a", rts=ts("2024-01-01 07:00:00"), rid=10, v=99.0),
+            # nearest row, INSIDE tolerance, null payload
+            Row(k="a", rts=ts("2024-01-01 09:59:00"), rid=11, v=None),
+        ]
+    )
+    for direction in ("backward", "nearest"):
+        out = asof_join(
+            left, right, on=["k"], left_ts="lts", right_ts="rts",
+            right_payload=["rid", "v"], tie_break="rid",
+            direction=direction, tolerance_seconds=3600.0,
+        )
+        row = out.collect()[0]
+        # rid comes from the nearest row; v is that row's null, NOT 99.0
+        assert (row["asof_rid"], row["asof_v"]) == (11, None), direction
+    # cross-column alignment without tolerance: both payloads from rid=11
+    out = asof_join(
+        left, right, on=["k"], left_ts="lts", right_ts="rts",
+        right_payload=["rid", "v"], tie_break="rid",
+    )
+    row = out.collect()[0]
+    assert (row["asof_rid"], row["asof_v"]) == (11, None)
+
+
 def test_holt_linear_matches_hand_recurrence(spark):
     from appstore_aws_etl_spark.operators.timeseries import holt_linear
 
