@@ -48,7 +48,13 @@ def kcore_nodes(
     alive = edges.select(F.col(src).alias("src"), F.col(dst).alias("dst"))
     if not assume_simple:
         alive = alive.distinct()
-    n_alive = alive.select("src").distinct().count()
+    # Convergence probe = EDGE count, not distinct-node count: every alive
+    # node appears as src of >= 1 edge, so peeling a node strictly removes
+    # edges and the edge count stabilizes iff the node set does. nxt.count()
+    # doubles as the localCheckpoint materialization — exactly ONE Spark job
+    # per peel round, no distinct shuffle, and no seed job before the loop
+    # (prev_edges=None treats round 1 as always-unconverged).
+    prev_edges: int | None = None
     for _ in range(max_rounds):
         deg = alive.groupBy("src").agg(F.count(F.lit(1)).alias("degree"))
         keep = deg.filter(F.col("degree") >= k).select("src").localCheckpoint(
@@ -59,15 +65,11 @@ def kcore_nodes(
             .join(keep.select(F.col("src").alias("dst")), "dst", "left_semi")
             .localCheckpoint(eager=False)
         )
-        n_next = nxt.select("src").distinct().count()  # convergence counter only
+        n_edges = nxt.count()
         alive = nxt
-        if n_next == n_alive:
+        if n_edges == 0 or n_edges == prev_edges:
             return alive.groupBy(F.col("src").alias("node")).agg(
                 F.count(F.lit(1)).alias("degree")
             )
-        n_alive = n_next
-        if n_alive == 0:
-            return alive.groupBy(F.col("src").alias("node")).agg(
-                F.count(F.lit(1)).alias("degree")
-            )
+        prev_edges = n_edges
     raise RuntimeError(f"k-core peel did not converge within {max_rounds} rounds")

@@ -112,16 +112,20 @@ def test_timestamp_pushdown_survives_ntz_normalization(spark, sf_dir):
 
 
 def test_interpolate_single_window_both_directions(spark, sf_dir):
-    """ts_interpolate's forward and backward carries must fuse into ONE
-    Window operator over one partitioned sort — a second sort per
-    direction would double the operator's only per-key cost."""
+    """ts_interpolate's forward and backward carries must share ONE
+    partitioned sort — a second sort per direction would double the
+    operator's only per-key cost. Asserted as the cost property itself
+    (at most one Sort node) rather than an exact Window-node count,
+    which would encode Catalyst's current window-fusion behavior and
+    break spuriously on a Spark version bump."""
     import re
 
     df = REGISTRY["ts_interpolate"].fn(spark, sf_dir)
     plan = formatted_plan(df)
+    assert "Window" in plan  # the carries exist as window ops at all
     # formatted explain lists each node once in the tree and once in
     # the detail section — count detail entries
-    assert len(re.findall(r"\(\d+\) Window", plan)) == 1
+    assert len(re.findall(r"\(\d+\) Sort", plan)) <= 1
 
 
 def test_rank_selection_quantiles_avoid_global_sort(spark, sf_dir):
@@ -133,6 +137,13 @@ def test_rank_selection_quantiles_avoid_global_sort(spark, sf_dir):
         plan = formatted_plan(REGISTRY[key].fn(spark, sf_dir))
         assert "percentile" not in plan.lower()
         assert "HashAggregate" in plan
-        # exactly one Sort: the window over the distinct-value relation;
-        # a raw-row sort would show up as a second one
-        assert plan.count("Sort ") == 1
+        # the direct property (robust to node-count drift across Spark
+        # versions): every Sort must sit ABOVE an aggregate in the plan
+        # tree — i.e. it sorts the value-frequency relation, never the
+        # raw fact rows. Tree prints parent-above-child, so a legal Sort
+        # line must have a HashAggregate line below it.
+        tree = plan.split("\n\n")[0].splitlines()
+        sort_lines = [i for i, ln in enumerate(tree) if "Sort" in ln]
+        agg_lines = [i for i, ln in enumerate(tree) if "HashAggregate" in ln]
+        for s in sort_lines:
+            assert any(a > s for a in agg_lines), f"{key}: raw-row Sort at tree line {s}"
