@@ -4,11 +4,12 @@ Model: media are opaque ``binary`` payloads + a typed metadata struct
 (path, mime, n_bytes, content hash), exactly how a 100 TB lakehouse
 stores them (parquet binary columns or ``binaryFile`` pointers). The
 Spark-side plumbing — schemas, Arrow batch shapes, mapInPandas
-signatures, partition sizing — is real and tested; only the actual
-media decoding is stubbed (``decode_image`` raises, and
-``fake_image_features`` derives deterministic pseudo-features from the
-payload bytes) because no image/audio codec libraries exist in this
-container.
+signatures, partition sizing — is real and tested. ``decode_image`` is
+a REAL pure-Python netpbm (PGM/PPM) decoder differential-tested against
+a closed-form pixel oracle (llm_multimodal_decode); formats that need
+codec libraries (JPEG/PNG/video — none exist in this container) keep
+deterministic stand-ins (``fake_image_features``, byte-slice frame
+sampling) with the swap point documented at each function.
 """
 
 from __future__ import annotations
@@ -65,16 +66,67 @@ def attach_media_metadata(df: DataFrame, payload_col: str = "payload") -> DataFr
 
 
 def decode_image(payload: bytes) -> "object":
-    """Real decode hook — requires an image codec library.
+    """Decode a netpbm image (PGM ``P2``/``P5``, PPM ``P3``/``P6``) to a
+    numpy array — pure stdlib + numpy, no codec libraries.
 
-    STUB: this container has no PIL/opencv/ffmpeg; swap this function
-    for a real decoder in deployment. The distributed plumbing around
-    it (batching, schema, partitioning) does not change.
+    Netpbm is the one raster family decodable dependency-free, so it is
+    the REAL decode path here; JPEG/PNG/video still need PIL/opencv/
+    ffmpeg in deployment (swap this function — the distributed plumbing
+    around it does not change). Returns shape (h, w) for grayscale or
+    (h, w, 3) for RGB, dtype uint8. Raises ValueError on any other
+    format, 16-bit rasters, or a truncated raster.
     """
-    raise NotImplementedError(
-        "image decoding requires a codec library (PIL/opencv); "
-        "use fake_image_features for deterministic pipeline tests"
-    )
+    import numpy as np
+
+    if payload[:1] != b"P" or payload[1:2] not in (b"2", b"3", b"5", b"6"):
+        raise ValueError("unsupported image format (netpbm P2/P3/P5/P6 only)")
+    magic = payload[:2].decode("ascii")
+    # header = three ASCII ints (width, height, maxval) separated by
+    # arbitrary whitespace, with '#' comments running to end-of-line
+    pos, vals = 2, []
+    while len(vals) < 3:
+        c = payload[pos : pos + 1]
+        if c == b"":
+            raise ValueError("truncated netpbm header")
+        if c == b"#":
+            pos = payload.index(b"\n", pos) + 1
+        elif c.isspace():
+            pos += 1
+        else:
+            end = pos
+            while payload[end : end + 1] not in (b"",) and not payload[end : end + 1].isspace():
+                end += 1
+            vals.append(int(payload[pos:end]))
+            pos = end
+    w, h, maxval = vals
+    if maxval > 255:
+        raise ValueError("16-bit netpbm rasters unsupported")
+    channels = 3 if magic in ("P3", "P6") else 1
+    n = w * h * channels
+    if magic in ("P5", "P6"):
+        pos += 1  # exactly one whitespace byte after maxval, then raster
+        if len(payload) - pos < n:
+            raise ValueError("truncated netpbm raster")
+        raster = np.frombuffer(payload, dtype=np.uint8, count=n, offset=pos)
+    else:
+        toks = payload[pos:].split()
+        if len(toks) < n:
+            raise ValueError("truncated netpbm raster")
+        raster = np.array(toks[:n], dtype=np.int64).astype(np.uint8)
+    return raster.reshape(h, w, 3) if channels == 3 else raster.reshape(h, w)
+
+
+def encode_netpbm(pixels: "object") -> bytes:
+    """Inverse of :func:`decode_image` for the binary formats: uint8
+    array of shape (h, w) -> PGM ``P5``; (h, w, 3) -> PPM ``P6``."""
+    shape = pixels.shape
+    if len(shape) == 2:
+        magic, (h, w) = b"P5", shape
+    elif len(shape) == 3 and shape[2] == 3:
+        magic, (h, w) = b"P6", shape[:2]
+    else:
+        raise ValueError(f"expected (h,w) or (h,w,3) uint8 array, got {shape}")
+    return magic + b"\n%d %d\n255\n" % (w, h) + pixels.astype("uint8").tobytes()
 
 
 def fake_image_features(payload: bytes, dim: int = 8) -> list[float]:
@@ -108,6 +160,66 @@ def extract_features(media: DataFrame, batch_limit_bytes: int = 1 << 28) -> Data
             )
 
     return media.mapInPandas(run, schema=FEATURE_SCHEMA)
+
+
+DECODE_SCHEMA = (
+    "media_id long, width int, height int, n_values long, "
+    "px_sum long, px_min int, px_max int, px_mean double"
+)
+
+
+def gradient_image(media_id: int, width: int = 16, height_mod: int = 8) -> bytes:
+    """Deterministic fixture image for ``media_id``: a cyclic gradient
+    pixel(i) = (media_id*31 + i) % 256 over row-major flattened values —
+    even ids become grayscale PGM (P5), odd ids RGB PPM (P6), heights
+    vary as 4 + media_id % height_mod so the header parse is exercised
+    across shapes. The pixel law is closed-form, so a SQL oracle can
+    recompute every statistic without any image code (queries/llm.py
+    llm_multimodal_decode)."""
+    import numpy as np
+
+    h = 4 + int(media_id) % height_mod
+    channels = 1 if media_id % 2 == 0 else 3
+    n = width * h * channels
+    flat = ((int(media_id) * 31 + np.arange(n, dtype=np.int64)) % 256).astype("uint8")
+    px = flat.reshape(h, width) if channels == 1 else flat.reshape(h, width, 3)
+    return encode_netpbm(px)
+
+
+def decode_pixel_stats(
+    ids: DataFrame, width: int = 16, height_mod: int = 8
+) -> DataFrame:
+    """Synthesize a real netpbm image per id, push it through the REAL
+    decoder, and emit pixel statistics — the full binary encode->decode
+    round trip runs on executors via mapInPandas with the same Arrow
+    batch-size memory bounds as extract_features. Any parser defect
+    (header offset, raster truncation, channel order) shows up as a
+    statistics mismatch against the closed-form oracle.
+
+    Scale shape: embarrassingly parallel, zero shuffle; per-task memory
+    is rows-per-Arrow-batch x image size."""
+    import numpy as np
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out: dict[str, list] = {k: [] for k in (
+                "media_id", "width", "height", "n_values",
+                "px_sum", "px_min", "px_max", "px_mean",
+            )}
+            for mid in pdf["media_id"]:
+                px = decode_image(gradient_image(int(mid), width, height_mod))
+                flat = np.asarray(px, dtype=np.int64).ravel()
+                out["media_id"].append(int(mid))
+                out["width"].append(px.shape[1])
+                out["height"].append(px.shape[0])
+                out["n_values"].append(int(flat.size))
+                out["px_sum"].append(int(flat.sum()))
+                out["px_min"].append(int(flat.min()))
+                out["px_max"].append(int(flat.max()))
+                out["px_mean"].append(round(float(flat.mean()), 6))
+            yield pd.DataFrame(out)
+
+    return ids.mapInPandas(run, schema=DECODE_SCHEMA)
 
 
 def read_media_dir(spark, path: str, pattern: str = "*") -> DataFrame:

@@ -1675,6 +1675,48 @@ def llm_multimodal_resize(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "llm_multimodal_decode",
+    oracle="""
+    WITH base AS (
+        SELECT doc_id AS media_id,
+               16 AS width,
+               CAST(4 + doc_id % 8 AS INT) AS height,
+               CASE WHEN doc_id % 2 = 0 THEN 1 ELSE 3 END AS channels
+        FROM documents
+    ), v AS (
+        SELECT media_id, width, height,
+               (media_id * 31 + unnest(range(0, width * height * channels))) % 256 AS val
+        FROM base
+    )
+    SELECT media_id,
+           CAST(any_value(width) AS INT)   AS width,
+           CAST(any_value(height) AS INT)  AS height,
+           CAST(count(*) AS BIGINT)        AS n_values,
+           CAST(sum(val) AS BIGINT)        AS px_sum,
+           CAST(min(val) AS INT)           AS px_min,
+           CAST(max(val) AS INT)           AS px_max,
+           round(sum(val) * 1.0 / count(*), 6) AS px_mean
+    FROM v GROUP BY media_id
+    """,
+    tags=("llm", "multimodal"),
+)
+def llm_multimodal_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """L10 decode stage with a REAL image parser: one deterministic
+    netpbm image per document (even ids PGM/P5 grayscale, odd ids
+    PPM/P6 RGB, varying heights) is synthesized, pushed through the
+    pure-Python decoder (llm/multimodal.py decode_image), and reduced
+    to pixel statistics — all on executors via mapInPandas, zero
+    shuffle. The gradient pixel law is closed-form, so the oracle
+    recomputes every statistic in SQL with no image code: any parser
+    defect (header offset, channel order, truncation) breaks the hash
+    match."""
+    from ..llm.multimodal import decode_pixel_stats
+
+    ids = load(spark, sf_dir, "documents").select(F.col("doc_id").alias("media_id"))
+    return decode_pixel_stats(ids)
+
+
+@query(
     "llm_boilerplate_detect",
     oracle="""
     WITH p AS (

@@ -184,8 +184,11 @@ def test_pack_documents_invariants(spark):
     assert [r["bin_id"] for r in s1] == [0, 0, 1, 2, 3, 4]
 
 
-def test_decode_stub_raises():
-    with pytest.raises(NotImplementedError):
+def test_decode_rejects_non_netpbm():
+    # formats that need codec libs (PNG/JPEG) are rejected loudly, not
+    # half-decoded; netpbm decode itself is covered in
+    # tests/test_multimodal_source.py
+    with pytest.raises(ValueError, match="unsupported"):
         decode_image(b"\x89PNG...")
 
 
