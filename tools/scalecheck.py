@@ -1,0 +1,128 @@
+"""Scaling spot-check: do the event-stream session operators stay
+linear when the events table grows 10x and 100x?
+
+Replicates sf0.1 events K times (event/user ids offset per copy so both
+the row count AND the key cardinality grow — an adversarial scale-up:
+more groups, more join keys, bigger seasonal profile, not just longer
+partitions), writes each tier to /tmp, and times the registered query
+functions warm-then-time against a directory containing only
+events.parquet (all checked keys read only events).
+
+    python tools/scalecheck.py                 # 1x/10x/100x -> SCALECHECK_local.json
+    python tools/scalecheck.py --out SCALECHECK_r06.json
+
+A plan is scale-safe when each 10x step costs <= ~1.5x wall-clock at
+these sizes (per-query stage floors still dominate; a linear plan's
+data term only starts to show at the 100x tier) and shows no
+super-linear bend at 100x.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+import appstore_aws_etl_spark.queries  # noqa: F401
+from appstore_aws_etl_spark.registry import REGISTRY
+from appstore_aws_etl_spark.session import get_spark
+
+BASE_SF_DIR = os.environ.get("SF_DIR", "/root/testdata/sf0.1")
+KEYS = (
+    "ts_interpolate",
+    "stream_late_drop",
+    "ts_ohlc_bars",
+    "ts_seasonal_baseline",
+    "win_reset_running_sum",
+    "analytics_attribution",
+)
+TIERS = (1, 10, 100)
+
+
+def build_tier(spark, factor: int) -> str:
+    """Events replicated ``factor`` times with offset ids, as a
+    one-table sf_dir under /tmp. Offsetting user_id multiplies the
+    (user, hour) profile and every per-user partition count by
+    ``factor`` — the cardinality growth a real 100 TB corpus has."""
+    out_dir = f"/tmp/scalecheck/x{factor}"
+    marker = os.path.join(out_dir, "_done")
+    if os.path.exists(marker):
+        return out_dir
+    from pyspark.sql import functions as F
+
+    ev = spark.read.parquet(os.path.join(BASE_SF_DIR, "events.parquet"))
+    copies = [
+        ev.select(
+            (F.col("event_id") + F.lit(i * 10_000_000)).alias("event_id"),
+            "ts",
+            (F.col("user_id") + F.lit(i * 1_000_000)).alias("user_id"),
+            "event_type",
+            "value",
+            "props",
+        )
+        for i in range(factor)
+    ]
+    df = copies[0]
+    for c in copies[1:]:
+        df = df.unionAll(c)
+    df.write.mode("overwrite").parquet(os.path.join(out_dir, "events.parquet"))
+    open(marker, "w").close()
+    return out_dir
+
+
+def time_key(spark, key: str, sf_dir: str) -> float:
+    fn = REGISTRY[key].fn
+    fn(spark, sf_dir).count()  # warm: codegen + scan listing
+    best = min(_timed(fn, spark, sf_dir) for _ in range(2))
+    return round(best, 2)
+
+
+def _timed(fn, spark, sf_dir) -> float:
+    t0 = time.time()
+    fn(spark, sf_dir).count()
+    return time.time() - t0
+
+
+def main() -> int:
+    out_path = "SCALECHECK_local.json"
+    args = sys.argv[1:]
+    if "--out" in args:
+        out_path = args[args.index("--out") + 1]
+    spark = get_spark("scalecheck")
+    tiers = {f: build_tier(spark, f) for f in TIERS}
+    rows = {
+        f: spark.read.parquet(os.path.join(d, "events.parquet")).count()
+        for f, d in tiers.items()
+    }
+    results: dict[str, dict] = {}
+    for key in KEYS:
+        rec: dict[str, float] = {}
+        for f, d in tiers.items():
+            rec[f"t{f}x"] = time_key(spark, key, d)
+            print(f"{key} x{f}: {rec[f't{f}x']} s", flush=True)
+        rec["ratio_10x"] = round(rec["t10x"] / max(rec["t1x"], 1e-9), 1)
+        rec["ratio_100x_vs_10x"] = round(rec["t100x"] / max(rec["t10x"], 1e-9), 1)
+        results[key] = rec
+    import datetime
+
+    artifact = {
+        "date": datetime.date.today().isoformat(),
+        "rows": rows,
+        "note": (
+            "synthetic events, ids offset per copy (cardinality grows with "
+            "rows); warm then best-of-2; per-10x-step ratio <= ~1.5 = "
+            "floor-dominated linear; 100x tier is where the data term shows"
+        ),
+        "results": results,
+    }
+    with open(out_path, "w") as fh:
+        json.dump(artifact, fh, indent=1)
+    print(json.dumps({k: v for k, v in results.items()}, indent=1))
+    return 0
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())
