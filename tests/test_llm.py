@@ -377,3 +377,37 @@ def test_semantic_dedup_blocked_gram_matches_unblocked(spark):
         df, n_centroids=1, iterations=1, threshold=thr,
         gram_block_rows=3).collect()}
     assert full == blocked == {0, 2, 4, 6, 8, 10}
+
+
+def test_topic_cluster_assignment_is_nearest_centroid(spark, sf_dir):
+    """Property twin for the rows-only llm_topic_cluster key: every
+    vector must land on its argmax-cosine centroid (checked against a
+    numpy re-derivation), and the rollup must cover the whole corpus."""
+    import numpy as np
+
+    import appstore_aws_etl_spark.queries  # noqa: F401 — populate REGISTRY
+    from appstore_aws_etl_spark.llm.similarity import (
+        assign_to_centroids,
+        train_centroids,
+    )
+    from appstore_aws_etl_spark.registry import REGISTRY
+
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    centroids = train_centroids(emb, n_centroids=8, iterations=2)
+    cmat = np.array([vec for _, vec in centroids], dtype=np.float64)
+    cmat /= np.linalg.norm(cmat, axis=1, keepdims=True)
+    cids = np.array([cid for cid, _ in centroids])
+
+    assigned = assign_to_centroids(emb, centroids, "embedding").collect()
+    n_checked = 0
+    for r in assigned[:200]:
+        v = np.array(r["embedding"], dtype=np.float64)
+        v /= np.linalg.norm(v)
+        expect = cids[int(np.argmax(cmat @ v))]
+        assert r["centroid_id"] == expect, r["vec_id"]
+        n_checked += 1
+    assert n_checked == 200
+
+    rollup = REGISTRY["llm_topic_cluster"].fn(spark, sf_dir).collect()
+    assert sum(r["n_members"] for r in rollup) == emb.count()
+    assert all(-1.0 <= r["avg_cos_to_center"] <= 1.0 for r in rollup)

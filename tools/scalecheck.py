@@ -11,10 +11,14 @@ events.parquet (all checked keys read only events).
     python tools/scalecheck.py                 # 1x/10x/100x -> SCALECHECK_local.json
     python tools/scalecheck.py --out SCALECHECK_r06.json
 
-A plan is scale-safe when each 10x step costs <= ~1.5x wall-clock at
-these sizes (per-query stage floors still dominate; a linear plan's
-data term only starts to show at the 100x tier) and shows no
-super-linear bend at 100x.
+Reading the ratios: in the floor-dominated regime (1x -> 10x here) a
+scale-safe plan shows <= ~1.5x per step because the per-stage
+scheduling floor, not data, sets the wall-clock. Once the data term
+surfaces (10x -> 100x), a LINEAR plan legitimately approaches ~10x per
+10x step — the failure signal is a ratio meaningfully ABOVE ~10
+(super-linear: an accidental sort-per-group, a pair blow-up, a plan
+that fell off its intended join strategy), or a per-row cost that
+grows with the tier.
 """
 
 from __future__ import annotations
@@ -113,8 +117,9 @@ def main() -> int:
         "rows": rows,
         "note": (
             "synthetic events, ids offset per copy (cardinality grows with "
-            "rows); warm then best-of-2; per-10x-step ratio <= ~1.5 = "
-            "floor-dominated linear; 100x tier is where the data term shows"
+            "rows); warm then best-of-2; floor regime (1x->10x): ratio <= "
+            "~1.5 expected; data regime (10x->100x): ratio ~<=10 = linear, "
+            "meaningfully above 10 = super-linear defect"
         ),
         "results": results,
     }
