@@ -1717,6 +1717,90 @@ def llm_multimodal_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "llm_url_dedup",
+    oracle="""
+    SELECT 'https://www.example.com/p/' || CAST(doc_id // 5 AS VARCHAR)
+               AS canonical_url,
+           CAST(count(*) AS BIGINT)  AS n_variants,
+           min(doc_id)               AS survivor_doc_id
+    FROM documents
+    GROUP BY 1
+    """,
+    tags=("llm", "dedup", "text"),
+)
+def llm_url_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """URL-canonicalization dedup — the first pass of every web-corpus
+    pipeline (the bulk of crawl duplicates are the SAME page under
+    cosmetic URL variants, caught here for the cost of string ops
+    before any content hashing runs). Five deterministic messy
+    variants are synthesized per document (case-mangled scheme/host,
+    default :443 port, fragment, utm_* tracking params, trailing
+    slash; page id = doc_id/5 so variant groups genuinely collide),
+    then canonicalized with JVM-side regex/array ops only — lowercase
+    scheme+host, strip default port, drop fragment, drop utm_* params,
+    strip the trailing slash — and reduced to one survivor per
+    canonical URL. The oracle states the canonical form from the
+    generative schema, so any canonicalization defect (port left in,
+    fragment kept, utm filter too broad) hash-mismatches.
+
+    Scale shape: pure narrow transforms + ONE groupBy on the canonical
+    key; no Python, no join, no window."""
+    docs = load(spark, sf_dir, "documents")
+    page = (F.col("doc_id") / 5).cast("long")
+    v = F.col("doc_id") % 5
+    base = F.concat(F.lit("https://www.example.com/p/"), page)
+    messy = (
+        F.when(v == 0, base)
+        .when(v == 1, F.concat(F.lit("https://WWW.EXAMPLE.COM/p/"), page, F.lit("/")))
+        .when(v == 2, F.concat(F.lit("https://www.example.com:443/p/"), page, F.lit("#frag")))
+        .when(
+            v == 3,
+            F.concat(base, F.lit("?utm_source=news&utm_campaign=x")),
+        )
+        .otherwise(
+            F.concat(
+                F.lit("HTTPS://WwW.eXaMpLe.CoM:443/p/"), page, F.lit("/?utm_medium=z#top")
+            )
+        )
+    )
+    no_frag = F.regexp_replace(messy, r"#.*$", "")
+    scheme = F.lower(F.regexp_extract(no_frag, r"^([A-Za-z]+)://", 1))
+    rest = F.regexp_replace(no_frag, r"^[A-Za-z]+://", "")
+    hostport = F.regexp_extract(rest, r"^([^/?]+)", 1)
+    host = F.lower(F.regexp_replace(hostport, r":443$", ""))
+    pathq = F.expr(
+        "substr(regexp_replace(regexp_replace(messy, '#.*$', ''), '^[A-Za-z]+://', ''),"
+        " length(regexp_extract(regexp_replace(regexp_replace(messy, '#.*$', ''),"
+        " '^[A-Za-z]+://', ''), '^([^/?]+)', 1)) + 1)"
+    )
+    path = F.regexp_replace(F.regexp_extract(pathq, r"^([^?]*)", 1), r"/$", "")
+    query_str = F.regexp_extract(pathq, r"\?(.*)$", 1)
+    kept_params = F.array_join(
+        F.filter(
+            F.split(query_str, "&"),
+            lambda p: (p != "") & ~p.startswith("utm_"),
+        ),
+        "&",
+    )
+    canon = F.concat(
+        scheme,
+        F.lit("://"),
+        host,
+        path,
+        F.when(kept_params != "", F.concat(F.lit("?"), kept_params)).otherwise(F.lit("")),
+    )
+    return (
+        docs.withColumn("messy", messy)
+        .withColumn("canonical_url", canon)
+        .groupBy("canonical_url")
+        .agg(
+            F.count(F.lit(1)).alias("n_variants"),
+            F.min("doc_id").alias("survivor_doc_id"),
+        )
+    )
+
+
+@query(
     "llm_boilerplate_detect",
     oracle="""
     WITH p AS (
