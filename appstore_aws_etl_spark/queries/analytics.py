@@ -164,6 +164,70 @@ def etl_snapshot_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "etl_cdc_apply",
+    oracle="""
+    WITH changes AS (
+        SELECT user_id, event_id AS seq,
+               CASE WHEN event_id % 5 = 4 THEN 'D' ELSE 'U' END AS op,
+               round(value, 4) AS new_value
+        FROM events
+    ), last_change AS (
+        SELECT user_id, op, new_value FROM (
+            SELECT *, row_number() OVER (PARTITION BY user_id
+                                         ORDER BY seq DESC) AS rn
+            FROM changes
+        ) WHERE rn = 1
+    ), snapshot AS (
+        SELECT DISTINCT user_id, 0.0 AS value FROM events
+    )
+    SELECT s.user_id,
+           CASE WHEN c.user_id IS NULL THEN s.value ELSE c.new_value END AS value,
+           coalesce(c.op, 'K') AS last_op
+    FROM snapshot s LEFT JOIN last_change c ON s.user_id = c.user_id
+    WHERE c.op IS NULL OR c.op <> 'D'
+    """,
+    tags=("etl", "custom-operator", "streaming"),
+)
+def etl_cdc_apply(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Changelog apply, last-write-wins: a CDC stream carries ordered
+    upserts and deletes per key; applying it means collapsing the
+    stream to the LAST change per key (one window, never a per-change
+    loop) and merging that onto the snapshot — upserts overwrite,
+    deletes drop the row, untouched keys pass through. This is the
+    step between etl_snapshot_diff (producing changes) and the serving
+    table: how a lakehouse replays a Debezium/binlog feed. The
+    changelog is synthesized from events (seq = event_id; every fifth
+    change is a delete) so the oracle is exact.
+
+    Scale shape: one shuffle for the per-key window over the changelog
+    (row_number DESC, not a sort of the snapshot), one key join; at
+    100 TB the changelog is usually <<  the snapshot, so AQE broadcasts
+    the collapsed changes."""
+    ev = load(spark, sf_dir, "events")
+    changes = ev.select(
+        "user_id",
+        F.col("event_id").alias("seq"),
+        F.when(F.col("event_id") % 5 == 4, F.lit("D")).otherwise(F.lit("U")).alias("op"),
+        F.round("value", 4).alias("new_value"),
+    )
+    w = Window.partitionBy("user_id").orderBy(F.col("seq").desc())
+    last_change = (
+        changes.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select("user_id", "op", "new_value")
+    )
+    snapshot = ev.select("user_id").distinct().withColumn("value", F.lit(0.0))
+    merged = snapshot.join(last_change, "user_id", "left")
+    return merged.filter(
+        F.col("op").isNull() | (F.col("op") != "D")
+    ).select(
+        "user_id",
+        F.when(F.col("op").isNull(), F.col("value")).otherwise(F.col("new_value")).alias("value"),
+        F.coalesce("op", F.lit("K")).alias("last_op"),
+    )
+
+
+@query(
     "agg_histogram",
     oracle="""
     SELECT CAST(floor(o_totalprice / 50000) AS BIGINT) AS bucket,

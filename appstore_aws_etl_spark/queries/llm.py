@@ -1801,6 +1801,69 @@ def llm_url_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "llm_domain_quota",
+    oracle="""
+    WITH ranked AS (
+        SELECT source || '.example.com' AS domain, doc_id, n_chars,
+               row_number() OVER (PARTITION BY source ORDER BY doc_id) AS rn
+        FROM documents
+    )
+    SELECT domain,
+           CAST(count(*) AS BIGINT)                         AS n_docs,
+           CAST(sum(CASE WHEN rn <= 100 THEN 1 ELSE 0 END) AS BIGINT) AS n_kept,
+           CAST(sum(CASE WHEN rn > 100 THEN 1 ELSE 0 END) AS BIGINT)  AS n_dropped,
+           max(CASE WHEN rn <= 100 THEN doc_id END)         AS boundary_doc_id,
+           CAST(sum(CASE WHEN rn <= 100 THEN n_chars ELSE 0 END) AS BIGINT)
+                                                            AS kept_chars
+    FROM ranked GROUP BY domain
+    """,
+    tags=("llm", "sampling", "text"),
+)
+def llm_domain_quota(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-domain document cap — the anti-monoculture quota every
+    web-corpus recipe applies (Common Crawl curation caps pages per
+    registered domain so link farms and mirrors cannot dominate the
+    token budget). Deterministic keep-first-k by doc_id within each
+    domain via ONE ranking window, then a per-domain audit rollup:
+    total/kept/dropped counts, the boundary id, and the kept character
+    budget.
+
+    Scale shape: one shuffle on the domain key for the window + the
+    same partitioning reused by the rollup — Catalyst plans a single
+    exchange; no join, no Python. Domain skew (one giant domain) is
+    the expected case, not a failure: row_number is streaming within
+    the partition, never a buffered frame."""
+    docs = load(spark, sf_dir, "documents")
+    w = Window.partitionBy("source").orderBy("doc_id")
+    ranked = docs.select(
+        "source", "doc_id", "n_chars", F.row_number().over(w).alias("rn")
+    )
+    kept = F.col("rn") <= 100
+    # group on the window's own key (source), projecting the domain
+    # string AFTER the rollup — grouping on the derived concat would
+    # hide the functional dependency from Catalyst and buy a second
+    # exchange for nothing
+    return (
+        ranked.groupBy("source")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum(F.when(kept, 1).otherwise(0)).alias("n_kept"),
+            F.sum(F.when(~kept, 1).otherwise(0)).alias("n_dropped"),
+            F.max(F.when(kept, F.col("doc_id"))).alias("boundary_doc_id"),
+            F.sum(F.when(kept, F.col("n_chars")).otherwise(0)).alias("kept_chars"),
+        )
+        .select(
+            F.concat(F.col("source"), F.lit(".example.com")).alias("domain"),
+            "n_docs",
+            "n_kept",
+            "n_dropped",
+            "boundary_doc_id",
+            "kept_chars",
+        )
+    )
+
+
+@query(
     "llm_boilerplate_detect",
     oracle="""
     WITH p AS (
