@@ -21,12 +21,19 @@ sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 
 import appstore_aws_etl_spark.queries  # noqa: F401  (populates REGISTRY)
 from appstore_aws_etl_spark.registry import REGISTRY
+from appstore_aws_etl_spark.shiplib import arm_env, ensure_workers_can_import
+
+# Workers deserialize module-level UDF functions by reference, so the
+# package must be importable in the worker interpreter no matter where
+# the host process launched from (see shiplib docstring).
+arm_env()
 
 FLAGSHIP = "agg_group"
 SMOKE_SF_DIR = "/root/testdata/sf0.001"
 
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship query (TPC-H-Q1-style pricing summary) on sf0.001."""
+    ensure_workers_can_import(spark)
     return REGISTRY[FLAGSHIP].fn(spark, SMOKE_SF_DIR)
 
 
@@ -44,7 +51,17 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     has_oracle = {name: spec.oracle is not None for name, spec in REGISTRY.items()}
     order = sweep_order(list(REGISTRY), has_oracle)
-    return {name: REGISTRY[name].fn for name in order}
+
+    def _armed(fn):
+        def run(spark: SparkSession, sf_dir: str) -> DataFrame:
+            ensure_workers_can_import(spark)
+            return fn(spark, sf_dir)
+
+        run.__doc__ = fn.__doc__
+        run.__name__ = getattr(fn, "__name__", "query")
+        return run
+
+    return {name: _armed(REGISTRY[name].fn) for name in order}
 
 
 def oracle_sql() -> dict[str, str]:
