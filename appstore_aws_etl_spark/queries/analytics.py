@@ -1004,6 +1004,78 @@ def util_table_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "util_table_fingerprint",
+    oracle="""
+    SELECT l_returnflag,
+           bit_xor(h)                            AS fp_xor,
+           CAST(sum(h % 1000000007) AS BIGINT)   AS fp_sum,
+           count(*)                              AS n_rows
+    FROM (
+        SELECT l_returnflag,
+               CAST('0x' || substr(md5(concat_ws('|',
+                   CAST(l_orderkey AS VARCHAR),
+                   CAST(l_partkey AS VARCHAR),
+                   CAST(l_suppkey AS VARCHAR),
+                   CAST(l_linenumber AS VARCHAR),
+                   l_returnflag, l_linestatus,
+                   strftime(l_shipdate, '%Y-%m-%d'),
+                   CAST(CAST(l_quantity AS BIGINT) AS VARCHAR))), 1, 14)
+                   AS BIGINT) AS h
+        FROM lineitem
+    )
+    GROUP BY l_returnflag
+    ORDER BY l_returnflag
+    """,
+    tags=("analytics", "util", "integrity"),
+)
+def util_table_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Order-independent, engine-portable table content fingerprint —
+    the standard way to validate a 100 TB replication/CDC/migration
+    without sorting or moving the data: every row hashes to a 56-bit
+    integer (md5 prefix, identical in any engine), and two commutative
+    combiners collapse a partition group to three numbers. XOR detects
+    any content difference except even-multiplicity ones; the modular
+    SUM (mod 1e9+7 per row, so the running total stays in int64 up to
+    ~9e9 rows per group; a 100 TB deployment sums as decimal(38,0)
+    instead — exercised at unit level, but int64 here because pandas
+    degrades DuckDB's DECIMAL(38,0) to float and would break the exact
+    oracle) catches those; COUNT anchors cardinality.
+    Matching (fp_xor, fp_sum, n_rows) per group between two copies is
+    then a byte-free equality proof, and a mismatch localizes to the
+    group — compare per-partition fingerprints to find WHICH partition
+    diverged, then drill in.
+
+    Scale shape: one scan, all hashing inside whole-stage codegen, one
+    map-side-combinable aggregation to ~|groups| rows — the cheapest
+    possible full-table integrity pass. The DuckDB oracle matching
+    hash-for-hash IS the cross-engine portability proof (md5 + modular
+    prefix, not engine-private xxhash64)."""
+    li = load(spark, sf_dir, "lineitem")
+    row_str = F.concat_ws(
+        "|",
+        F.col("l_orderkey").cast("string"),
+        F.col("l_partkey").cast("string"),
+        F.col("l_suppkey").cast("string"),
+        F.col("l_linenumber").cast("string"),
+        F.col("l_returnflag"),
+        F.col("l_linestatus"),
+        F.date_format("l_shipdate", "yyyy-MM-dd"),
+        F.col("l_quantity").cast("bigint").cast("string"),
+    )
+    h = F.conv(F.substring(F.md5(row_str), 1, 14), 16, 10).cast("bigint")
+    return (
+        li.select("l_returnflag", h.alias("h"))
+        .groupBy("l_returnflag")
+        .agg(
+            F.bit_xor("h").alias("fp_xor"),
+            F.sum(F.col("h") % 1000000007).alias("fp_sum"),
+            F.count(F.lit(1)).alias("n_rows"),
+        )
+        .orderBy("l_returnflag")
+    )
+
+
+@query(
     "analytics_dau_wau",
     oracle="""
     WITH daily AS (
