@@ -631,3 +631,81 @@ def join_asof_tolerance(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("pts").alias("purchase_ts"),
         F.col("asof_event_id"),
     )
+
+
+@query(
+    "join_pit_scd2",
+    oracle="""
+    WITH dim AS (
+        SELECT c_custkey, c_acctbal AS bal_v1,
+               TIMESTAMP '1990-01-01' AS valid_from,
+               CASE WHEN c_custkey % 4 = 0 THEN TIMESTAMP '1995-06-01' END AS valid_to,
+               1 AS version
+        FROM customer
+        UNION ALL
+        SELECT c_custkey, round(c_acctbal + 100, 4), TIMESTAMP '1995-06-01',
+               CAST(NULL AS TIMESTAMP), 2
+        FROM customer WHERE c_custkey % 4 = 0
+    )
+    SELECT o.o_orderkey, o.o_custkey, o.o_orderdate,
+           d.bal_v1 AS acctbal_asof, d.version
+    FROM orders o
+    JOIN dim d
+      ON o.o_custkey = d.c_custkey
+     AND o.o_orderdate >= d.valid_from
+     AND (d.valid_to IS NULL OR o.o_orderdate < d.valid_to)
+    ORDER BY o.o_orderkey
+    """,
+    tags=("join", "etl"),
+)
+def join_pit_scd2(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Point-in-time fact lookup against an SCD Type-2 dimension — THE
+    dimensional join of a warehouse: each order attaches the customer
+    attribute version that was in effect ON ITS ORDER DATE, not the
+    current one. The synthetic dimension gives every 4th customer a
+    mid-range version break (1995-06-01), so facts genuinely split
+    across versions.
+
+    Scale shape: because SCD2 validity intervals PARTITION time per
+    key, this is an equi-join on the surrogate/natural key with the
+    interval bounds as a post-join filter — never a range/theta join.
+    The dimension (even versioned) is orders of magnitude smaller than
+    the fact table, so it broadcasts; at a dimension too big for
+    broadcast the same plan degrades gracefully to a shuffled hash
+    join on c_custkey. Exactly one version matches per fact row by
+    construction, so the join neither duplicates nor drops facts."""
+    c = load(spark, sf_dir, "customer").select("c_custkey", "c_acctbal")
+    v1 = c.select(
+        "c_custkey",
+        F.col("c_acctbal").alias("bal_v1"),
+        F.lit("1990-01-01").cast("timestamp").alias("valid_from"),
+        F.when(
+            F.col("c_custkey") % 4 == 0, F.lit("1995-06-01").cast("timestamp")
+        ).alias("valid_to"),
+        F.lit(1).alias("version"),
+    )
+    v2 = c.filter(F.col("c_custkey") % 4 == 0).select(
+        "c_custkey",
+        F.round(F.col("c_acctbal") + 100, 4).alias("bal_v1"),
+        F.lit("1995-06-01").cast("timestamp").alias("valid_from"),
+        F.lit(None).cast("timestamp").alias("valid_to"),
+        F.lit(2).alias("version"),
+    )
+    dim = v1.unionByName(v2)
+    o = load(spark, sf_dir, "orders").select("o_orderkey", "o_custkey", "o_orderdate")
+    return (
+        o.join(
+            F.broadcast(dim),
+            (F.col("o_custkey") == F.col("c_custkey"))
+            & (F.col("o_orderdate") >= F.col("valid_from"))
+            & (F.col("valid_to").isNull() | (F.col("o_orderdate") < F.col("valid_to"))),
+        )
+        .select(
+            "o_orderkey",
+            "o_custkey",
+            "o_orderdate",
+            F.col("bal_v1").alias("acctbal_asof"),
+            "version",
+        )
+        .orderBy("o_orderkey")
+    )
