@@ -2315,3 +2315,87 @@ def analytics_minmax_scale(spark: SparkSession, sf_dir: str) -> DataFrame:
             (F.col("l_extendedprice") - F.col("mn")) / (F.col("mx") - F.col("mn")), 6
         ).alias("price_scaled"),
     )
+
+
+@query(
+    "analytics_ab_welch",
+    oracle="""
+    WITH cells AS (
+        SELECT event_type,
+               CAST(user_id % 2 AS INT)      AS variant,
+               count(value)                  AS n,
+               avg(value)                    AS m,
+               var_samp(value)               AS v
+        FROM events
+        GROUP BY 1, 2
+    ), wide AS (
+        SELECT a.event_type,
+               a.n AS n0, a.m AS m0, a.v AS v0,
+               b.n AS n1, b.m AS m1, b.v AS v1
+        FROM cells a JOIN cells b
+          ON a.event_type = b.event_type AND a.variant = 0 AND b.variant = 1
+    )
+    SELECT event_type,
+           n0, n1,
+           round(m0 - m1, 4) AS mean_diff,
+           round((m0 - m1) / sqrt(v0 / n0 + v1 / n1), 4) AS t_stat,
+           round(pow(v0 / n0 + v1 / n1, 2)
+                 / (pow(v0 / n0, 2) / (n0 - 1) + pow(v1 / n1, 2) / (n1 - 1)),
+                 2) AS welch_dof
+    FROM wide
+    ORDER BY event_type
+    """,
+    tags=("analytics", "stats"),
+)
+def analytics_ab_welch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-metric Welch two-sample t-test — the workhorse readout of a
+    large-scale A/B experimentation platform: users hash into variants
+    (here user_id parity), and each event_type is a metric whose
+    variant means are compared with the unequal-variance t statistic
+    and Welch-Satterthwaite degrees of freedom.
+
+    Scale shape: the entire test reduces to ONE map-side-combinable
+    aggregation over (metric, variant) — count/mean/variance are the
+    only sufficient statistics, so 100 TB of raw events collapse to
+    2 rows per metric before any math happens; the t/dof arithmetic
+    then runs on that tiny frame. No window, no self-join on facts —
+    the cells self-join touches |metrics|x2 rows. This is why t-tests
+    scale where rank-based tests (needing a global sort) struggle."""
+    ev = load(spark, sf_dir, "events").select(
+        "event_type",
+        (F.col("user_id") % 2).cast("int").alias("variant"),
+        "value",
+    )
+    cells = ev.groupBy("event_type", "variant").agg(
+        F.count("value").alias("n"),
+        F.avg("value").alias("m"),
+        F.var_samp("value").alias("v"),
+    )
+    a = cells.filter(F.col("variant") == 0).select(
+        "event_type",
+        F.col("n").alias("n0"), F.col("m").alias("m0"), F.col("v").alias("v0"),
+    )
+    b = cells.filter(F.col("variant") == 1).select(
+        "event_type",
+        F.col("n").alias("n1"), F.col("m").alias("m1"), F.col("v").alias("v1"),
+    )
+    se2 = F.col("v0") / F.col("n0") + F.col("v1") / F.col("n1")
+    return (
+        a.join(b, "event_type")
+        .select(
+            "event_type",
+            "n0",
+            "n1",
+            F.round(F.col("m0") - F.col("m1"), 4).alias("mean_diff"),
+            F.round((F.col("m0") - F.col("m1")) / F.sqrt(se2), 4).alias("t_stat"),
+            F.round(
+                F.pow(se2, 2)
+                / (
+                    F.pow(F.col("v0") / F.col("n0"), 2) / (F.col("n0") - 1)
+                    + F.pow(F.col("v1") / F.col("n1"), 2) / (F.col("n1") - 1)
+                ),
+                2,
+            ).alias("welch_dof"),
+        )
+        .orderBy("event_type")
+    )
