@@ -2399,3 +2399,53 @@ def analytics_ab_welch(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("event_type")
     )
+
+
+@query(
+    "ts_autocorr",
+    oracle="""
+    SELECT event_type,
+           round(corr(value, lv1), 4) AS ac_lag1,
+           round(corr(value, lv2), 4) AS ac_lag2,
+           count(lv2) AS n_pairs_lag2
+    FROM (
+        SELECT event_type, value,
+               lag(value, 1) OVER (PARTITION BY event_type ORDER BY ts, event_id) AS lv1,
+               lag(value, 2) OVER (PARTITION BY event_type ORDER BY ts, event_id) AS lv2
+        FROM events
+    )
+    GROUP BY event_type
+    ORDER BY event_type
+    """,
+    tags=("ts", "stats"),
+)
+def ts_autocorr(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Lag-k autocorrelation per metric series — the standard seasonality
+    /momentum diagnostic before fitting any forecasting model (is the
+    series white noise? does yesterday predict today?). Ties in ts are
+    broken by event_id in BOTH engines so the lag sequence — and hence
+    the statistic — is fully deterministic.
+
+    Scale shape: one window sort per (event_type) partition produces
+    both lags (shared sort, single exchange), then corr() reduces each
+    series to sufficient statistics in a map-side-combinable global
+    aggregation. Nothing is quadratic in the series length, and the
+    per-key partition sort is exactly the layout a time-series table
+    is usually already clustered in."""
+    ev = load(spark, sf_dir, "events").select("event_type", "ts", "event_id", "value")
+    w = Window.partitionBy("event_type").orderBy("ts", "event_id")
+    lagged = ev.select(
+        "event_type",
+        "value",
+        F.lag("value", 1).over(w).alias("lv1"),
+        F.lag("value", 2).over(w).alias("lv2"),
+    )
+    return (
+        lagged.groupBy("event_type")
+        .agg(
+            F.round(F.corr("value", "lv1"), 4).alias("ac_lag1"),
+            F.round(F.corr("value", "lv2"), 4).alias("ac_lag2"),
+            F.count("lv2").alias("n_pairs_lag2"),
+        )
+        .orderBy("event_type")
+    )
