@@ -61,6 +61,25 @@ def test_sweep_order_without_artifacts_is_registry_order(tmp_path):
     assert sweep_order(registry, {}, str(tmp_path)) == registry
 
 
+def test_doc_counts_match_artifacts():
+    """SURVEY.md / BASELINE.md evidence-count blocks must exactly match
+    what tools/verified.py regenerates from the CORRECTNESS_r* artifacts
+    — the hand-maintained version drifted in rounds 3, 4 and 5."""
+    import importlib
+    import sys as _sys
+
+    _sys.path.insert(0, "tools")
+    try:
+        verified = importlib.import_module("verified")
+    finally:
+        _sys.path.remove("tools")
+    stale = verified.rewrite_docs(write=False)
+    assert not stale, (
+        f"evidence-count blocks out of date in {stale}; "
+        f"run: python tools/verified.py --write"
+    )
+
+
 def test_live_ordering_covers_registry():
     """Against the real repo artifacts: queries() must yield every
     registry key exactly once, never-evidenced keys first."""
