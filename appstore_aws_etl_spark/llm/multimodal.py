@@ -112,7 +112,10 @@ def decode_image(payload: bytes) -> "object":
         toks = payload[pos:].split()
         if len(toks) < n:
             raise ValueError("truncated netpbm raster")
-        raster = np.array(toks[:n], dtype=np.int64).astype(np.uint8)
+        raster = np.array(toks[:n], dtype=np.int64)
+        if raster.size and (raster.min() < 0 or raster.max() > maxval):
+            raise ValueError("netpbm ASCII sample outside 0..maxval")
+        raster = raster.astype(np.uint8)
     return raster.reshape(h, w, 3) if channels == 3 else raster.reshape(h, w)
 
 

@@ -62,6 +62,11 @@ def asof_join(
     right_payload = right_payload or [
         c for c in right.columns if c not in on and c != right_ts
     ]
+    if "__rts" in right_payload:
+        # the carried struct reserves field "__rts" for the matched right
+        # timestamp; a payload column of that name would collide and make
+        # getField("__rts") ambiguous, corrupting the tolerance gate
+        raise ValueError("right payload column name '__rts' is reserved")
 
     ts = "__asof_ts"
     tie = "__asof_tie"

@@ -178,7 +178,11 @@ def etl_snapshot_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
             FROM changes
         ) WHERE rn = 1
     ), snapshot AS (
-        SELECT DISTINCT user_id, 0.0 AS value FROM events
+        SELECT user_id, 0.0 AS value FROM (
+            SELECT user_id FROM events
+            UNION
+            SELECT user_id + 10000000 FROM events
+        )
     )
     SELECT s.user_id,
            CASE WHEN c.user_id IS NULL THEN s.value ELSE c.new_value END AS value,
@@ -197,7 +201,9 @@ def etl_cdc_apply(spark: SparkSession, sf_dir: str) -> DataFrame:
     step between etl_snapshot_diff (producing changes) and the serving
     table: how a lakehouse replays a Debezium/binlog feed. The
     changelog is synthesized from events (seq = event_id; every fifth
-    change is a delete) so the oracle is exact.
+    change is a delete) so the oracle is exact; the snapshot carries an
+    id-offset key range that receives NO changes, so the untouched
+    pass-through ('K') branch is genuinely exercised, not dead.
 
     Scale shape: one shuffle for the per-key window over the changelog
     (row_number DESC, not a sort of the snapshot), one key join; at
@@ -216,7 +222,12 @@ def etl_cdc_apply(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("rn") == 1)
         .select("user_id", "op", "new_value")
     )
-    snapshot = ev.select("user_id").distinct().withColumn("value", F.lit(0.0))
+    keys = ev.select("user_id")
+    snapshot = (
+        keys.unionByName(keys.select((F.col("user_id") + 10000000).alias("user_id")))
+        .distinct()
+        .withColumn("value", F.lit(0.0))
+    )
     merged = snapshot.join(last_change, "user_id", "left")
     return merged.filter(
         F.col("op").isNull() | (F.col("op") != "D")

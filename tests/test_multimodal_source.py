@@ -68,6 +68,13 @@ def test_netpbm_decode_roundtrip_and_header_variants():
         decode_image(b"\x89PNG\r\n")
     with pytest.raises(ValueError, match="16-bit"):
         decode_image(b"P5\n2 2\n65535\n" + b"\x00" * 8)
+    # ASCII samples above maxval must raise, never wrap via uint8 cast
+    with pytest.raises(ValueError, match="outside"):
+        decode_image(b"P2\n2 2\n255\n1 2 3 300")
+    with pytest.raises(ValueError, match="outside"):
+        decode_image(b"P2\n2 2\n100\n1 2 3 101")  # within 255, over maxval
+    with pytest.raises(ValueError, match="outside"):
+        decode_image(b"P3\n1 1\n255\n-1 0 0")
 
 
 def test_decode_pixel_stats_matches_numpy(spark):

@@ -4,6 +4,7 @@ from __future__ import annotations
 
 import datetime as dt
 
+import pytest
 from pyspark.sql import Row
 
 from appstore_aws_etl_spark.operators import asof_join, sessionize
@@ -35,6 +36,16 @@ def test_asof_backward_inclusive(spark):
     )
     got = {r["lid"]: (r["asof_rid"], r["asof_v"]) for r in out.collect()}
     assert got == {1: (11, 2.0), 2: (12, 3.0), 3: (None, None)}
+
+
+def test_asof_rejects_reserved_payload_name(spark):
+    left = spark.createDataFrame([Row(k="a", lts=ts("2024-01-01 10:00:00"))])
+    right = spark.createDataFrame(
+        [Row(k="a", rts=ts("2024-01-01 09:00:00"), __rts=1)]
+    )
+    with pytest.raises(ValueError, match="__rts"):
+        asof_join(left, right, on=["k"], left_ts="lts", right_ts="rts",
+                  right_payload=["__rts"])
 
 
 def test_asof_strict_excludes_exact(spark):
