@@ -1511,8 +1511,16 @@ def llm_dedup_survivors(spark: SparkSession, sf_dir: str) -> DataFrame:
     und = pairs.union(
         pairs.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
     ).localCheckpoint(eager=False)
-    labels = und.select(F.col("src").alias("node")).distinct().withColumn(
-        "component", F.col("node")
+    # seed each node with min(self, min neighbour) — one grouped min
+    # over the edge set, equivalent to pre-running one relax round but
+    # without its compress join and convergence-count job. Near-dup
+    # components are overwhelmingly pairs/small stars, so propagation
+    # then confirms convergence in a single round instead of doing the
+    # first relax itself (sound: the seed label is always the id of a
+    # node inside the same component).
+    labels = (
+        und.groupBy(F.col("src").alias("node"))
+        .agg(F.least(F.min("dst"), F.min("src")).alias("component"))
     )
     labels = propagate_min_labels(und, labels, "node", "component", max_rounds=50)
     losers = labels.filter(F.col("node") != F.col("component")).select(
