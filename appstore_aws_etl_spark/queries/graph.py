@@ -116,8 +116,17 @@ def graph_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
         "pr", F.lit(1.0) / F.lit(float(n_nodes))
     )
     for _ in range(3):
+        # shuffle_hash on the rank side: both join inputs are already
+        # partitioned on the join key (messages by src from the window,
+        # pr by node from the previous groupBy), so the only SMJ work
+        # left was the per-iteration sort of the rank table — SHJ
+        # replaces it with an O(n) per-partition hash build (interleaved
+        # median-of-5: 0.79 -> 0.67 s for the 3-iteration phase). The
+        # build side is n_nodes/partitions rows and SHJ spills if a
+        # partition misestimates, so it degrades gracefully at scale.
+        rhs = pr.hint("shuffle_hash")
         pr = (
-            messages.join(pr, messages.src == pr.node)
+            messages.join(rhs, messages.src == rhs.node)
             .groupBy(F.col("dst"))
             .agg((F.lit(0.15 / n_nodes) + F.lit(_DAMP) * F.sum(F.col("pr") / F.col("d"))).alias("pr"))
             .select(F.col("dst").alias("node"), "pr")
