@@ -247,7 +247,10 @@ def _protobuf_available() -> bool:
 @pytest.mark.skipif(
     not _protobuf_available(),
     reason="transformWithStateInPandas requires google.protobuf "
-    "(state-server protocol); not installed in this container",
+    "(state-server protocol); not installed in this container. "
+    "Equivalence is still covered: "
+    "test_tws_processor_equivalent_to_apply_in_pandas_without_runtime "
+    "replays both APIs' state machines without the runtime.",
 )
 def test_transform_with_state_funnel_matches_apply_in_pandas(
     spark, sf_dir, event_stream_dir, tmp_path
@@ -334,3 +337,105 @@ def test_late_drop_fixpoint_predicts_real_watermark_drops(spark, sf_dir, tmp_pat
         hw = r["ts"] if hw is None or r["ts"] > hw else hw
     assert want_kept != {r["event_id"] for r in rows}  # some event IS late
     assert got_kept == want_kept
+
+
+def test_tws_processor_equivalent_to_apply_in_pandas_without_runtime():
+    """Runtime-free equivalence guard for the env-gated TWS execution
+    test above: replay identical per-key micro-batch sequences through
+    BOTH streaming entry points — ``_update_funnel`` (the tested
+    applyInPandasWithState function) with a faked GroupState, and
+    ``FunnelProcessorTWS`` (the transformWithStateInPandas processor)
+    with a faked state handle — and assert every per-batch emission and
+    the final state agree. This pins the two APIs to the same observable
+    state machine even where ``google.protobuf`` (the TWS state-server
+    protocol) is unavailable; when it IS available the gated test also
+    proves end-to-end runtime agreement."""
+    import pandas as pd
+
+    from appstore_aws_etl_spark.streaming.stateful import (
+        FunnelProcessorTWS,
+        _advance_funnel,
+        _update_funnel,
+    )
+
+    class FakeGroupState:  # applyInPandasWithState: property get/exists
+        def __init__(self):
+            self._v = None
+
+        @property
+        def exists(self):
+            return self._v is not None
+
+        @property
+        def get(self):
+            return self._v
+
+        def update(self, v):
+            self._v = tuple(v)
+
+    class FakeValueState:  # TWS: method get()/exists()
+        def __init__(self):
+            self._v = None
+
+        def exists(self):
+            return self._v is not None
+
+        def get(self):
+            return self._v
+
+        def update(self, v):
+            self._v = tuple(v)
+
+    class FakeHandle:
+        def __init__(self):
+            self.states = {}
+
+        def getValueState(self, name, schema):
+            return self.states.setdefault(name, FakeValueState())
+
+    # both paths must fold batches through the SAME state-machine object
+    import inspect
+
+    for fn in (_update_funnel, FunnelProcessorTWS.handleInputRows):
+        assert "_advance_funnel" in inspect.getsource(fn)
+
+    # three micro-batches per user, unsorted within batch (the machine
+    # sorts by ts,event_id), interleaving views/clicks/purchases
+    def batch(rows):
+        return pd.DataFrame(
+            rows, columns=["ts", "event_id", "event_type"]
+        )
+
+    per_key_batches = {
+        1: [
+            batch([(3, 3, "purchase"), (1, 1, "view"), (2, 2, "click")]),
+            batch([(5, 5, "purchase"), (4, 4, "view")]),
+            batch([(6, 6, "purchase")]),
+        ],
+        2: [
+            batch([(1, 1, "view")]),
+            batch([(2, 2, "purchase"), (3, 3, "view")]),
+            batch([(4, 4, "purchase")]),
+        ],
+    }
+
+    for key, batches in per_key_batches.items():
+        gs = FakeGroupState()
+        proc = FunnelProcessorTWS()
+        proc.init(FakeHandle())
+        apply_emissions, tws_emissions = [], []
+        for b in batches:
+            (out_a,) = list(_update_funnel((key,), [b.copy()], gs))
+            out_t = pd.concat(
+                list(proc.handleInputRows((key,), [b.copy()], None)),
+                ignore_index=True,
+            )
+            apply_emissions.append(out_a.to_dict("records"))
+            tws_emissions.append(out_t.to_dict("records"))
+        assert apply_emissions == tws_emissions
+        assert gs.get == proc._state.get()
+    # and the math itself: user 2's final count via the shared machine
+    lt, tr = None, 0
+    for b in per_key_batches[2]:
+        lt, tr = _advance_funnel(lt, tr, b)
+    assert tr == 2
