@@ -44,6 +44,13 @@ KEYS = (
     "llm_sim_join",          # LSH prefilter + exact-verify threshold join
 )
 TIERS = (1, 10)
+# the pair-emitting pipelines whose banded-bucket sizes are the scaling
+# risk (sum of bucket^2 inside bands) get a third, 100x tier: every
+# original gains 99 true near-duplicates, so TRUE pair output grows
+# ~x100^2 inside cliques while the corpus grows x100 — the adversarial
+# regime where a super-linear-in-corpus implementation would bend.
+DEEP_KEYS = ("llm_dedup_minhash", "llm_dedup_survivors", "llm_sim_join")
+DEEP_TIER = 100
 
 
 def build_tier(spark, factor: int) -> str:
@@ -53,46 +60,36 @@ def build_tier(spark, factor: int) -> str:
         return out_dir
     from pyspark.sql import functions as F
 
+    # one explode per source row instead of a factor-way union — the
+    # 100x tier would otherwise build a 100-branch plan
+    copy_idx = F.explode(F.sequence(F.lit(0), F.lit(factor - 1))).alias("__copy")
+
     docs = spark.read.parquet(os.path.join(BASE_SF_DIR, "documents.parquet"))
-    doc_copies = []
-    for i in range(factor):
-        c = docs.select(
-            (F.col("doc_id") + F.lit(i * 10_000_000)).alias("doc_id"),
-            # copy 0 is verbatim; copies i>0 append one token so each
-            # original gains factor-1 true near-duplicates (high
-            # Jaccard, non-identical bytes) — adversarial density.
-            (
-                F.col("text")
-                if i == 0
-                else F.concat(F.col("text"), F.lit(f" variant{i}"))
-            ).alias("text"),
-            "lang",
-            "source",
-            "n_chars",
-        )
-        doc_copies.append(c)
-    df = doc_copies[0]
-    for c in doc_copies[1:]:
-        df = df.unionAll(c)
+    df = docs.select("*", copy_idx).select(
+        (F.col("doc_id") + F.col("__copy") * 10_000_000).alias("doc_id"),
+        # copy 0 is verbatim; copies i>0 append one token so each
+        # original gains factor-1 true near-duplicates (high Jaccard,
+        # non-identical bytes) — adversarial density.
+        F.when(F.col("__copy") == 0, F.col("text"))
+        .otherwise(F.concat(F.col("text"), F.lit(" variant"), F.col("__copy").cast("string")))
+        .alias("text"),
+        "lang",
+        "source",
+        "n_chars",
+    )
     df.write.mode("overwrite").parquet(os.path.join(out_dir, "documents.parquet"))
 
     emb = spark.read.parquet(os.path.join(BASE_SF_DIR, "embeddings.parquet"))
-    emb_copies = []
-    for i in range(factor):
-        eps = 0.001 * i
-        c = emb.select(
-            (F.col("vec_id") + F.lit(i * 10_000_000)).alias("vec_id"),
-            # tiny per-copy nudge: cosine(original, copy) ~ 1, so every
-            # original gains factor-1 semantic near-duplicates.
-            F.transform(
-                "embedding", lambda x: (x + F.lit(eps)).cast("float")
-            ).alias("embedding"),
-            "label",
-        )
-        emb_copies.append(c)
-    ef = emb_copies[0]
-    for c in emb_copies[1:]:
-        ef = ef.unionAll(c)
+    ef = emb.select("*", copy_idx).select(
+        (F.col("vec_id") + F.col("__copy") * 10_000_000).alias("vec_id"),
+        # tiny per-copy nudge: cosine(original, copy) ~ 1, so every
+        # original gains factor-1 semantic near-duplicates.
+        F.transform(
+            "embedding",
+            lambda x: (x + F.col("__copy") * F.lit(0.001)).cast("float"),
+        ).alias("embedding"),
+        "label",
+    )
     ef.write.mode("overwrite").parquet(os.path.join(out_dir, "embeddings.parquet"))
     open(marker, "w").close()
     return out_dir
@@ -104,7 +101,8 @@ def main() -> int:
     if "--out" in args:
         out_path = args[args.index("--out") + 1]
     spark = get_spark("scalecheck-docs")
-    tiers = {f: build_tier(spark, f) for f in TIERS}
+    all_tiers = TIERS + (DEEP_TIER,)
+    tiers = {f: build_tier(spark, f) for f in all_tiers}
     rows = {
         f: spark.read.parquet(os.path.join(d, "documents.parquet")).count()
         for f, d in tiers.items()
@@ -113,10 +111,16 @@ def main() -> int:
     for key in KEYS:
         fn = REGISTRY[key].fn
         rec: dict = {}
-        for f, d in tiers.items():
+        key_tiers = TIERS + ((DEEP_TIER,) if key in DEEP_KEYS else ())
+        for f in key_tiers:
+            d = tiers[f]
             out_rows = fn(spark, d).count()  # warm: codegen + listing
+            # the deep tier runs once after its warm run (minutes-long
+            # keys; a best-of-2 would double a walltime already far
+            # above noise), smaller tiers keep warm + best-of-2
+            n_timed = 1 if f == DEEP_TIER else 2
             best = None
-            for _ in range(2):
+            for _ in range(n_timed):
                 t0 = time.time()
                 fn(spark, d).count()
                 dt = time.time() - t0
@@ -125,6 +129,13 @@ def main() -> int:
             rec[f"out_rows_{f}x"] = out_rows
             print(f"{key} x{f}: {rec[f't{f}x']} s, {out_rows} rows", flush=True)
         rec["ratio_10x"] = round(rec["t10x"] / max(rec["t1x"], 1e-9), 1)
+        if f"t{DEEP_TIER}x" in rec:
+            rec[f"ratio_{DEEP_TIER}x_vs_10x"] = round(
+                rec[f"t{DEEP_TIER}x"] / max(rec["t10x"], 1e-9), 1
+            )
+            rec[f"out_growth_{DEEP_TIER}x_vs_10x"] = round(
+                rec[f"out_rows_{DEEP_TIER}x"] / max(rec["out_rows_10x"], 1), 1
+            )
         results[key] = rec
     import datetime
 
@@ -135,8 +146,13 @@ def main() -> int:
             "documents/embeddings replicated with id offsets; text copies "
             "append one token and embedding copies are eps-nudged, so "
             "duplicate density grows with the tier (adversarial for LSH "
-            "pair generation). warm then best-of-2. linear = ratio_10x <= "
-            "~10 + floor; judge pair-emitting keys against out_rows growth."
+            "pair generation). warm then best-of-2 (deep 100x tier: warm "
+            "then one timed run). linear = ratio_10x <= ~10 + floor; "
+            "judge pair-emitting keys against out_rows growth — at 100x "
+            "every original has 99 true near-dups so TRUE pair output "
+            "grows ~quadratically inside cliques while the corpus grows "
+            "100x; a pipeline is corpus-linear iff wall-clock tracks "
+            "out_rows, not corpus^2."
         ),
         "results": results,
     }
