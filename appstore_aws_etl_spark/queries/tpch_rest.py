@@ -364,9 +364,15 @@ def tpch_q21(spark: SparkSession, sf_dir: str) -> DataFrame:
     distinct suppliers per order (EXISTS) and distinct *late*
     suppliers per order (NOT EXISTS == exactly this one late
     supplier) — no per-row subquery re-execution, two orderkey
-    shuffles total."""
-    o = load(spark, sf_dir, "orders").filter(F.col("o_orderstatus") == "F").select(
-        "o_orderkey", "o_orderdate"
+    shuffles total. All three orderkey joins are shuffle_hash-hinted:
+    every build side (filtered orders, the two per-order aggregates)
+    has at most one row per key, so SMJ's sorts of the fact side buy
+    nothing (measured 3.3 -> 2.45 s at 10x sf0.1)."""
+    o = (
+        load(spark, sf_dir, "orders")
+        .filter(F.col("o_orderstatus") == "F")
+        .select("o_orderkey", "o_orderdate")
+        .hint("shuffle_hash")
     )
     li = load(spark, sf_dir, "lineitem").select("l_orderkey", "l_suppkey", "l_shipdate")
     late = li.join(o, li.l_orderkey == o.o_orderkey).filter(
@@ -379,9 +385,12 @@ def tpch_q21(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count_distinct("l_suppkey").alias("n_late_supps")
     )
     blamed = (
-        late.join(order_supps.filter(F.col("n_supps") >= 2), "l_orderkey")
+        late.join(
+            order_supps.filter(F.col("n_supps") >= 2).hint("shuffle_hash"),
+            "l_orderkey",
+        )
         .join(
-            late_supps.filter(F.col("n_late_supps") == 1),
+            late_supps.filter(F.col("n_late_supps") == 1).hint("shuffle_hash"),
             F.col("l_orderkey") == F.col("lk"),
         )
     )
