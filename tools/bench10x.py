@@ -140,7 +140,18 @@ def bench_spark() -> dict[str, float]:
     return timings
 
 
-def bench_duckdb() -> dict[str, float]:
+# one key's oracle may be catastrophically slower in DuckDB than the
+# Spark plan (first full run: graph_pagerank's unrolled-iteration SQL
+# re-joins the 70M-pair edge build per CTE reference and ran >35 min
+# before being cut). A capped key is recorded as its cap — a LOWER
+# bound on DuckDB's time, i.e. an upper bound favourable to DuckDB in
+# every ratio — and flagged in the artifact.
+DUCK_TIMEOUT_S = float(os.environ.get("BENCH10X_DUCK_TIMEOUT", "120"))
+
+
+def bench_duckdb(skip: dict[str, float] | None = None) -> tuple[dict[str, float], list[str]]:
+    import threading
+
     import duckdb
 
     con = duckdb.connect()
@@ -151,21 +162,36 @@ def bench_duckdb() -> dict[str, float]:
             f"read_parquet('{FIXTURE_DIR}/{t}.parquet/*.parquet')"
         )
 
-    def run_once(name: str) -> float:
+    def run_once(name: str) -> float | None:
+        """Seconds, or None if the per-key cap interrupted the query."""
+        timer = threading.Timer(DUCK_TIMEOUT_S, con.interrupt)
+        timer.start()
         t0 = time.perf_counter()
-        con.execute(f"SELECT count(*) FROM ({REGISTRY[name].oracle})").fetchone()
+        try:
+            con.execute(
+                f"SELECT count(*) FROM ({REGISTRY[name].oracle})"
+            ).fetchone()
+        except duckdb.Error:
+            return None
+        finally:
+            timer.cancel()
         return time.perf_counter() - t0
 
-    timings: dict[str, float] = {}
+    timings: dict[str, float] = dict(skip or {})
+    capped: list[str] = []
     for name, spec in REGISTRY.items():
-        if spec.oracle is None or (ONLY and name not in ONLY):
+        if spec.oracle is None or (ONLY and name not in ONLY) or name in timings:
             continue
         t = run_once(name)  # adaptive warm-then-time (same rule as Spark)
-        if t < 5.0:
+        if t is not None and t < 5.0:
             t = run_once(name)
+        if t is None:
+            capped.append(name)
+            t = DUCK_TIMEOUT_S
         timings[name] = round(t, 3)
-        print(f"duckdb {name}: {timings[name]} s", flush=True)
-    return timings
+        print(f"duckdb {name}: {timings[name]} s"
+              + (" (CAPPED)" if name in capped else ""), flush=True)
+    return timings, capped
 
 
 def main() -> int:
@@ -175,8 +201,26 @@ def main() -> int:
         out_path = args[args.index("--out") + 1]
     if "--only" in args:
         ONLY.extend(args[args.index("--only") + 1:])
-    spark_t = bench_spark()
-    duck_t = bench_duckdb()
+    # --resume-log FILE: reuse per-key lines ("spark NAME: T s" /
+    # "duckdb NAME: T s") from an interrupted run's log instead of
+    # re-timing those keys (the Spark sweep is ~25 min)
+    resumed_spark: dict[str, float] = {}
+    resumed_duck: dict[str, float] = {}
+    if "--resume-log" in args:
+        import re
+
+        for line in open(args[args.index("--resume-log") + 1]):
+            m = re.match(r"(spark|duckdb) (\S+): ([0-9.]+) s", line)
+            if m and m.group(2) in REGISTRY:
+                dest = resumed_spark if m.group(1) == "spark" else resumed_duck
+                dest[m.group(2)] = float(m.group(3))
+    if resumed_spark and len(resumed_spark) == len(REGISTRY):
+        spark_t = resumed_spark
+        if not os.path.exists(os.path.join(FIXTURE_DIR, "_done")):
+            raise SystemExit("resume log given but fixture is missing")
+    else:
+        spark_t = bench_spark()
+    duck_t, capped = bench_duckdb(skip=resumed_duck)
     oracle_keys = sorted(duck_t)
     ratios = {
         k: round(spark_t[k] / max(duck_t[k], 1e-9), 2) for k in oracle_keys
@@ -199,6 +243,10 @@ def main() -> int:
             "spark_all_keys": round(sum(spark_t.values()), 2),
             "n_oracle_keys": len(oracle_keys),
             "n_keys": len(spark_t),
+        },
+        "duckdb_capped_keys": {
+            k: f">= {DUCK_TIMEOUT_S} s (interrupted; ratio is an upper "
+               f"bound favourable to DuckDB)" for k in capped
         },
         "median_ratio": round(statistics.median(ratios.values()), 2),
         "ratios_over_2x": {
