@@ -32,16 +32,34 @@ def tfidf(df: DataFrame, id_col: str = "doc_id", text_col: str = "text") -> Data
     """Per-(doc, term) TF-IDF with the pinned smoothed formula
     ``tf * (ln((N+1)/(df+1)) + 1)`` (SURVEY.md §2.11 L7).
 
-    Three aggregations, all partial-aggregated before their shuffles;
-    the doc-frequency side is a small term-keyed table joined back on
-    the term key.
+    Shuffle shape (reworked round 8 after the 10x bench flagged
+    llm_keywords at 16.5x growth): ONE full-size exchange total. The
+    exploded terms are repartitioned on the doc key, which satisfies
+    the clustering requirement of BOTH the (doc, term) aggregation here
+    AND any downstream per-doc window (llm_keywords' top-k adds only a
+    local sort, no re-shuffle); the doc-frequency branch reuses the
+    same exchange (identical subplan -> ReuseExchange) and its own
+    term exchange carries only partial-aggregated vocab-sized rows,
+    which then come back as a broadcast join instead of re-shuffling
+    the full tf table by term. Old plan: 3 full-size exchanges
+    (explode agg, tf-by-term join, window-by-doc); new plan: 1.
+
+    The docfreq broadcast is vocab-bounded, not corpus-bounded —
+    Heaps'-law sub-linear in corpus size, the same driver-side df
+    vector Spark MLlib's own IDF collects. For an adversarial 100 TB
+    vocabulary (billions of junk unique tokens) swap the broadcast for
+    a plain shuffle join; the rest of the plan is unchanged.
     """
-    terms = tokenize(df, text_col).select(id_col, F.explode("tokens").alias("term"))
+    terms = (
+        tokenize(df, text_col)
+        .select(id_col, F.explode("tokens").alias("term"))
+        .repartition(F.col(id_col))
+    )
     tf = terms.groupBy(id_col, "term").agg(F.count(F.lit(1)).alias("tf"))
     docfreq = tf.groupBy("term").agg(F.count(F.lit(1)).alias("df"))
     n_docs = df.select(F.countDistinct(id_col).alias("n_docs"))
     return (
-        tf.join(docfreq, "term")
+        tf.join(F.broadcast(docfreq), "term")
         .crossJoin(F.broadcast(n_docs))
         .withColumn(
             "tfidf",

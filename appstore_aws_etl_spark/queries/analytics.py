@@ -1120,7 +1120,11 @@ def analytics_dau_wau(spark: SparkSession, sf_dir: str) -> DataFrame:
     into the 7 window-end days it contributes to* — a constant 7x
     fan-out that turns the trailing window into a plain equi-join/
     aggregation on the day key (the standard shift-and-union trick for
-    sliding distinct counts)."""
+    sliding distinct counts). The observed-day spine is day-grain
+    (bounded at ~365 rows/year forever) and is broadcast so the 7x
+    contribution stream never shuffles for the semijoin — the r7 10x
+    bench flagged this join re-bucketing the fan-out; broadcast A/B at
+    10x: 1.89 -> 1.12 s."""
     ev = load(spark, sf_dir, "events")
     daily = ev.select(
         F.date_trunc("day", F.col("ts")).alias("day"), "user_id"
@@ -1136,7 +1140,7 @@ def analytics_dau_wau(spark: SparkSession, sf_dir: str) -> DataFrame:
         "user_id",
     )
     wau = (
-        contrib.join(days, "day")
+        contrib.join(F.broadcast(days), "day")
         .groupBy("day")
         .agg(F.countDistinct("user_id").alias("wau"))
     )
@@ -2262,11 +2266,20 @@ def join_role_playing_dates(spark: SparkSession, sf_dir: str) -> DataFrame:
     under different roles (order date, ship date) — the star-schema
     pattern where a single conformed dimension serves many fact
     foreign keys via aliases instead of duplicated tables. Both roles
-    broadcast the same tiny spine; the fact side is scanned once."""
+    broadcast the same tiny spine; the fact side is scanned once.
+
+    The lineitem-orders equi-join is hinted shuffled-hash: neither
+    side's sort order is reusable downstream (the role joins are
+    broadcasts, the output unsorted), so sort-merge's two sorts buy
+    nothing — the r7/r8 pattern (join_multikey 5.6->1.1 s). 10x A/B:
+    SMJ 2.38 s / SHJ 1.95 s / broadcast-orders 2.33 s (the 1.5M-row
+    driver collect costs more than the shuffle it saves)."""
     li = load(spark, sf_dir, "lineitem").select(
         "l_orderkey", "l_linenumber", "l_shipdate"
     )
-    o = load(spark, sf_dir, "orders").select("o_orderkey", "o_orderdate")
+    o = load(spark, sf_dir, "orders").select("o_orderkey", "o_orderdate").hint(
+        "shuffle_hash"
+    )
     cal = (
         spark.range(1)
         .select(
