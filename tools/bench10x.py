@@ -44,8 +44,11 @@ from appstore_aws_etl_spark.schemas import TABLE_NAMES
 from appstore_aws_etl_spark.session import get_spark
 
 BASE_SF_DIR = os.environ.get("SF_DIR", "/root/testdata/sf0.1")
-FIXTURE_DIR = "/tmp/bench10x/x10"
+# --factor N (default 10) swaps in an N-x fixture: 100x (~2 GB) is the
+# round-8 tier where AQE skew splits and spill paths actually engage;
+# the replication scheme is identical at every factor.
 FACTOR = 10
+FIXTURE_DIR = f"/tmp/bench10x/x{FACTOR}"
 OFF = 10_000_000
 
 # key columns per table, all offset by copy * OFF (same offset per key
@@ -195,12 +198,17 @@ def bench_duckdb(skip: dict[str, float] | None = None) -> tuple[dict[str, float]
 
 
 def main() -> int:
+    global FACTOR, FIXTURE_DIR
     out_path = "BENCH10X_local.json"
     args = sys.argv[1:]
+    if "--factor" in args:
+        FACTOR = int(args[args.index("--factor") + 1])
+        FIXTURE_DIR = f"/tmp/bench10x/x{FACTOR}"
     if "--out" in args:
         out_path = args[args.index("--out") + 1]
     if "--only" in args:
-        ONLY.extend(args[args.index("--only") + 1:])
+        only_args = args[args.index("--only") + 1:]
+        ONLY.extend(a for a in only_args if not a.startswith("--"))
     # --resume-log FILE: reuse per-key lines ("spark NAME: T s" /
     # "duckdb NAME: T s") from an interrupted run's log instead of
     # re-timing those keys (the Spark sweep is ~25 min)
