@@ -19,6 +19,14 @@ def table_path(sf_dir: str, name: str) -> str:
     return os.path.join(sf_dir, f"{name}.parquet")
 
 
+# Per-session DataFrame memo: fixture tables are immutable, DataFrames
+# are immutable plan handles, and a 248-key sweep otherwise re-runs
+# file listing + parquet footer analysis ~500 times for the same ten
+# tables. Keyed by applicationId so a new session never sees a stale
+# handle; bounded at (sessions x sf_dirs x 10 tables) driver objects.
+_DF_MEMO: dict[tuple[str, str, str], DataFrame] = {}
+
+
 def load(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     """Typed columnar scan of one table (SURVEY.md §2.1 S5).
 
@@ -44,6 +52,18 @@ def load(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     # matter what session the caller provides (runtime conf, safe to
     # set repeatedly)
     spark.conf.set("spark.sql.session.timeZone", "UTC")
+    memo_key = (
+        spark.sparkContext.applicationId, os.path.abspath(sf_dir), name
+    )
+    hit = _DF_MEMO.get(memo_key)
+    if hit is not None:
+        return hit
+    df = _load_uncached(spark, sf_dir, name)
+    _DF_MEMO[memo_key] = df
+    return df
+
+
+def _load_uncached(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     from pyspark.sql import functions as F
 
     if name == "events":
@@ -74,7 +94,18 @@ def _normalize_ntz(df: DataFrame) -> DataFrame:
     return df
 
 
+# current view target per (applicationId, view name) -> sf_dir, so a
+# repeat registration for the SAME data is a no-op but switching the
+# session to another scale factor still re-points every view
+_VIEW_STATE: dict[tuple[str, str], str] = {}
+
+
 def register_views(spark: SparkSession, sf_dir: str, names: list[str] | None = None) -> None:
     """Register temp views so queries can be expressed in Spark SQL."""
+    app = spark.sparkContext.applicationId
+    target = os.path.abspath(sf_dir)
     for name in names or TABLE_NAMES:
+        if _VIEW_STATE.get((app, name)) == target:
+            continue
         load(spark, sf_dir, name).createOrReplaceTempView(name)
+        _VIEW_STATE[(app, name)] = target

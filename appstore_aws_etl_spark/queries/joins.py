@@ -288,14 +288,21 @@ def join_asof(spark: SparkSession, sf_dir: str) -> DataFrame:
 def join_multikey(spark: SparkSession, sf_dir: str) -> DataFrame:
     """J12 composite-key equi-join (both key columns drive one shuffle).
 
-    shuffle_hash on the build side: the composite key is unique and
-    uniform, so the sort-merge default would pay two full sorts of the
-    fact table for nothing (measured 5.6 s -> 1.1 s at 10x sf0.1).
-    """
+    No static join hint (round 8, reverting r7's shuffle_hash): BOTH
+    sides are the full-width fact table, so an unconditional SHJ hint
+    means an unbounded per-partition hash-map build — it OOM'd at the
+    100x tier (16 partitions x ~400 MB build maps; SparkOutOfMemoryError
+    "not enough memory to build hash map"). The session instead enables
+    AQE's shuffleHashJoinLocalMapThreshold, which makes the SMJ->SHJ
+    switch from OBSERVED partition sizes: at 10x (12 MB partitions) the
+    sorts are dropped exactly as the r7 hint did (~1.1 s); at 100x the
+    join stays sort-merge and spills instead of dying. 1x AQE-off A/B:
+    SMJ 0.89 s vs SHJ 0.72 s — floor-dominated either way (the r7
+    "5.6 s" SMJ reading was sweep contention)."""
     li = load(spark, sf_dir, "lineitem")
     a = li.select("l_orderkey", "l_linenumber", "l_quantity")
     b = li.select("l_orderkey", "l_linenumber", "l_extendedprice")
-    return a.join(b.hint("shuffle_hash"), on=["l_orderkey", "l_linenumber"]).select(
+    return a.join(b, on=["l_orderkey", "l_linenumber"]).select(
         "l_orderkey", "l_linenumber", "l_quantity", "l_extendedprice"
     )
 

@@ -46,7 +46,27 @@ def get_spark(
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
         .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "8g"))
         .config("spark.ui.enabled", "false")
-        .config("spark.sql.autoBroadcastJoinThreshold", str(64 * 1024 * 1024))
+        # Spark's default 10 MB implicit-broadcast threshold, on purpose
+        # (rounds 1-7 ran 64 MB, and the round-8 100x tier caught the
+        # footgun: size estimates are parquet-COMPRESSED bytes, so a
+        # 6M-row projected fact side "fit" and Catalyst broadcast it —
+        # 5.1 s vs 1.1 s at 10x, and a guaranteed driver OOM at real
+        # scale). Genuine dimensions are explicitly F.broadcast()'d at
+        # ~65 sites; implicit broadcasts stay for provably tiny sides.
+        .config("spark.sql.autoBroadcastJoinThreshold", str(10 * 1024 * 1024))
+        # Runtime-safe SMJ -> shuffled-hash conversion under AQE: when
+        # every post-shuffle partition is observed (not estimated)
+        # under this threshold, the sort pair is dropped for a local
+        # hash build; above it the join stays sort-merge, which spills
+        # gracefully where an unconditional SHJ hint OOMs building its
+        # hash map (join_multikey at the 100x tier, round 8). Static
+        # shuffle_hash hints remain only where the build side is a
+        # narrow aggregate/signature table bounded well below task
+        # memory at any scale under partition discipline.
+        .config(
+            "spark.sql.adaptive.shuffleHashJoinLocalMapThreshold",
+            str(64 * 1024 * 1024),
+        )
     )
     if extra_conf:
         for k, v in extra_conf.items():

@@ -37,7 +37,7 @@ def test_bucketed_join_has_no_exchange(spark, sf_dir):
         plain = orders.join(lineitem, "o_orderkey")
         assert joined.count() == plain.count()
     finally:
-        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", str(64 * 1024 * 1024))
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", str(10 * 1024 * 1024))
         spark.sql("DROP TABLE IF EXISTS orders_b")
         spark.sql("DROP TABLE IF EXISTS lineitem_b")
 
@@ -93,7 +93,7 @@ def test_dynamic_partition_pruning(spark, sf_dir, tmp_path):
         part_lines = [ln for ln in static_plan.splitlines() if "PartitionFilters" in ln]
         assert any("= 1996" in ln for ln in part_lines)
     finally:
-        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", str(64 * 1024 * 1024))
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", str(10 * 1024 * 1024))
         spark.conf.set(
             "spark.sql.optimizer.dynamicPartitionPruning.reuseBroadcastOnly", "true"
         )
