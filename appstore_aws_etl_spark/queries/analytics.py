@@ -498,12 +498,15 @@ def tpch_q4(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     Scale shape: the EXISTS is one semi join on l_orderkey — lineitem
     never materializes per-order duplicates, and the tiny priority
-    aggregation follows. shuffle_hash on the probe/build side: the
-    per-order fanout is small and uniform, so SMJ's full sorts of both
-    sides bought nothing (measured 4.2 -> 1.0 s at 10x sf0.1; SHJ
-    spills per-partition if misestimated, degrading gracefully)."""
+    aggregation follows. r7's static shuffle_hash hint removed in r8:
+    the build side is the raw fact projection (the join_multikey
+    OOM class at the 100x tier); with the session's AQE
+    shuffleHashJoinLocalMapThreshold the hash build returns whenever
+    observed partitions are small — 10x A/B unhinted 1.10 s vs hinted
+    1.00 s, inside noise, so the hint bought nothing but the OOM
+    risk."""
     o = load(spark, sf_dir, "orders")
-    li = load(spark, sf_dir, "lineitem").hint("shuffle_hash")
+    li = load(spark, sf_dir, "lineitem")
     hit = o.join(
         li,
         (li.l_orderkey == o.o_orderkey)
@@ -1479,10 +1482,12 @@ def analytics_market_basket(spark: SparkSession, sf_dir: str) -> DataFrame:
     n_orders = li.agg(F.countDistinct("l_orderkey").alias("n_orders"))
     freq = op.groupBy("l_partkey").agg(F.count(F.lit(1)).alias("cnt"))
     a = op.alias("a")
-    # shuffle_hash: bounded uniform fanout on the order key — skips
-    # SMJ's sort of both sides (same rationale/measurement as the
-    # graph family's pair joins, queries/graph.py)
-    b = op.alias("b").hint("shuffle_hash")
+    # r8: no static shuffle_hash — the build side is the full distinct
+    # (order, part) pair table (linear in the fact, the join_multikey
+    # 100x OOM class), and under the session's AQE hash-conversion
+    # threshold the unhinted plan measured FASTER at 10x (3.17 s vs
+    # 4.98 s hinted)
+    b = op.alias("b")
     pairs = (
         a.join(b, (F.col("a.l_orderkey") == F.col("b.l_orderkey")) & (F.col("a.l_partkey") < F.col("b.l_partkey")))
         .groupBy(F.col("a.l_partkey").alias("part_a"), F.col("b.l_partkey").alias("part_b"))

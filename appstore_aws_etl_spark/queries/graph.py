@@ -80,15 +80,15 @@ def graph_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     # data — the mirror union is a zero-shuffle projection (measured
     # 5.4 -> 4.0 s at sf0.1; at 100 TB it halves the dominant
     # pair-generation exchange)
-    # shuffle_hash: the probe/build key is l_orderkey with bounded,
-    # uniform fanout (items per order), so the per-partition build
-    # table is rows/partitions and configurable — and SHJ skips SMJ's
-    # sort of BOTH 600k-row sides (measured 2.2 -> 1.4 s for
-    # pair+distinct at sf0.1; Spark 3.1+ SHJ spills if a partition
-    # misestimates, so the hint degrades gracefully at scale)
+    # r8: static shuffle_hash removed — the build side is the raw
+    # (order, part) fact projection (the join_multikey 100x OOM class:
+    # SHJ's hash-map build is unbounded in data-per-partition where
+    # SMJ spills); the session's AQE conversion threshold restores the
+    # hash build from observed sizes when safe, and the unhinted plan
+    # measured equal-or-faster at 10x (2.69 s vs 2.88 s hinted)
     canon = (
         a.join(
-            b.hint("shuffle_hash"),
+            b,
             (F.col("a.l_orderkey") == F.col("b.l_orderkey"))
             & (F.col("a.l_partkey") < F.col("b.l_partkey")),
         )
@@ -143,11 +143,12 @@ def _weighted_copurchase_edges(spark: SparkSession, sf_dir: str, min_support: in
     li = load(spark, sf_dir, "lineitem")
     op = li.select("l_orderkey", "l_partkey").distinct()
     a, b = op.alias("a"), op.alias("b")
-    # shuffle_hash for the same reason as graph_pagerank's pair join:
-    # bounded uniform fanout on the join key, no sort of either side
+    # r8: unhinted for the same reason as graph_pagerank's pair join —
+    # raw-fact build side; AQE's observed-size conversion threshold
+    # decides the hash build instead of a static hint
     return (
         a.join(
-            b.hint("shuffle_hash"),
+            b,
             (F.col("a.l_orderkey") == F.col("b.l_orderkey"))
             & (F.col("a.l_partkey") < F.col("b.l_partkey")),
         )
