@@ -99,3 +99,26 @@ def test_no_pinned_cache_entries_session_wide(spark, plans):
         "a registry query pinned a DataFrame in the CacheManager "
         "(df.cache()/persist() without unpersist)"
     )
+
+
+def test_session_scale_safety_confs():
+    """Pin the round-8 scale-safety session defaults so they cannot
+    silently regress:
+
+    * implicit broadcast threshold at Spark's 10 MB default — the 100x
+      tier showed a 64 MB threshold lets parquet-COMPRESSED size
+      estimates implicitly broadcast multi-million-row fact
+      projections (5.1 s vs 1.1 s at 10x; a driver OOM at scale);
+    * AQE's observed-size SMJ->SHJ conversion enabled at 64 MB — the
+      replacement for static shuffle_hash hints on unbounded build
+      sides (an unconditional hint OOM'd join_multikey's hash-map
+      build at the 100x tier, where sort-merge spills gracefully).
+    """
+    from appstore_aws_etl_spark.session import get_spark
+
+    s = get_spark("conf_pin_test")
+    assert s.conf.get("spark.sql.autoBroadcastJoinThreshold") == str(10 * 1024 * 1024)
+    assert s.conf.get(
+        "spark.sql.adaptive.shuffleHashJoinLocalMapThreshold"
+    ) == str(64 * 1024 * 1024)
+    assert s.conf.get("spark.sql.adaptive.enabled") == "true"
