@@ -355,6 +355,164 @@ def ivf_knn(
     )
 
 
+# product-quantization codebooks: [block][code] -> subvector
+PQCodebooks = list[list[list[float]]]
+
+
+def _normalized(vec_col: str):
+    """Unit-L2 normalization as a pure JVM expression (so PQ's L2
+    asymmetric distances become a monotone proxy for cosine:
+    ||a-b||^2 = 2 - 2*cos(a,b) on unit vectors)."""
+    v = F.col(vec_col)
+    norm = F.sqrt(F.aggregate(v, F.lit(0.0), lambda a, x: a + x * x))
+    return F.transform(v, lambda x: x / norm)
+
+
+def train_pq(
+    df: DataFrame,
+    m: int = 8,
+    k_codes: int = 16,
+    iterations: int = 2,
+    vec_col: str = "embedding",
+    seed: int = 42,
+) -> PQCodebooks:
+    """Product-quantizer training (Jegou et al. 2011, "Product
+    Quantization for Nearest Neighbor Search"): split every unit-
+    normalized vector into ``m`` contiguous subvectors and Lloyd-train
+    an independent ``k_codes``-entry codebook per block.
+
+    Scale shape mirrors train_centroids but trains ALL m codebooks in
+    ONE scan per iteration: encode is a shuffle-free projection
+    (codebook tensor in the task closure), and the means update is a
+    single posexplode aggregation on (block, code, in-block position)
+    that collects exactly m x k x (dim/m) scalars — parameters, never
+    data. Init is a seeded deterministic sample of k_codes vectors
+    (the same xxhash64 TakeOrdered trick as train_centroids), sliced
+    per block."""
+    dim = df.select(F.size(vec_col).alias("d")).limit(1).collect()[0]["d"]
+    if dim % m:
+        raise ValueError(f"dim {dim} not divisible by m={m} blocks")
+    sub = dim // m
+    init = (
+        df.select(_normalized(vec_col).alias("v"))
+        .orderBy(F.xxhash64(F.col("v").cast("string"), F.lit(seed)))
+        .limit(k_codes)
+        .collect()
+    )
+    books: PQCodebooks = [
+        [[float(x) for x in r["v"][j * sub:(j + 1) * sub]] for r in init]
+        for j in range(m)
+    ]
+    for _ in range(iterations):
+        enc = pq_encode(df, books, vec_col=vec_col, out_col="__codes")
+        rows = (
+            enc.select(
+                F.col("__codes").alias("c"),
+                F.posexplode(_normalized(vec_col)).alias("pos", "x"),
+            )
+            .select(
+                F.expr(f"cast(pos / {sub} as int)").alias("blk"),
+                F.expr(f"c[cast(pos / {sub} as int)]").alias("code"),
+                F.expr(f"pos % {sub}").alias("posw"),
+                "x",
+            )
+            .groupBy("blk", "code", "posw")
+            .agg(F.avg("x").alias("mval"))
+            .collect()
+        )
+        upd: dict[tuple[int, int], dict[int, float]] = {}
+        for r in rows:
+            upd.setdefault((r["blk"], r["code"]), {})[r["posw"]] = float(r["mval"])
+        for (j, c), d in upd.items():
+            books[j][c] = [d[p] for p in range(sub)]
+    return books
+
+
+def pq_encode(
+    df: DataFrame,
+    codebooks: PQCodebooks,
+    vec_col: str = "embedding",
+    out_col: str = "pq_codes",
+) -> DataFrame:
+    """Compress each vector to ``m`` small-int codes — a shuffle-free
+    projection with the codebook tensor in the task closure (the same
+    broadcast-parameters pattern as assign_to_centroids). At dim=64
+    float32 -> 8 codes this is a 32x memory/bandwidth compression;
+    the compressed column is what a deployed index scans. Ties resolve
+    to the smallest code id (argmin first-hit)."""
+    m = len(codebooks)
+    sub = len(codebooks[0][0])
+    tensor = np.array(codebooks, dtype="float64")  # (m, k, sub)
+
+    @F.pandas_udf("array<int>")
+    def encode(emb: pd.Series) -> pd.Series:
+        x = np.stack(emb.to_numpy()).astype("float64")
+        x = x / np.linalg.norm(x, axis=1, keepdims=True)
+        blocks = x.reshape(len(x), m, sub)  # (n, m, sub)
+        # (n, m, k) squared distances per block, argmin over codes
+        d2 = ((blocks[:, :, None, :] - tensor[None, :, :, :]) ** 2).sum(axis=3)
+        codes = d2.argmin(axis=2).astype("int32")
+        return pd.Series(list(codes))
+
+    return df.withColumn(out_col, encode(F.col(vec_col)))
+
+
+def pq_knn(
+    df: DataFrame,
+    query_vec: list[float],
+    k: int = 10,
+    rerank_factor: int = 5,
+    m: int = 8,
+    k_codes: int = 16,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    codebooks: PQCodebooks | None = None,
+) -> DataFrame:
+    """L4 compressed-domain path: asymmetric-distance (ADC) top
+    ``rerank_factor*k`` over PQ codes, then exact cosine rerank of the
+    candidates only.
+
+    Scale shape: the scan side touches only the m-byte code column —
+    the query's per-block lookup table (m x k_codes floats) ships as a
+    literal and scoring is pure JVM ``zip_with``/``aggregate`` (no
+    Python in the scan path; pq_encode is the one Arrow-batched
+    projection, precomputed in a deployed index). Candidate selection
+    is TakeOrderedAndProject (O(rerank_factor*k) memory) and the exact
+    rerank runs on that bounded candidate set, never the corpus."""
+    if codebooks is None:
+        codebooks = train_pq(df, m=m, k_codes=k_codes, vec_col=vec_col)
+    m = len(codebooks)
+    q = np.array([float(x) for x in query_vec], dtype="float64")
+    q = q / np.linalg.norm(q)
+    sub = len(codebooks[0][0])
+    lut = [
+        [
+            float(((q[j * sub:(j + 1) * sub] - np.array(code)) ** 2).sum())
+            for code in codebooks[j]
+        ]
+        for j in range(m)
+    ]
+    lut_col = F.array(*[F.array(*[F.lit(v) for v in row]) for row in lut])
+    enc = pq_encode(df, codebooks, vec_col=vec_col)
+    adc = F.aggregate(
+        F.zip_with(F.col("pq_codes"), lut_col, lambda c, row: F.get(row, c)),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+    qlit = F.array(*[F.lit(float(x)) for x in query_vec])
+    return (
+        enc.withColumn("__adc", adc)
+        .orderBy(F.col("__adc"), F.col(id_col))
+        .limit(rerank_factor * k)
+        .withColumn(
+            "score", F.round(cosine_score(F.col(vec_col), qlit), 4) + F.lit(0.0)
+        )
+        .select(id_col, "score")
+        .orderBy(F.col("score").desc(), F.col(id_col))
+        .limit(k)
+    )
+
+
 def label_centroids(df: DataFrame, vec_col: str = "embedding", label_col: str = "label") -> DataFrame:
     """Per-label element-wise mean vector (cluster centroid), emitted in
     exploded (label, dim, centroid) form.

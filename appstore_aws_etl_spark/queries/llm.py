@@ -251,6 +251,23 @@ def llm_knn_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
     return ivf_knn(emb, qvec, k=10, n_centroids=8, nprobe=3)
 
 
+@query("llm_knn_pq", oracle=None, tags=("llm", "similarity", "approx"))
+def llm_knn_pq(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """L4 compressed-domain path: product-quantization ANN (Jegou et
+    al. 2011) — vectors compressed 32x to 8 codebook codes, asymmetric-
+    distance top-50 scored entirely JVM-side from an m x k lookup-table
+    literal over the code column, exact cosine rerank of those 50 only.
+    The memory-bandwidth story IS the operator: a 100 TB embedding
+    corpus becomes ~3 TB of codes, and the ADC scan reads nothing else.
+    Approx -> rows-only; recall vs brute force unit-tested
+    (tests/test_llm.py::test_pq_recall_vs_brute_force)."""
+    from ..llm.similarity import pq_knn
+
+    emb = load(spark, sf_dir, "embeddings")
+    qvec = emb.filter(F.col("vec_id") == 0).select("embedding").collect()[0][0]
+    return pq_knn(emb, qvec, k=10, rerank_factor=5, m=8, k_codes=16)
+
+
 @query(
     "llm_sim_join",
     oracle="""
