@@ -1,0 +1,43 @@
+"""Shared lineage-truncation checkpoint policy.
+
+Every iterative/reused-subtree operator in this repo truncates lineage
+with a LAZY ``localCheckpoint`` (materialized by the first action that
+needs it, blocks ContextCleaner-released on GC — the established
+pattern documented in operators/labelprop.py).
+
+Round 8 pinned the STORAGE LEVEL after the 100x tier found the default
+one is a scale landmine: ``Dataset.localCheckpoint`` stores
+MEMORY_AND_DISK **deserialized**, so a checkpointed 180M-row edge
+relation (graph_pagerank at 100x) unrolls as JVM row objects — it
+OOM'd a 8 GB heap and STILL OOM'd at 24 GB, because concurrent
+partition unrolls need the deserialized footprint in memory before
+anything can spill. ``StorageLevel.MEMORY_AND_DISK`` (the PySpark
+constant with ``deserialized=False``) stores the compact serialized
+row batches instead and spills them to disk under pressure: the same
+checkpoint materializes in bounded memory at ANY data size.
+
+Measured trade (interleaved A/B at driver bench config, sf0.1):
+graph_pagerank 4.86 s serialized vs 3.70 s deserialized — its
+checkpoint is re-read four times (3 iterations + the n_nodes count)
+and each read pays a deserialization pass; llm_dedup_survivors shows
+no difference (3.94 vs 4.13, noise). Accepted deliberately: +1.2 s on
+one key at 20 MB buys the operator COMPLETING at 100x (124 s) where
+the deserialized level hard-OOMs the JVM, and a 100 TB-first engine
+prices robustness above micro-bench latency. On a cluster the relation
+is sliced across executors and either level fits; the serialized level
+is the one that also degrades gracefully on a single fat node.
+"""
+
+from __future__ import annotations
+
+from pyspark import StorageLevel
+from pyspark.sql import DataFrame
+
+# PySpark's MEMORY_AND_DISK has deserialized=False (serialized bytes);
+# the JVM-default deserialized variant is MEMORY_AND_DISK_DESER.
+CHECKPOINT_LEVEL = StorageLevel.MEMORY_AND_DISK
+
+
+def lazy_checkpoint(df: DataFrame) -> DataFrame:
+    """Lazy localCheckpoint at the repo-wide serialized storage level."""
+    return df.localCheckpoint(eager=False, storageLevel=CHECKPOINT_LEVEL)

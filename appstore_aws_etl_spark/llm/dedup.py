@@ -20,6 +20,7 @@ import pandas as pd
 
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
+from ..ckpt import CHECKPOINT_LEVEL
 
 # fixed seeds -> reproducible permutations (any change is a breaking
 # change to persisted signatures). Base hash is 32-bit murmur3 and the
@@ -118,7 +119,7 @@ def minhash_near_dup_pairs(
     # when this frame is GC'd instead of pinned in the CacheManager for
     # the life of the session (at 100 TB this table would be
     # checkpointed to durable storage)
-    sigs = minhash_signatures(df, id_col, text_col, num_hashes, shingle_k).localCheckpoint(eager=False)
+    sigs = minhash_signatures(df, id_col, text_col, num_hashes, shingle_k).localCheckpoint(eager=False, storageLevel=CHECKPOINT_LEVEL)
     banded = sigs.select(
         id_col,
         F.posexplode(
@@ -274,7 +275,7 @@ def ngram_jaccard_pairs(
         id_col,
         *scope_cols,
         F.explode(F.array_distinct(gram_arr)).alias("gram"),
-    ).localCheckpoint(eager=False)
+    ).localCheckpoint(eager=False, storageLevel=CHECKPOINT_LEVEL)
     if df_cap is not None:
         hot = (
             grams.groupBy(*scope_cols, "gram")
@@ -284,7 +285,7 @@ def ngram_jaccard_pairs(
         )
         grams = grams.join(
             F.broadcast(hot), on=[*scope_cols, "gram"], how="left_anti"
-        ).localCheckpoint(eager=False)
+        ).localCheckpoint(eager=False, storageLevel=CHECKPOINT_LEVEL)
     sizes = grams.groupBy(id_col, *scope_cols).agg(F.count(F.lit(1)).alias("n_grams"))
     a = grams.select(*scope_cols, F.col(id_col).alias("id_a"), "gram")
     b = grams.select(*scope_cols, F.col(id_col).alias("id_b"), "gram")
@@ -356,7 +357,7 @@ def cross_split_contamination(
         id_col,
         key_hash(id_col).alias("__bucket"),
         F.explode(F.array_distinct(gram_arr)).alias("gram"),
-    ).localCheckpoint(eager=False)
+    ).localCheckpoint(eager=False, storageLevel=CHECKPOINT_LEVEL)
     train_grams = (
         grams.filter(F.col("__bucket") < train_max_bucket).select("gram").distinct()
     )
@@ -399,7 +400,7 @@ def connected_dedup_clusters(
 
     fp = df.select(
         F.col(id_col).alias("node"), F.md5(F.col(text_col)).alias("__fp")
-    ).localCheckpoint(eager=False)
+    ).localCheckpoint(eager=False, storageLevel=CHECKPOINT_LEVEL)
     w = Window.partitionBy("__fp").orderBy("node")
     chain = fp.withColumn("__prev", F.lag("node").over(w))
     edges = chain.filter(F.col("__prev").isNotNull()).select(
@@ -407,7 +408,7 @@ def connected_dedup_clusters(
     )
     und = edges.union(
         edges.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
-    ).localCheckpoint(eager=False)
+    ).localCheckpoint(eager=False, storageLevel=CHECKPOINT_LEVEL)
     labels = fp.select("node", F.col("node").alias("cluster_id"))
     labels = propagate_min_labels(
         und, labels, "node", "cluster_id", max_rounds=max_rounds

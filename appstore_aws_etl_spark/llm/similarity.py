@@ -30,6 +30,7 @@ import pandas as pd
 
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
+from ..ckpt import CHECKPOINT_LEVEL
 
 # fixed seed -> reproducible hyperplanes (changing it invalidates any
 # persisted signatures, same contract as the MinHash seeds)
@@ -117,7 +118,7 @@ def lsh_candidate_pairs(
         F.posexplode(
             hyperplane_band_buckets(F.col(vec_col), n_planes, bands, seed)
         ).alias("band", "bucket"),
-    ).localCheckpoint(eager=False)
+    ).localCheckpoint(eager=False, storageLevel=CHECKPOINT_LEVEL)
     a = banded.select(F.col(id_col).alias("id_a"), "band", "bucket")
     b = banded.select(F.col(id_col).alias("id_b"), "band", "bucket")
     return (

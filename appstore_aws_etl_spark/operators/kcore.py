@@ -22,6 +22,7 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
+from ..ckpt import CHECKPOINT_LEVEL
 
 
 def kcore_nodes(
@@ -63,7 +64,7 @@ def kcore_nodes(
         nxt = (
             alive.join(keep, "src", "left_semi")
             .join(keep.select(F.col("src").alias("dst")), "dst", "left_semi")
-            .localCheckpoint(eager=False)
+            .localCheckpoint(eager=False, storageLevel=CHECKPOINT_LEVEL)
         )
         n_edges = nxt.count()
         alive = nxt

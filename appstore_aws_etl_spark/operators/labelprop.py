@@ -32,6 +32,7 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
+from ..ckpt import CHECKPOINT_LEVEL
 
 
 def propagate_min_labels(
@@ -112,7 +113,7 @@ def propagate_min_labels(
                 F.least(label_col, F.coalesce("__pl", label_col)).alias(label_col),
                 "__old",
             )
-            .localCheckpoint(eager=False)
+            .localCheckpoint(eager=False, storageLevel=CHECKPOINT_LEVEL)
         )
         changed = nxt.filter(F.col(label_col) != F.col("__old")).count()
         labels = nxt.select(node_col, label_col)

@@ -24,6 +24,7 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
+from ..ckpt import CHECKPOINT_LEVEL
 
 
 def partitioned_prefix_sum(
@@ -46,7 +47,7 @@ def partitioned_prefix_sum(
     # the offsets (observed on the prefix-max sibling)
     with_pid = ranged.withColumn(
         "_pid", F.spark_partition_id()
-    ).localCheckpoint(eager=False)
+    ).localCheckpoint(eager=False, storageLevel=CHECKPOINT_LEVEL)
     w_off = Window.orderBy("_pid").rowsBetween(Window.unboundedPreceding, -1)
     offsets = (
         with_pid.groupBy("_pid")
@@ -91,7 +92,7 @@ def partitioned_prefix_max(
     # subtrees must see ONE pid assignment
     with_pid = ranged.withColumn(
         "_pid", F.spark_partition_id()
-    ).localCheckpoint(eager=False)
+    ).localCheckpoint(eager=False, storageLevel=CHECKPOINT_LEVEL)
     w_off = Window.orderBy("_pid").rowsBetween(Window.unboundedPreceding, -1)
     offsets = (
         with_pid.groupBy("_pid")

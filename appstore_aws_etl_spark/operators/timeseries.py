@@ -18,6 +18,7 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
+from ..ckpt import CHECKPOINT_LEVEL
 
 
 def gapfill_rollup(
@@ -223,7 +224,7 @@ def _ewma_segmented(
         base.repartition(F.col(key), F.col("__seg"))
         .sortWithinPartitions(*sort_cols)
         .mapInPandas(local, schema=local_schema)
-        .localCheckpoint(eager=False)
+        .localCheckpoint(eager=False, storageLevel=CHECKPOINT_LEVEL)
     )
 
     summ = part1.groupBy(key, "__seg").agg(

@@ -17,6 +17,7 @@ from ..operators.scd import scd2_apply, snapshot_diff
 from ..operators.timeseries import gapfill_rollup
 from ..operators.upsert import merge_upsert
 from ..registry import query, sql_query
+from ..ckpt import CHECKPOINT_LEVEL
 
 
 def _net(col_price="l_extendedprice", col_disc="l_discount"):
@@ -1799,7 +1800,7 @@ def sub_recursive_hierarchy(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.when(F.floor((F.col("p_partkey") - 1) / 7) == 0, F.col("p_partkey")).alias(
             "top_branch"
         ),
-    ).localCheckpoint(eager=True)
+    ).localCheckpoint(eager=True, storageLevel=CHECKPOINT_LEVEL)
     # Pointer doubling covers 2^k ancestors after k rounds, so 64
     # rounds suffice for any acyclic hierarchy that fits in a long.
     # A CYCLE in the parent relation (possible for FK-sourced
@@ -1825,7 +1826,7 @@ def sub_recursive_hierarchy(spark: SparkSession, sf_dir: str) -> DataFrame:
             # lazy checkpoint: the advanced-count below materializes the
             # checkpoint blocks, so each round is ONE job (see
             # operators/labelprop.py for the same pattern + rationale)
-        ).localCheckpoint(eager=False)
+        ).localCheckpoint(eager=False, storageLevel=CHECKPOINT_LEVEL)
         advanced = stepped.filter(F.col("__advanced")).count()
         ptr = stepped.drop("__advanced")
         if advanced == 0:

@@ -22,6 +22,7 @@ from pyspark.sql import functions as F
 
 from ..catalog import load
 from ..registry import query
+from ..ckpt import CHECKPOINT_LEVEL
 
 _DAMP = 0.85
 
@@ -110,7 +111,7 @@ def graph_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     # keeps the repeated subtree out of each iteration's analyzed plan.
     messages = edges.withColumn(
         "d", F.count(F.lit(1)).over(Window.partitionBy("src"))
-    ).localCheckpoint(eager=False)
+    ).localCheckpoint(eager=False, storageLevel=CHECKPOINT_LEVEL)
     n_nodes = messages.select("src").distinct().count()  # parameter-only collect
     pr = messages.select(F.col("src").alias("node")).distinct().withColumn(
         "pr", F.lit(1.0) / F.lit(float(n_nodes))
@@ -203,7 +204,7 @@ def graph_connected_components(spark: SparkSession, sf_dir: str) -> DataFrame:
     edges = _weighted_copurchase_edges(spark, sf_dir, min_support=3)
     und = edges.union(
         edges.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
-    ).localCheckpoint(eager=False)
+    ).localCheckpoint(eager=False, storageLevel=CHECKPOINT_LEVEL)
     labels = und.select(F.col("src").alias("node")).distinct().withColumn(
         "component", F.col("node")
     )
@@ -240,7 +241,7 @@ def graph_triangle_count(spark: SparkSession, sf_dir: str) -> DataFrame:
     iterator with degree-ordered direction). At scale the wedge fanout
     is bounded by orienting edges toward higher degree, which this
     ordering approximates for free on hash-distributed ids."""
-    e = _weighted_copurchase_edges(spark, sf_dir, min_support=2).localCheckpoint(eager=False)
+    e = _weighted_copurchase_edges(spark, sf_dir, min_support=2).localCheckpoint(eager=False, storageLevel=CHECKPOINT_LEVEL)
     ab, bc, ac = e.alias("ab"), e.alias("bc"), e.alias("ac")
     tri = (
         ab.join(bc, F.col("ab.dst") == F.col("bc.src"))

@@ -12,6 +12,7 @@ from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from ..catalog import load
+from ..ckpt import CHECKPOINT_LEVEL
 from ..llm.dedup import (
     exact_dedup,
     minhash_near_dup_pairs,
@@ -1527,7 +1528,7 @@ def llm_dedup_survivors(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     und = pairs.union(
         pairs.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
-    ).localCheckpoint(eager=False)
+    ).localCheckpoint(eager=False, storageLevel=CHECKPOINT_LEVEL)
     # seed each node with min(self, min neighbour) — one grouped min
     # over the edge set, equivalent to pre-running one relax round but
     # without its compress join and convergence-count job. Near-dup

@@ -107,7 +107,11 @@ def build_fixture(spark) -> str:
 ONLY: list[str] = []  # --only k1 k2 ... restricts both sweeps (smoke)
 
 
-def bench_spark() -> dict[str, float]:
+def bench_spark(skip: dict[str, float] | None = None) -> dict[str, float]:
+    """``skip``: per-key timings resumed from a prior run's log (same
+    contract as bench_duckdb's) — those keys are recorded verbatim and
+    not re-timed, so an interrupted sweep finishes instead of paying
+    the whole Spark phase again."""
     spark = get_spark(
         "bench10x",
         shuffle_partitions=int(os.environ.get("SPARK_GRAFT_SHUFFLE", "16")),
@@ -122,10 +126,10 @@ def bench_spark() -> dict[str, float]:
 
     run_once("agg_group")  # JVM/codegen warm
     run_once("udf_pandas")  # Python/Arrow worker pool warm
-    timings: dict[str, float] = {}
+    timings: dict[str, float] = dict(skip or {})
     rerun_budget = 40
     for name in REGISTRY:
-        if ONLY and name not in ONLY:
+        if (ONLY and name not in ONLY) or name in timings:
             continue
         # adaptive warm-then-time: a first run over 5 s dwarfs the 1-3 s
         # one-time codegen constant, so recording it is honest and
@@ -222,12 +226,17 @@ def main() -> int:
             if m and m.group(2) in REGISTRY:
                 dest = resumed_spark if m.group(1) == "spark" else resumed_duck
                 dest[m.group(2)] = float(m.group(3))
-    if resumed_spark and len(resumed_spark) == len(REGISTRY):
-        spark_t = resumed_spark
+    want = [k for k in REGISTRY if not ONLY or k in ONLY]
+    # a resume log may carry keys outside this invocation's --only set;
+    # they must not leak into the artifact's totals
+    resumed_spark = {k: v for k, v in resumed_spark.items() if k in want}
+    resumed_duck = {k: v for k, v in resumed_duck.items() if k in want}
+    if resumed_spark and all(k in resumed_spark for k in want):
+        spark_t = {k: resumed_spark[k] for k in want}
         if not os.path.exists(os.path.join(FIXTURE_DIR, "_done")):
             raise SystemExit("resume log given but fixture is missing")
     else:
-        spark_t = bench_spark()
+        spark_t = bench_spark(skip=resumed_spark)
     duck_t, capped = bench_duckdb(skip=resumed_duck)
     oracle_keys = sorted(duck_t)
     ratios = {
