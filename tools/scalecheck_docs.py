@@ -101,7 +101,13 @@ def main() -> int:
     if "--out" in args:
         out_path = args[args.index("--out") + 1]
     spark = get_spark("scalecheck-docs")
-    all_tiers = TIERS + (DEEP_TIER,)
+    # --no-deep: skip the 100x duplicate-density tier. That tier is
+    # OUTPUT-bound by construction (every base doc becomes a 100-clique,
+    # so true pair output grows ~100x vs the 10x tier) — it measures
+    # pair materialization walltime, not plan shape, and runs for tens
+    # of minutes; the 10x tier is the density-controlled scaling signal.
+    deep = "--no-deep" not in args
+    all_tiers = TIERS + ((DEEP_TIER,) if deep else ())
     tiers = {f: build_tier(spark, f) for f in all_tiers}
     rows = {
         f: spark.read.parquet(os.path.join(d, "documents.parquet")).count()
@@ -111,7 +117,7 @@ def main() -> int:
     for key in KEYS:
         fn = REGISTRY[key].fn
         rec: dict = {}
-        key_tiers = TIERS + ((DEEP_TIER,) if key in DEEP_KEYS else ())
+        key_tiers = TIERS + ((DEEP_TIER,) if deep and key in DEEP_KEYS else ())
         for f in key_tiers:
             d = tiers[f]
             out_rows = fn(spark, d).count()  # warm: codegen + listing
