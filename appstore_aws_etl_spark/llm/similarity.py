@@ -389,17 +389,18 @@ def train_pq(
     that collects exactly m x k x (dim/m) scalars — parameters, never
     data. Init is a seeded deterministic sample of k_codes vectors
     (the same xxhash64 TakeOrdered trick as train_centroids), sliced
-    per block."""
-    dim = df.select(F.size(vec_col).alias("d")).limit(1).collect()[0]["d"]
-    if dim % m:
-        raise ValueError(f"dim {dim} not divisible by m={m} blocks")
-    sub = dim // m
+    per block — the init rows also carry the dimension, so training is
+    exactly 1 + iterations jobs (no separate dim probe)."""
     init = (
         df.select(_normalized(vec_col).alias("v"))
         .orderBy(F.xxhash64(F.col("v").cast("string"), F.lit(seed)))
         .limit(k_codes)
         .collect()
     )
+    dim = len(init[0]["v"])
+    if dim % m:
+        raise ValueError(f"dim {dim} not divisible by m={m} blocks")
+    sub = dim // m
     books: PQCodebooks = [
         [[float(x) for x in r["v"][j * sub:(j + 1) * sub]] for r in init]
         for j in range(m)
