@@ -23,8 +23,31 @@ def table_path(sf_dir: str, name: str) -> str:
 # are immutable plan handles, and a 248-key sweep otherwise re-runs
 # file listing + parquet footer analysis ~500 times for the same ten
 # tables. Keyed by applicationId so a new session never sees a stale
-# handle; bounded at (sessions x sf_dirs x 10 tables) driver objects.
-_DF_MEMO: dict[tuple[str, str, str], DataFrame] = {}
+# handle; entries of stopped SparkContexts are evicted on the next
+# load() so restart-heavy callers don't accumulate dead handles.
+#
+# Caveat (deliberate): load() returns the IDENTICAL DataFrame object to
+# every caller in a session, so joining two load() results of the same
+# table by attribute columns (df1.x == df2.x) hits Spark's ambiguous /
+# trivially-true self-join analysis. Self-joining queries must alias()
+# their sides (every registry self-join does — join_self, market
+# basket, graph ops).
+# value = (weakref to the owning session, DataFrame): a DataFrame is
+# bound to the session that created it, so a hit is only valid for the
+# identical session object — a spark.newSession() sharing the appId
+# gets a fresh load (and its temp views register in the right catalog).
+_DF_MEMO: dict[tuple[str, str, str], tuple["weakref.ref[SparkSession]", DataFrame]] = {}
+
+
+def _evict_stopped(current_app: str) -> None:
+    """Drop memo/view entries owned by stopped SparkContexts. PySpark
+    allows one active SparkContext per process, so every entry keyed to
+    a different applicationId than the caller's is dead and can never
+    be read again; without eviction the dicts grow unboundedly across
+    restarted sessions in one driver process."""
+    for d in (_DF_MEMO, _VIEW_STATE):
+        for key in [k for k in d if k[0] != current_app]:
+            del d[key]
 
 
 def load(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
@@ -52,14 +75,16 @@ def load(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     # matter what session the caller provides (runtime conf, safe to
     # set repeatedly)
     spark.conf.set("spark.sql.session.timeZone", "UTC")
-    memo_key = (
-        spark.sparkContext.applicationId, os.path.abspath(sf_dir), name
-    )
+    import weakref
+
+    app = spark.sparkContext.applicationId
+    _evict_stopped(app)
+    memo_key = (app, os.path.abspath(sf_dir), name)
     hit = _DF_MEMO.get(memo_key)
-    if hit is not None:
-        return hit
+    if hit is not None and hit[0]() is spark:
+        return hit[1]
     df = _load_uncached(spark, sf_dir, name)
-    _DF_MEMO[memo_key] = df
+    _DF_MEMO[memo_key] = (weakref.ref(spark), df)
     return df
 
 
@@ -94,18 +119,26 @@ def _normalize_ntz(df: DataFrame) -> DataFrame:
     return df
 
 
-# current view target per (applicationId, view name) -> sf_dir, so a
-# repeat registration for the SAME data is a no-op but switching the
-# session to another scale factor still re-points every view
-_VIEW_STATE: dict[tuple[str, str], str] = {}
+# current view target per (applicationId, view name) -> (session ref,
+# sf_dir): a repeat registration for the SAME session and data is a
+# no-op, but switching scale factor still re-points every view. Temp
+# views are SESSION-scoped while appId is context-scoped, so the value
+# holds a weakref to the registering session — a spark.newSession()
+# sharing the appId never silently skips registration (the weakref
+# identity check fails and the view is registered in the new session).
+_VIEW_STATE: dict[tuple[str, str], tuple["weakref.ref[SparkSession]", str]] = {}
 
 
 def register_views(spark: SparkSession, sf_dir: str, names: list[str] | None = None) -> None:
     """Register temp views so queries can be expressed in Spark SQL."""
+    import weakref
+
     app = spark.sparkContext.applicationId
+    _evict_stopped(app)
     target = os.path.abspath(sf_dir)
     for name in names or TABLE_NAMES:
-        if _VIEW_STATE.get((app, name)) == target:
+        state = _VIEW_STATE.get((app, name))
+        if state is not None and state[0]() is spark and state[1] == target:
             continue
         load(spark, sf_dir, name).createOrReplaceTempView(name)
-        _VIEW_STATE[(app, name)] = target
+        _VIEW_STATE[(app, name)] = (weakref.ref(spark), target)

@@ -41,3 +41,23 @@ CHECKPOINT_LEVEL = StorageLevel.MEMORY_AND_DISK
 def lazy_checkpoint(df: DataFrame) -> DataFrame:
     """Lazy localCheckpoint at the repo-wide serialized storage level."""
     return df.localCheckpoint(eager=False, storageLevel=CHECKPOINT_LEVEL)
+
+
+def release_checkpoints(spark) -> None:
+    """Deterministically drop every persisted/checkpointed RDD block.
+
+    localCheckpoint blocks release only when the ContextCleaner GCs the
+    owning RDD, so checkpoint-heavy keys read inflated under the
+    storage accumulated by earlier keys in a long sweep (round-8
+    artifacts: graph_degree_distribution 90.4 s in-sweep vs 27-38 s
+    idle at 100x; the r8 10x sweep tail needed post-hoc idle
+    re-measures). Bench harnesses call this between keys so every
+    timing starts from empty executor storage. Unpersisting a
+    still-referenced RDD is safe — blocks are recomputed if ever read
+    again, and bench keys never share checkpoints across queries."""
+    import gc
+
+    gc.collect()  # drop py4j proxies so dead JVM RDDs are collectable
+    jmap = spark.sparkContext._jsc.getPersistentRDDs()
+    for jrdd in list(jmap.values()):
+        jrdd.unpersist(False)

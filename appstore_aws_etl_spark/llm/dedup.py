@@ -283,8 +283,12 @@ def ngram_jaccard_pairs(
             .filter(F.col("__df") > df_cap)
             .select(*scope_cols, "gram")
         )
+        # the hot-gram list is Zipf-tail small in practice but its size
+        # is only bounded by n_grams/df_cap (linear in corpus), so the
+        # anti-join is not force-broadcast; AQE broadcasts it while
+        # observed-small.
         grams = grams.join(
-            F.broadcast(hot), on=[*scope_cols, "gram"], how="left_anti"
+            hot, on=[*scope_cols, "gram"], how="left_anti"
         ).localCheckpoint(eager=False, storageLevel=CHECKPOINT_LEVEL)
     sizes = grams.groupBy(id_col, *scope_cols).agg(F.count(F.lit(1)).alias("n_grams"))
     a = grams.select(*scope_cols, F.col(id_col).alias("id_a"), "gram")

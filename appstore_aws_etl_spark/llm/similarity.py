@@ -175,8 +175,12 @@ def cosine_pairs(
         counts = df.groupBy(scope_col).agg(F.count(F.lit(1)).alias("__scope_n"))
         # assert_true yields NULL on pass; routing it through the filter
         # keeps Catalyst from pruning the check away
+        # counts is one row per scope value — unbounded as scopes grow —
+        # and the guard join shares the pair join's key, so an unhinted
+        # shuffle here is reused by the a x b join below; AQE broadcasts
+        # it while observed-small.
         df = (
-            df.join(F.broadcast(counts), scope_col)
+            df.join(counts, scope_col)
             .filter(
                 F.assert_true(
                     F.col("__scope_n") <= F.lit(max_scope_rows),
@@ -247,6 +251,39 @@ def brute_force_knn(
 Centroids = list[tuple[int, list[float]]]
 
 
+def _distinct_seed_sample(df: DataFrame, vec_expr, k: int, seed: int) -> list[list[float]]:
+    """Deterministic seeded sample of ``k`` DISTINCT vectors without a
+    full-width shuffle: xxhash64-ordered TakeOrdered stays a
+    per-partition top-k (no exchange), oversampled 4x, then deduped on
+    the driver (k vectors are parameters, not data). Duplicate vectors
+    share a hash sort key, so a plain limit(k) could seed duplicate
+    centroids/codebook entries; a distinct() before the limit would fix
+    that but shuffles every distinct embedding. Escalates the
+    oversample once if the corpus is duplicate-dense, then accepts what
+    exists (fewer than k distinct vectors means the data cannot fill k
+    seeds anyway)."""
+    for factor in (4, 64):
+        rows = (
+            df.select(vec_expr.alias("v"))
+            .orderBy(F.xxhash64(F.col("v").cast("string"), F.lit(seed)))
+            .limit(k * factor)
+            .collect()
+        )
+        out: list[list[float]] = []
+        seen: set[tuple[float, ...]] = set()
+        for r in rows:
+            vec = [float(x) for x in r["v"]]
+            key = tuple(vec)
+            if key not in seen:
+                seen.add(key)
+                out.append(vec)
+            if len(out) == k:
+                return out
+        if len(rows) < k * factor:  # exhausted the corpus — no point retrying
+            break
+    return out
+
+
 def assign_to_centroids(df: DataFrame, centroids: Centroids, vec_col: str) -> DataFrame:
     """Route each vector to its nearest centroid as a *pure projection*:
     the centroid matrix ships with the task closure (the Spark-ML
@@ -259,12 +296,14 @@ def assign_to_centroids(df: DataFrame, centroids: Centroids, vec_col: str) -> Da
     over ascending ids)."""
     ids = np.array([cid for cid, _ in sorted(centroids)])
     mat = np.array([vec for _, vec in sorted(centroids)], dtype="float64")
-    mat_n = mat / np.linalg.norm(mat, axis=1, keepdims=True)
+    # norm clamp: a zero vector would otherwise yield NaN rows, NaN
+    # scores, and an argmax-undefined assignment
+    mat_n = mat / np.maximum(np.linalg.norm(mat, axis=1, keepdims=True), 1e-12)
 
     @F.pandas_udf("long")
     def nearest(emb: pd.Series) -> pd.Series:
         x = np.stack(emb.to_numpy()).astype("float64")
-        x_n = x / np.linalg.norm(x, axis=1, keepdims=True)
+        x_n = x / np.maximum(np.linalg.norm(x, axis=1, keepdims=True), 1e-12)
         return pd.Series(ids[np.argmax(x_n @ mat_n.T, axis=1)])
 
     return df.withColumn("centroid_id", nearest(F.col(vec_col)))
@@ -284,13 +323,14 @@ def train_centroids(
     driver (parameters, not data). Cost per iteration is a single scan
     of the vectors — flat to any input size."""
     dim = df.select(F.size(vec_col).alias("d")).limit(1).collect()[0]["d"]
-    init = (
-        df.select(F.col(vec_col).alias("v"))
-        .orderBy(F.xxhash64(F.col("v").cast("string"), F.lit(seed)))
-        .limit(n_centroids)
-        .collect()
-    )
-    centroids: Centroids = [(i, [float(x) for x in r["v"]]) for i, r in enumerate(init)]
+    # duplicate vectors hash identically under xxhash64, so the raw
+    # top-k sample could seed duplicate centroids; a distinct() before
+    # the limit would fix that but costs a full-width shuffle of every
+    # embedding. Instead: oversample shuffle-free (TakeOrdered stays a
+    # per-partition top-k) and dedup driver-side among the collected
+    # rows — parameters, not data.
+    init = _distinct_seed_sample(df, F.col(vec_col), n_centroids, seed)
+    centroids: Centroids = [(i, v) for i, v in enumerate(init)]
     for _ in range(iterations):
         assigned = assign_to_centroids(df, centroids, vec_col)
         # new means via posexplode -> (centroid, dim) avg: dim separate
@@ -365,7 +405,11 @@ def _normalized(vec_col: str):
     asymmetric distances become a monotone proxy for cosine:
     ||a-b||^2 = 2 - 2*cos(a,b) on unit vectors)."""
     v = F.col(vec_col)
-    norm = F.sqrt(F.aggregate(v, F.lit(0.0), lambda a, x: a + x * x))
+    # greatest() clamp mirrors the numpy sites: a zero vector divides by
+    # eps instead of producing NULL/NaN components
+    norm = F.greatest(
+        F.sqrt(F.aggregate(v, F.lit(0.0), lambda a, x: a + x * x)), F.lit(1e-12)
+    )
     return F.transform(v, lambda x: x / norm)
 
 
@@ -391,18 +435,18 @@ def train_pq(
     (the same xxhash64 TakeOrdered trick as train_centroids), sliced
     per block — the init rows also carry the dimension, so training is
     exactly 1 + iterations jobs (no separate dim probe)."""
-    init = (
-        df.select(_normalized(vec_col).alias("v"))
-        .orderBy(F.xxhash64(F.col("v").cast("string"), F.lit(seed)))
-        .limit(k_codes)
-        .collect()
-    )
-    dim = len(init[0]["v"])
+    # duplicate vectors hash identically under xxhash64, so the raw
+    # top-k sample could seed duplicate codebook entries (ties then
+    # resolve to the lower code, wasting capacity); the shuffle-free
+    # oversample + driver-side dedup keeps each initial code unique
+    # without a full-width distinct() of the corpus.
+    init = _distinct_seed_sample(df, _normalized(vec_col), k_codes, seed)
+    dim = len(init[0])
     if dim % m:
         raise ValueError(f"dim {dim} not divisible by m={m} blocks")
     sub = dim // m
     books: PQCodebooks = [
-        [[float(x) for x in r["v"][j * sub:(j + 1) * sub]] for r in init]
+        [v[j * sub:(j + 1) * sub] for v in init]
         for j in range(m)
     ]
     for _ in range(iterations):
@@ -449,7 +493,9 @@ def pq_encode(
     @F.pandas_udf("array<int>")
     def encode(emb: pd.Series) -> pd.Series:
         x = np.stack(emb.to_numpy()).astype("float64")
-        x = x / np.linalg.norm(x, axis=1, keepdims=True)
+        # norm clamp: a zero vector would otherwise produce NaN blocks,
+        # NaN distances, and argmin-undefined codes
+        x = x / np.maximum(np.linalg.norm(x, axis=1, keepdims=True), 1e-12)
         blocks = x.reshape(len(x), m, sub)  # (n, m, sub)
         # (n, m, k) squared distances per block, argmin over codes
         d2 = ((blocks[:, :, None, :] - tensor[None, :, :, :]) ** 2).sum(axis=3)
@@ -485,7 +531,7 @@ def pq_knn(
         codebooks = train_pq(df, m=m, k_codes=k_codes, vec_col=vec_col)
     m = len(codebooks)
     q = np.array([float(x) for x in query_vec], dtype="float64")
-    q = q / np.linalg.norm(q)
+    q = q / max(float(np.linalg.norm(q)), 1e-12)
     sub = len(codebooks[0][0])
     lut = [
         [

@@ -59,7 +59,9 @@ def tfidf(df: DataFrame, id_col: str = "doc_id", text_col: str = "text") -> Data
     docfreq = tf.groupBy("term").agg(F.count(F.lit(1)).alias("df"))
     n_docs = df.select(F.countDistinct(id_col).alias("n_docs"))
     return (
+        # bounded: docfreq is vocab-bounded (Heaps-law; adversarial-vocab fallback documented)
         tf.join(F.broadcast(docfreq), "term")
+        # bounded: 1-row corpus count
         .crossJoin(F.broadcast(n_docs))
         .withColumn(
             "tfidf",

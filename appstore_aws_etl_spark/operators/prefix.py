@@ -61,6 +61,7 @@ def partitioned_prefix_sum(
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     )
     return (
+        # bounded: one offset row per input partition (parameter-scale)
         with_pid.join(F.broadcast(offsets), "_pid")
         .withColumn(out, F.sum(value).over(w_local) + F.col("_offset"))
         .drop("_pid", "_offset")
@@ -108,6 +109,7 @@ def partitioned_prefix_max(
     )
     local = F.max(value).over(w_local)
     return (
+        # bounded: one offset row per input partition (parameter-scale)
         with_pid.join(F.broadcast(offsets), "_pid")
         .withColumn(out, F.greatest(local, F.col("_offset")))
         .drop("_pid", "_offset")

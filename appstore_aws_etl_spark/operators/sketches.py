@@ -60,7 +60,10 @@ def heavy_hitters(tokens: DataFrame, col: str, phi: float) -> DataFrame:
     )
     n_total = tokens.count()  # parameter-only scalar
     exact = (
-        tokens.join(F.broadcast(candidates), col, "left_semi")
+        # candidate count is <= k per input partition, so it grows with
+        # the partition count, not a constant — no forced broadcast; AQE
+        # ships it while observed-small.
+        tokens.join(candidates, col, "left_semi")
         .groupBy(col)
         .agg(F.count(F.lit(1)).alias("cnt"))
         .filter(F.col("cnt") >= F.lit(phi) * F.lit(float(n_total)))

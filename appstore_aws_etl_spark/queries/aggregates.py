@@ -399,6 +399,7 @@ def agg_mad_robust(spark: SparkSession, sf_dir: str) -> DataFrame:
     order drifts."""
     c = load(spark, sf_dir, "customer")
     med = c.groupBy("c_mktsegment").agg(F.median("c_acctbal").alias("seg_median"))
+    # bounded: keyed by c_mktsegment, 5 rows
     joined = c.join(F.broadcast(med), "c_mktsegment")
     return joined.groupBy("c_mktsegment").agg(
         F.round(F.max("seg_median"), 4).alias("seg_median"),
@@ -539,14 +540,17 @@ def agg_countmin_sketch(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     bucket = ((F.col("user_id") * F.col("a") + F.col("b")) % 1000003) % 256
     sketch = (
+        # bounded: 4 hash-seed parameter rows
         ev.join(F.broadcast(seeds))
         .groupBy(F.col("seed"), bucket.alias("bucket"))
         .agg(F.count(F.lit(1)).alias("c"))
     )
+    # bounded: 4 hash-seed parameter rows
     probes = ev.distinct().join(F.broadcast(seeds)).select(
         "user_id", "seed", bucket.alias("bucket")
     )
     return (
+        # bounded: sketch is seeds x 256 buckets <= 1024 rows
         probes.join(F.broadcast(sketch), ["seed", "bucket"])
         .groupBy("user_id")
         .agg(F.min("c").alias("cm_estimate"))
@@ -599,6 +603,7 @@ def agg_bloom_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     hpos = lambda key: ((F.col(key) * F.col("a") + F.col("b")) % 1000003) % 2079  # noqa: E731
     ev = load(spark, sf_dir, "events").select("user_id")
+    # bounded: 3 hash-seed parameter rows
     pos = ev.join(F.broadcast(seeds)).select(hpos("user_id").alias("p")).distinct()
     # shiftleft's bit-count argument must be a column here, which only
     # the SQL form accepts (the Python helper takes a literal int)
@@ -608,6 +613,7 @@ def agg_bloom_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
     probe = (
         load(spark, sf_dir, "customer")
         .select("c_custkey")
+        # bounded: 3 hash-seed parameter rows
         .join(F.broadcast(seeds))
         .select("c_custkey", hpos("c_custkey").alias("p"))
     )
@@ -619,6 +625,7 @@ def agg_bloom_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     return (
         probe.join(
+            # bounded: bloom words <= ceil(2079/63) = 33 rows
             F.broadcast(words),
             (F.col("p") / 63).cast("long") == F.col("word_id"),
             "left",
@@ -983,6 +990,7 @@ def agg_variance_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
     c = load(spark, sf_dir, "customer")
     n = load(spark, sf_dir, "nation").select("n_nationkey", "n_regionkey")
     states = (
+        # bounded: nation <= 25 rows
         c.join(F.broadcast(n), c.c_nationkey == n.n_nationkey)
         .groupBy("n_nationkey", "n_regionkey")
         .agg(

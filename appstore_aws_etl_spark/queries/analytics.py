@@ -298,7 +298,7 @@ def tpch_q3(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     return (
         li.join(o, li.l_orderkey == o.o_orderkey)
-        .join(F.broadcast(c), o.o_custkey == c.c_custkey)
+        .join(c, o.o_custkey == c.c_custkey)
         .groupBy("l_orderkey", "o_orderdate", "o_orderpriority")
         .agg(F.round(F.sum(_net()), 2).alias("revenue"))
         .select("l_orderkey", "revenue", "o_orderdate", "o_orderpriority")
@@ -342,8 +342,10 @@ def tpch_q5(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (
         li.join(o, li.l_orderkey == o.o_orderkey)
         .join(c, o.o_custkey == c.c_custkey)
-        .join(F.broadcast(s), (li.l_suppkey == s.s_suppkey) & (c.c_nationkey == s.s_nationkey))
+        .join(s, (li.l_suppkey == s.s_suppkey) & (c.c_nationkey == s.s_nationkey))
+        # bounded: nation <= 25 rows
         .join(F.broadcast(n), s.s_nationkey == n.n_nationkey)
+        # bounded: region <= 5 rows
         .join(F.broadcast(r), n.n_regionkey == r.r_regionkey)
         .groupBy("n_name")
         .agg(F.round(F.sum(_net()), 2).alias("revenue"))
@@ -382,6 +384,7 @@ def tpch_q10(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (
         li.join(o, li.l_orderkey == o.o_orderkey)
         .join(c, o.o_custkey == c.c_custkey)
+        # bounded: nation <= 25 rows
         .join(F.broadcast(n), c.c_nationkey == n.n_nationkey)
         .groupBy("c_custkey", "c_name", "n_name")
         .agg(F.round(F.sum(_net()), 2).alias("revenue"))
@@ -586,9 +589,11 @@ def tpch_q7(spark: SparkSession, sf_dir: str) -> DataFrame:
     ) | ((F.col("supp_nation") == "NATION_2") & (F.col("cust_nation") == "NATION_1"))
     return (
         li.join(o, li.l_orderkey == o.o_orderkey)
-        .join(F.broadcast(s), li.l_suppkey == s.s_suppkey)
-        .join(F.broadcast(c), o.o_custkey == c.c_custkey)
+        .join(s, li.l_suppkey == s.s_suppkey)
+        .join(c, o.o_custkey == c.c_custkey)
+        # bounded: nation projection <= 25 rows
         .join(F.broadcast(n1), s.s_nationkey == F.col("sk"))
+        # bounded: nation projection <= 25 rows
         .join(F.broadcast(n2), c.c_nationkey == F.col("ck"))
         .filter(pair)
         .groupBy("supp_nation", "cust_nation", F.year("l_shipdate").alias("l_year"))
@@ -620,7 +625,7 @@ def tpch_q14(spark: SparkSession, sf_dir: str) -> DataFrame:
     net = _net()
     promo = F.when(F.col("p_type") == "PROMO", net).otherwise(F.lit(0.0))
     return (
-        li.join(F.broadcast(p), li.l_partkey == p.p_partkey)
+        li.join(p, li.l_partkey == p.p_partkey)
         .agg(
             F.round(100.0 * F.sum(promo) / F.sum(net), 4).alias("promo_share")
         )
@@ -660,6 +665,7 @@ def tpch_q15(spark: SparkSession, sf_dir: str) -> DataFrame:
     s = load(spark, sf_dir, "supplier")
     return (
         s.join(rev, s.s_suppkey == rev.suppkey)
+        # bounded: 1-row global max
         .join(F.broadcast(top), F.col("total_rev") == F.col("mx"))
         .select("s_suppkey", "s_name", "total_rev")
     )
@@ -742,7 +748,7 @@ def tpch_q19(spark: SparkSession, sf_dir: str) -> DataFrame:
         & F.col("l_quantity").between(20, 40)
     )
     return (
-        li.join(F.broadcast(p), li.l_partkey == p.p_partkey)
+        li.join(p, li.l_partkey == p.p_partkey)
         .filter(cond)
         .agg(F.round(F.sum(_net()), 2).alias("revenue"))
     )
@@ -781,9 +787,11 @@ def tpch_q22(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.avg("c_acctbal").alias("ab")
     )
     return (
+        # bounded: 1-row scalar aggregate
         c.crossJoin(F.broadcast(avg_bal))
         .filter(F.col("c_acctbal") > F.col("ab"))
         .join(o, c.c_custkey == o.o_custkey, "left_anti")
+        # bounded: nation <= 25 rows
         .join(F.broadcast(n), F.col("c_nationkey") == n.n_nationkey)
         .groupBy("n_name")
         .agg(
@@ -841,12 +849,15 @@ def tpch_q8(spark: SparkSession, sf_dir: str) -> DataFrame:
     r = load(spark, sf_dir, "region").filter(F.col("r_name") == "ASIA")
     vol = F.col("l_extendedprice") * (1 - F.col("l_discount"))
     joined = (
-        li.join(F.broadcast(p), li.l_partkey == p.p_partkey)
-        .join(F.broadcast(s), li.l_suppkey == s.s_suppkey)
+        li.join(p, li.l_partkey == p.p_partkey)
+        .join(s, li.l_suppkey == s.s_suppkey)
         .join(o, li.l_orderkey == o.o_orderkey)
         .join(c, o.o_custkey == c.c_custkey)
+        # bounded: nation <= 25 rows
         .join(F.broadcast(n1), c.c_nationkey == F.col("n1.n_nationkey"))
+        # bounded: region <= 5 rows
         .join(F.broadcast(r), F.col("n1.n_regionkey") == r.r_regionkey)
+        # bounded: nation <= 25 rows
         .join(F.broadcast(n2), s.s_nationkey == F.col("n2.n_nationkey"))
         .select(
             F.year(o.o_orderdate).alias("o_year"),
@@ -917,20 +928,22 @@ def tpch_q17(spark: SparkSession, sf_dir: str) -> DataFrame:
     decorrelated by hand: per-part average quantity computed once over
     the brand-filtered fact, joined back on partkey.
 
-    Scale shape: the brand filter broadcasts to prune lineitem before
-    anything shuffles; the avg and the probe reuse that pruned slice,
-    so the heavy table is read once and shuffled once on partkey."""
+    Scale shape: the single-brand part slice prunes lineitem before
+    anything heavy shuffles (AQE broadcasts it when observed-small —
+    a ~1/25 slice of part still scales linearly with SF, so the hint
+    is not forced); the avg and the probe reuse that pruned slice, so
+    the heavy table is read once and shuffled once on partkey."""
     p = load(spark, sf_dir, "part").filter(F.col("p_brand") == "Brand#23").select(
         "p_partkey"
     )
     li = load(spark, sf_dir, "lineitem").join(
-        F.broadcast(p), F.col("l_partkey") == F.col("p_partkey")
+        p, F.col("l_partkey") == F.col("p_partkey")
     )
     thresh = li.groupBy(F.col("l_partkey").alias("t_partkey")).agg(
         (0.2 * F.avg("l_quantity")).alias("qty_thresh")
     )
     return (
-        li.join(F.broadcast(thresh), F.col("l_partkey") == F.col("t_partkey"))
+        li.join(thresh, F.col("l_partkey") == F.col("t_partkey"))
         .filter(F.col("l_quantity") < F.col("qty_thresh"))
         .agg(F.round(F.sum("l_extendedprice") / 7.0, 2).alias("avg_yearly"))
     )
@@ -1144,6 +1157,7 @@ def analytics_dau_wau(spark: SparkSession, sf_dir: str) -> DataFrame:
         "user_id",
     )
     wau = (
+        # bounded: generated day spine, fixed horizon
         contrib.join(F.broadcast(days), "day")
         .groupBy("day")
         .agg(F.countDistinct("user_id").alias("wau"))
@@ -1495,9 +1509,13 @@ def analytics_market_basket(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.count(F.lit(1)).alias("pair_count"))
         .filter(F.col("pair_count") >= 2)
     )
-    fa = F.broadcast(freq.select(F.col("l_partkey").alias("part_a"), F.col("cnt").alias("cnt_a")))
-    fb = F.broadcast(freq.select(F.col("l_partkey").alias("part_b"), F.col("cnt").alias("cnt_b")))
+    # freq is keyed by partkey — linear in SF, so never force-broadcast
+    # it; AQE broadcasts the projection when observed-small (it was ~tens
+    # of MB at the 100x tier but would be ~20B rows at 100 TB).
+    fa = freq.select(F.col("l_partkey").alias("part_a"), F.col("cnt").alias("cnt_a"))
+    fb = freq.select(F.col("l_partkey").alias("part_b"), F.col("cnt").alias("cnt_b"))
     return (
+        # bounded: 1-row scalar aggregate
         pairs.crossJoin(F.broadcast(n_orders))
         .join(fa, "part_a")
         .join(fb, "part_b")
@@ -1563,13 +1581,14 @@ def util_data_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     )
     orphans = (
-        o.join(F.broadcast(cust), o.o_custkey == cust.c_custkey, "left_anti")
+        o.join(cust, o.o_custkey == cust.c_custkey, "left_anti")
         .agg(F.count(F.lit(1)).alias("n_violations"))
         .select(F.lit("orphan_custkey").alias("rule"), "n_violations")
     )
     n_df = wide.select("n_rows")
     return (
         scan_rules.unionByName(orphans)
+        # bounded: 1-row scalar aggregate
         .crossJoin(F.broadcast(n_df))
         .select(
             "rule",
@@ -2274,18 +2293,18 @@ def join_role_playing_dates(spark: SparkSession, sf_dir: str) -> DataFrame:
     foreign keys via aliases instead of duplicated tables. Both roles
     broadcast the same tiny spine; the fact side is scanned once.
 
-    The lineitem-orders equi-join is hinted shuffled-hash: neither
-    side's sort order is reusable downstream (the role joins are
-    broadcasts, the output unsorted), so sort-merge's two sorts buy
-    nothing — the r7/r8 pattern (join_multikey 5.6->1.1 s). 10x A/B:
-    SMJ 2.38 s / SHJ 1.95 s / broadcast-orders 2.33 s (the 1.5M-row
-    driver collect costs more than the shuffle it saves)."""
+    The lineitem-orders equi-join carries no static join hint: the
+    orders projection is a raw fact side that grows linearly with SF,
+    so an unconditional shuffled-hash build is the same OOM class the
+    round-8 100x tier exposed on join_multikey. AQE's observed-size
+    SMJ->SHJ conversion (shuffleHashJoinLocalMapThreshold) recovers
+    the hash build whenever post-shuffle partitions actually fit
+    (10x A/B: SMJ 2.38 s / SHJ 1.95 s — a modest win not worth a
+    scale landmine; broadcast-orders 2.33 s)."""
     li = load(spark, sf_dir, "lineitem").select(
         "l_orderkey", "l_linenumber", "l_shipdate"
     )
-    o = load(spark, sf_dir, "orders").select("o_orderkey", "o_orderdate").hint(
-        "shuffle_hash"
-    )
+    o = load(spark, sf_dir, "orders").select("o_orderkey", "o_orderdate")
     cal = (
         spark.range(1)
         .select(
@@ -2310,7 +2329,9 @@ def join_role_playing_dates(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     return (
         li.join(o, li.l_orderkey == o.o_orderkey)
+        # bounded: generated calendar <= 2557 rows
         .join(F.broadcast(ocal), F.date_trunc("day", "o_orderdate") == F.col("o_key"))
+        # bounded: generated calendar <= 2557 rows
         .join(F.broadcast(scal), F.date_trunc("day", "l_shipdate") == F.col("s_key"))
         .select("l_orderkey", "l_linenumber", "ordered_on_weekend", "shipped_on_weekend")
     )
@@ -2340,6 +2361,7 @@ def analytics_minmax_scale(spark: SparkSession, sf_dir: str) -> DataFrame:
     stats = li.groupBy("l_returnflag").agg(
         F.min("l_extendedprice").alias("mn"), F.max("l_extendedprice").alias("mx")
     )
+    # bounded: keyed by l_returnflag, 3 rows
     return li.join(F.broadcast(stats), "l_returnflag").select(
         "l_orderkey",
         "l_linenumber",

@@ -532,6 +532,7 @@ def agg_string_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
     n = load(spark, sf_dir, "nation")
     r = load(spark, sf_dir, "region")
     return (
+        # bounded: region <= 5 rows
         n.join(F.broadcast(r), n.n_regionkey == r.r_regionkey)
         .groupBy("r_name")
         .agg(

@@ -259,6 +259,7 @@ def graph_triangle_count(spark: SparkSession, sf_dir: str) -> DataFrame:
         .union(e.select(F.col("dst").alias("node")))
         .agg(F.count_distinct("node").alias("n_nodes"))
     )
+    # bounded: two 1-row scalar aggregates
     return tri.join(F.broadcast(counts)).join(F.broadcast(nodes))
 
 

@@ -56,12 +56,17 @@ def join_inner(spark: SparkSession, sf_dir: str) -> DataFrame:
     tags=("join",),
 )
 def join_broadcast(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """J2 broadcast hash join: bounded dim ships to every executor, the
+    """J2 broadcast hash join: the dim ships to every executor, the
     fact table never shuffles for the join (same SQL result as J1-style
-    shuffle join — the hint is physical only)."""
+    shuffle join — the hint is physical only). This is the contractual
+    broadcast-join demonstrator (like udf_scalar for row UDFs); for a
+    dim that grows with SF the production pattern is NO forced hint —
+    AQE broadcasts from observed sizes (see the bounded-broadcast lint
+    in tests/test_plan_lint.py, which exempts exactly this operator)."""
     li = load(spark, sf_dir, "lineitem")
     s = load(spark, sf_dir, "supplier")
     return (
+        # bounded: contractual J2 broadcast demonstrator — lint-exempted
         li.join(F.broadcast(s), li.l_suppkey == s.s_suppkey)
         .groupBy("s_name")
         .agg(
@@ -395,12 +400,17 @@ def join_bloom_prefilter(spark: SparkSession, sf_dir: str) -> DataFrame:
     nbuckets = F.lit(8192)
     buckets = dim.select(F.pmod(F.xxhash64("c_custkey"), nbuckets).alias("b")).distinct()
     pre = o.join(
+        # bounded: distinct hash buckets <= 8192 rows
         F.broadcast(buckets),
         F.pmod(F.xxhash64("o_custkey"), nbuckets) == F.col("b"),
         "left_semi",
     )
+    # the exact stage's key list scales with SF (customer slice), so no
+    # forced hint — AQE broadcasts it while observed-small and falls
+    # back to a shuffled semi-join at scale; only the <=8192-row bucket
+    # table above is unconditionally broadcastable.
     exact = pre.join(
-        F.broadcast(dim.select("c_custkey")),
+        dim.select("c_custkey"),
         F.col("o_custkey") == F.col("c_custkey"),
         "left_semi",
     )
@@ -707,7 +717,7 @@ def join_pit_scd2(spark: SparkSession, sf_dir: str) -> DataFrame:
     o = load(spark, sf_dir, "orders").select("o_orderkey", "o_custkey", "o_orderdate")
     return (
         o.join(
-            F.broadcast(dim),
+            dim,
             (F.col("o_custkey") == F.col("c_custkey"))
             & (F.col("o_orderdate") >= F.col("valid_from"))
             & (F.col("valid_to").isNull() | (F.col("o_orderdate") < F.col("valid_to"))),

@@ -1486,6 +1486,7 @@ def llm_unigram_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:
     total = vocab.agg(F.sum("c").alias("n"))
     return (
         tok.join(vocab, "word")
+        # bounded: 1-row corpus total
         .join(F.broadcast(total))
         .groupBy("doc_id")
         .agg(
@@ -1545,7 +1546,10 @@ def llm_dedup_survivors(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("node").alias("doc_id")
     )
     return (
-        aug.join(F.broadcast(losers), "doc_id", "left_anti")
+        # losers scales with the duplicate population (linear in corpus
+        # size), so the anti-join is not force-broadcast: AQE broadcasts
+        # it while observed-small and shuffles at scale.
+        aug.join(losers, "doc_id", "left_anti")
         .select("doc_id")
         .orderBy("doc_id")
     )
@@ -1579,6 +1583,7 @@ def llm_topic_cluster(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..llm.similarity import cosine_score
 
     return (
+        # bounded: k centroid parameter rows
         assigned.join(F.broadcast(cent_df), "centroid_id")
         .withColumn(
             "cos", cosine_score(F.transform("embedding", lambda x: x.cast("double")), F.col("centroid"))

@@ -157,12 +157,14 @@ def stream_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     tags=("streaming",),
 )
 def stream_enrich(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """T6 stream-static enrichment: events joined to a broadcast dim —
-    in streaming this join runs per micro-batch with the same plan."""
+    """T6 stream-static enrichment: events joined to a static dim —
+    in streaming this join runs per micro-batch with the same plan.
+    The dim (customer) grows with SF, so the hint is not forced: AQE
+    broadcasts it while observed-small and shuffles it at scale."""
     ev = load(spark, sf_dir, "events")
     c = load(spark, sf_dir, "customer")
     return (
-        ev.join(F.broadcast(c), ev.user_id == c.c_custkey)
+        ev.join(c, ev.user_id == c.c_custkey)
         .groupBy("c_mktsegment", "event_type")
         .agg(F.count(F.lit(1)).alias("n_events"), F.round(F.sum("value"), 2).alias("sum_value"))
     )

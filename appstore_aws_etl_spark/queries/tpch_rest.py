@@ -71,8 +71,9 @@ def tpch_q2(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Q2 minimum-cost supplier. The correlated min-cost subquery is
     decorrelated into a window min over the region-filtered supply
     relation — one shuffle on partkey instead of a re-executed
-    subquery per row. Dims (part slice, supplier, nation, region)
-    broadcast; limit is TakeOrderedAndProject."""
+    subquery per row. Bounded dims (nation, region) broadcast; the
+    part/supplier slices scale with SF, so AQE picks their join
+    strategy from observed sizes; limit is TakeOrderedAndProject."""
     p = (
         load(spark, sf_dir, "part")
         .filter((F.col("p_size") <= 15) & (F.col("p_type") == "STANDARD"))
@@ -82,18 +83,19 @@ def tpch_q2(spark: SparkSession, sf_dir: str) -> DataFrame:
     n = load(spark, sf_dir, "nation")
     r = load(spark, sf_dir, "region").filter(F.col("r_name") == "EUROPE")
     euro_snk = s.join(
+        # bounded: nation x region <= 25 rows
         F.broadcast(n.join(F.broadcast(r), n.n_regionkey == r.r_regionkey)),
         s.s_nationkey == F.col("n_nationkey"),
     ).select("s_suppkey", "s_name", "s_acctbal", "n_name")
     sup = _supply(spark, sf_dir).join(
-        F.broadcast(euro_snk), F.col("ps_suppkey") == F.col("s_suppkey")
+        euro_snk, F.col("ps_suppkey") == F.col("s_suppkey")
     )
     w = Window.partitionBy("ps_partkey")
     best = sup.withColumn("min_cost", F.min("ps_supplycost").over(w)).filter(
         F.col("ps_supplycost") == F.col("min_cost")
     )
     return (
-        best.join(F.broadcast(p), F.col("ps_partkey") == F.col("p_partkey"))
+        best.join(p, F.col("ps_partkey") == F.col("p_partkey"))
         .select("s_acctbal", "s_name", "n_name", "p_partkey", "p_brand")
         .orderBy(F.col("s_acctbal").desc(), "n_name", "s_name", "p_partkey")
         .limit(100)
@@ -136,8 +138,9 @@ def tpch_q9(spark: SparkSession, sf_dir: str) -> DataFrame:
         "p_retailprice"
     ) * F.col("l_quantity")
     return (
-        li.join(F.broadcast(p), li.l_partkey == p.p_partkey)
-        .join(F.broadcast(s), li.l_suppkey == s.s_suppkey)
+        li.join(p, li.l_partkey == p.p_partkey)
+        .join(s, li.l_suppkey == s.s_suppkey)
+        # bounded: nation <= 25 rows
         .join(F.broadcast(n), s.s_nationkey == n.n_nationkey)
         .join(o, li.l_orderkey == o.o_orderkey)
         .groupBy(
@@ -178,13 +181,15 @@ def tpch_q11(spark: SparkSession, sf_dir: str) -> DataFrame:
     n = load(spark, sf_dir, "nation").filter(F.col("n_name") == "NATION_7")
     natsup = (
         _supply(spark, sf_dir)
-        .join(F.broadcast(s.join(F.broadcast(n), s.s_nationkey == n.n_nationkey)),
+        # bounded: nation slice <= 25 rows
+        .join(s.join(F.broadcast(n), s.s_nationkey == n.n_nationkey),
               F.col("ps_suppkey") == F.col("s_suppkey"))
         .select("ps_partkey", (F.col("ps_supplycost") * F.col("ps_shipqty")).alias("val"))
     )
     per_part = natsup.groupBy("ps_partkey").agg(F.sum("val").alias("raw_value"))
     total = natsup.agg((F.sum("val") * 0.001).alias("thresh"))
     return (
+        # bounded: 1-row scalar aggregate
         per_part.join(F.broadcast(total))
         .filter(F.col("raw_value") > F.col("thresh"))
         .select("ps_partkey", F.round("raw_value", 2).alias("part_value"))
@@ -265,8 +270,8 @@ def tpch_q16(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     return (
         _supply(spark, sf_dir)
-        .join(F.broadcast(bad), F.col("ps_suppkey") == F.col("s_suppkey"), "left_anti")
-        .join(F.broadcast(p), F.col("ps_partkey") == F.col("p_partkey"))
+        .join(bad, F.col("ps_suppkey") == F.col("s_suppkey"), "left_anti")
+        .join(p, F.col("ps_partkey") == F.col("p_partkey"))
         .groupBy("p_brand", "p_type", "p_size")
         .agg(F.count_distinct("ps_suppkey").alias("supplier_cnt"))
         .orderBy(F.col("supplier_cnt").desc(), "p_brand", "p_type", "p_size")
@@ -311,7 +316,7 @@ def tpch_q20(spark: SparkSession, sf_dir: str) -> DataFrame:
         & (F.col("l_shipdate") < F.lit("1998-01-01").cast("timestamp"))
     )
     red = (
-        li.join(F.broadcast(p), li.l_partkey == p.p_partkey)
+        li.join(p, li.l_partkey == p.p_partkey)
         .groupBy("l_suppkey", "l_partkey")
         .agg(F.sum("l_quantity").alias("qty"))
     )
@@ -325,6 +330,7 @@ def tpch_q20(spark: SparkSession, sf_dir: str) -> DataFrame:
     s = load(spark, sf_dir, "supplier")
     n = load(spark, sf_dir, "nation").filter(F.col("n_name") == "NATION_7")
     return (
+        # bounded: nation slice <= 25 rows
         s.join(F.broadcast(n), s.s_nationkey == n.n_nationkey)
         .join(dominant, s.s_suppkey == F.col("l_suppkey"), "left_semi")
         .select("s_name", "s_acctbal")
@@ -396,7 +402,7 @@ def tpch_q21(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     s = load(spark, sf_dir, "supplier").select("s_suppkey", "s_name")
     return (
-        blamed.join(F.broadcast(s), blamed.l_suppkey == s.s_suppkey)
+        blamed.join(s, blamed.l_suppkey == s.s_suppkey)
         .groupBy("s_name")
         .agg(F.count(F.lit(1)).alias("numwait"))
         .orderBy(F.col("numwait").desc(), "s_name")

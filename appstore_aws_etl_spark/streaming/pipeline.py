@@ -71,10 +71,12 @@ def stream_dedup(events: DataFrame, lateness: str = "10 minutes") -> DataFrame:
 
 
 def stream_enrich(events: DataFrame, dim: DataFrame) -> DataFrame:
-    """T6 stream-static join: the static dim is broadcast per
-    micro-batch; no streaming state involved."""
+    """T6 stream-static join: the static side is re-planned per
+    micro-batch; no streaming state involved. No forced broadcast —
+    the dim passed here (customer) grows with SF, and Catalyst/AQE
+    broadcasts it per micro-batch only while it is observed-small."""
     return events.join(
-        F.broadcast(dim), events.user_id == dim.c_custkey, "inner"
+        dim, events.user_id == dim.c_custkey, "inner"
     ).select("event_id", "ts", "user_id", "event_type", "value", "c_mktsegment")
 
 

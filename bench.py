@@ -35,6 +35,7 @@ import time
 sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 
 import appstore_aws_etl_spark.queries  # noqa: F401
+from appstore_aws_etl_spark.ckpt import release_checkpoints
 from appstore_aws_etl_spark.registry import REGISTRY
 from appstore_aws_etl_spark.session import get_spark
 
@@ -84,6 +85,7 @@ def main() -> None:
 
     timings: dict[str, float] = {}
     timings[FLAGSHIP] = statistics.median(run_once(spark, FLAGSHIP) for _ in range(3))
+    release_checkpoints(spark)
     # stall-proofing: a single GC/JIT pause during one timed run wrote
     # a 21x outlier (8.87 s join_range, steady-state 0.58 s) into the
     # round-4 artifact. Any first timing over 1.0 s gets two more runs
@@ -102,6 +104,11 @@ def main() -> None:
             rerun_budget -= 1
             t = statistics.median([t, run_once(spark, name), run_once(spark, name)])
         timings[name] = round(t, 4)
+        # lazy-localCheckpoint blocks otherwise release only on JVM GC,
+        # so checkpoint-heavy keys read inflated under storage pressure
+        # accumulated by earlier keys (r8: degree_distribution 90 s
+        # in-sweep vs 27-38 s idle at 100x) — start every key clean
+        release_checkpoints(spark)
     timings[FLAGSHIP] = round(timings[FLAGSHIP], 4)
 
     sf = float(os.path.basename(SF_DIR.rstrip("/")).replace("sf", "") or "0.1")

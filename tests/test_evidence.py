@@ -66,13 +66,15 @@ def test_doc_counts_match_artifacts():
     what tools/verified.py regenerates from the CORRECTNESS_r* artifacts
     — the hand-maintained version drifted in rounds 3, 4 and 5.
 
-    Self-healing: the blocks are purely machine-generated from the
-    artifacts, so if they are stale (the driver writes CORRECTNESS_r{N}
-    AFTER the end-of-round snapshot, making a structural red otherwise —
-    round-7 verdict item 1) the test regenerates them in place and then
-    asserts the rewrite converged. Hand-edit drift is still caught: any
-    divergence is overwritten back to the artifact-derived truth."""
+    By default this test FAILS on drift so CI reports it instead of
+    papering over it (round-9 advice: a silent in-place rewrite mutates
+    the working tree and hides hand-edit drift). The self-heal rewrite
+    — needed because the driver writes CORRECTNESS_r{N} AFTER the
+    end-of-round snapshot, making a structural red otherwise (round-7
+    verdict item 1) — is opt-in via EVIDENCE_SELF_HEAL=1, or explicitly
+    with `python tools/verified.py --write`."""
     import importlib
+    import os as _os
     import sys as _sys
 
     _sys.path.insert(0, "tools")
@@ -81,11 +83,14 @@ def test_doc_counts_match_artifacts():
     finally:
         _sys.path.remove("tools")
     stale = verified.rewrite_docs(write=False)
-    if stale:
+    if stale and _os.environ.get("EVIDENCE_SELF_HEAL") == "1":
         verified.rewrite_docs(write=True)
-    assert not verified.rewrite_docs(write=False), (
-        "evidence-count blocks still stale after regeneration; "
-        "tools/verified.py rewrite did not converge"
+        stale = verified.rewrite_docs(write=False)
+    assert not stale, (
+        "evidence-count blocks are stale relative to the CORRECTNESS_r* "
+        "artifacts; run `python tools/verified.py --write` (or re-run "
+        "with EVIDENCE_SELF_HEAL=1) to regenerate them from artifact "
+        "truth"
     )
 
 

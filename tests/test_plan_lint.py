@@ -101,6 +101,40 @@ def test_no_pinned_cache_entries_session_wide(spark, plans):
     )
 
 
+def test_broadcast_sites_carry_bounded_justification():
+    """Round-9 rule closing the last forced-broadcast OOM class: an
+    explicit F.broadcast() is only legal on inputs whose cardinality is
+    provably bounded independent of scale factor (nation/region, date
+    spines, 1-row scalar aggregates, k-parameter tables, sketch words).
+    SF-scaling tables (part/customer/supplier/orders/lineitem slices,
+    partkey-grain frequency tables, dedup loser lists) must NOT be
+    hinted — AQE broadcasts them while observed-small and falls back to
+    a shuffled join at scale (the same observed-size criterion that
+    replaced static shuffle_hash hints in round 8).
+
+    Mechanically: every `F.broadcast(` call site in package source must
+    carry a `# bounded: <reason>` annotation on the same line or within
+    the three preceding lines, stating WHY the input cannot grow with
+    SF. A new broadcast site without a written bound fails here.
+    """
+    import pathlib
+
+    pkg = pathlib.Path(appstore_aws_etl_spark.queries.__file__).parents[1]
+    offenders = []
+    for py in sorted(pkg.rglob("*.py")):
+        lines = py.read_text().splitlines()
+        for i, line in enumerate(lines):
+            if "F.broadcast(" not in line or line.lstrip().startswith("#"):
+                continue
+            window = lines[max(0, i - 3) : i + 1]
+            if not any("bounded:" in w for w in window):
+                offenders.append(f"{py.relative_to(pkg.parent)}:{i + 1}")
+    assert offenders == [], (
+        "F.broadcast() without a '# bounded:' justification (forced "
+        f"broadcasts must be provably SF-independent): {offenders}"
+    )
+
+
 def test_session_scale_safety_confs():
     """Pin the round-8 scale-safety session defaults so they cannot
     silently regress:

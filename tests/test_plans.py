@@ -82,10 +82,12 @@ def test_topic_cluster_assignment_shuffle_free_rollup_partial(spark, sf_dir):
 
 def test_dedup_survivors_losers_broadcast_anti(spark, sf_dir):
     plan = formatted_plan(REGISTRY["llm_dedup_survivors"].fn(spark, sf_dir))
-    # the converged loser set is tiny (only docs with a near-dup
-    # neighbour) — the corpus keep-filter must be a broadcast anti-join,
-    # never a shuffle of the full corpus or a nested-loop fallback
-    assert "BroadcastHashJoin" in plan and "LeftAnti" in plan
+    # the loser set scales with the duplicate population, so the corpus
+    # keep-filter carries no forced broadcast hint (round-9 bounded-
+    # broadcast rule) — it must still be an equi anti-join (hash/merge,
+    # AQE broadcasts it while observed-small), never a nested-loop
+    # fallback or cartesian
+    assert "LeftAnti" in plan
     assert "CartesianProduct" not in plan
     assert "BroadcastNestedLoopJoin" not in plan
 

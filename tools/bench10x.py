@@ -39,6 +39,7 @@ import time
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 import appstore_aws_etl_spark.queries  # noqa: F401
+from appstore_aws_etl_spark.ckpt import release_checkpoints
 from appstore_aws_etl_spark.registry import REGISTRY
 from appstore_aws_etl_spark.schemas import TABLE_NAMES
 from appstore_aws_etl_spark.session import get_spark
@@ -144,6 +145,9 @@ def bench_spark(skip: dict[str, float] | None = None) -> dict[str, float]:
                 t = min(t, run_once(name))
         timings[name] = round(t, 3)
         print(f"spark {name}: {timings[name]} s", flush=True)
+        # drop lazy-checkpoint blocks so later keys don't read inflated
+        # under accumulated executor storage (the r8 sweep-tail effect)
+        release_checkpoints(spark)
     return timings
 
 
