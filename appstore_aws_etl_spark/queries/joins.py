@@ -305,10 +305,28 @@ def join_multikey(spark: SparkSession, sf_dir: str) -> DataFrame:
     SMJ 0.89 s vs SHJ 0.72 s — floor-dominated either way (the r7
     "5.6 s" SMJ reading was sweep contention)."""
     li = load(spark, sf_dir, "lineitem")
-    a = li.select("l_orderkey", "l_linenumber", "l_quantity")
-    b = li.select("l_orderkey", "l_linenumber", "l_extendedprice")
-    return a.join(b, on=["l_orderkey", "l_linenumber"]).select(
-        "l_orderkey", "l_linenumber", "l_quantity", "l_extendedprice"
+    # both sides project the SAME columns so the two join inputs are
+    # byte-identical subplans and Catalyst reuses ONE exchange
+    # (ReusedExchange) for both — the shuffle WRITE of the dominant
+    # fact exchange happens once instead of twice at the 100x tier,
+    # where this key ran 7.5x behind DuckDB. The coalesce() outputs
+    # reference each column from BOTH sides (values are equal — the
+    # composite key is unique, the join 1:1) purely so column pruning
+    # cannot re-narrow the sides back into two divergent, non-reusable
+    # projections (round-9 plan work; asserted by test_plans.py).
+    proj = li.select("l_orderkey", "l_linenumber", "l_quantity", "l_extendedprice")
+    a, b = proj.alias("a"), proj.alias("b")
+    return a.join(
+        b,
+        (F.col("a.l_orderkey") == F.col("b.l_orderkey"))
+        & (F.col("a.l_linenumber") == F.col("b.l_linenumber")),
+    ).select(
+        F.col("a.l_orderkey").alias("l_orderkey"),
+        F.col("a.l_linenumber").alias("l_linenumber"),
+        F.coalesce(F.col("a.l_quantity"), F.col("b.l_quantity")).alias("l_quantity"),
+        F.coalesce(
+            F.col("b.l_extendedprice"), F.col("a.l_extendedprice")
+        ).alias("l_extendedprice"),
     )
 
 

@@ -92,6 +92,31 @@ def test_dedup_survivors_losers_broadcast_anti(spark, sf_dir):
     assert "BroadcastNestedLoopJoin" not in plan
 
 
+def test_multikey_self_join_reuses_one_exchange(spark, sf_dir):
+    """join_multikey's two sides are byte-identical projections of the
+    same fact scan ON PURPOSE (round 9): AQE must materialize the
+    dominant shuffle once and read it twice (ReusedExchange), not write
+    two full-fact exchanges — at the 100x tier this halves the shuffle
+    write of the worst >2x-vs-oracle key. Reuse only appears in the
+    FINAL adaptive plan, so the assertion executes the query. Broadcast
+    is disabled for the probe: at test SF the whole side fits under the
+    implicit threshold and the shuffle never happens at all."""
+    from appstore_aws_etl_spark.registry import REGISTRY as R
+
+    old = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try:
+        df = R["join_multikey"].fn(spark, sf_dir)
+        df.collect()
+        final = spark._jvm.PythonSQLUtils.explainString(
+            df._jdf.queryExecution(), "simple"
+        )
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", old)
+    assert "isFinalPlan=true" in final
+    assert "ReusedExchange" in final, final
+
+
 def test_stream_left_join_equi_key_drives_join(spark, sf_dir):
     plan = formatted_plan(REGISTRY["stream_left_join"].fn(spark, sf_dir))
     # user_id equi-key + time-range residual: the join must hash/merge
