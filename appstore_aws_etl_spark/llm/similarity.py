@@ -420,6 +420,7 @@ def train_pq(
     iterations: int = 2,
     vec_col: str = "embedding",
     seed: int = 42,
+    normalize: bool = True,
 ) -> PQCodebooks:
     """Product-quantizer training (Jegou et al. 2011, "Product
     Quantization for Nearest Neighbor Search"): split every unit-
@@ -440,7 +441,11 @@ def train_pq(
     # resolve to the lower code, wasting capacity); the shuffle-free
     # oversample + driver-side dedup keeps each initial code unique
     # without a full-width distinct() of the corpus.
-    init = _distinct_seed_sample(df, _normalized(vec_col), k_codes, seed)
+    # normalize=False trains on the raw column — the IVF-PQ path hands
+    # in RESIDUALS (already centered; re-normalizing them would destroy
+    # the geometry the coarse quantizer removed)
+    vec_expr = _normalized(vec_col) if normalize else F.col(vec_col)
+    init = _distinct_seed_sample(df, vec_expr, k_codes, seed)
     dim = len(init[0])
     if dim % m:
         raise ValueError(f"dim {dim} not divisible by m={m} blocks")
@@ -450,11 +455,11 @@ def train_pq(
         for j in range(m)
     ]
     for _ in range(iterations):
-        enc = pq_encode(df, books, vec_col=vec_col, out_col="__codes")
+        enc = pq_encode(df, books, vec_col=vec_col, out_col="__codes", normalize=normalize)
         rows = (
             enc.select(
                 F.col("__codes").alias("c"),
-                F.posexplode(_normalized(vec_col)).alias("pos", "x"),
+                F.posexplode(vec_expr).alias("pos", "x"),
             )
             .select(
                 F.expr(f"cast(pos / {sub} as int)").alias("blk"),
@@ -479,6 +484,7 @@ def pq_encode(
     codebooks: PQCodebooks,
     vec_col: str = "embedding",
     out_col: str = "pq_codes",
+    normalize: bool = True,
 ) -> DataFrame:
     """Compress each vector to ``m`` small-int codes — a shuffle-free
     projection with the codebook tensor in the task closure (the same
@@ -493,9 +499,10 @@ def pq_encode(
     @F.pandas_udf("array<int>")
     def encode(emb: pd.Series) -> pd.Series:
         x = np.stack(emb.to_numpy()).astype("float64")
-        # norm clamp: a zero vector would otherwise produce NaN blocks,
-        # NaN distances, and argmin-undefined codes
-        x = x / np.maximum(np.linalg.norm(x, axis=1, keepdims=True), 1e-12)
+        if normalize:
+            # norm clamp: a zero vector would otherwise produce NaN
+            # blocks, NaN distances, and argmin-undefined codes
+            x = x / np.maximum(np.linalg.norm(x, axis=1, keepdims=True), 1e-12)
         blocks = x.reshape(len(x), m, sub)  # (n, m, sub)
         # (n, m, k) squared distances per block, argmin over codes
         d2 = ((blocks[:, :, None, :] - tensor[None, :, :, :]) ** 2).sum(axis=3)
@@ -550,6 +557,111 @@ def pq_knn(
     qlit = F.array(*[F.lit(float(x)) for x in query_vec])
     return (
         enc.withColumn("__adc", adc)
+        .orderBy(F.col("__adc"), F.col(id_col))
+        .limit(rerank_factor * k)
+        .withColumn(
+            "score", F.round(cosine_score(F.col(vec_col), qlit), 4) + F.lit(0.0)
+        )
+        .select(id_col, "score")
+        .orderBy(F.col("score").desc(), F.col(id_col))
+        .limit(k)
+    )
+
+
+def ivfpq_knn(
+    df: DataFrame,
+    query_vec: list[float],
+    k: int = 10,
+    n_cells: int = 16,
+    nprobe: int = 4,
+    m: int = 8,
+    k_codes: int = 16,
+    rerank_factor: int = 5,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    cells: Centroids | None = None,
+    codebooks: PQCodebooks | None = None,
+) -> DataFrame:
+    """IVFADC (Jegou et al. 2011 §IV): the full composite index — a
+    coarse quantizer routes vectors to inverted cells, PQ encodes the
+    RESIDUAL (vector minus its cell centroid), and the query scans only
+    the ``nprobe`` probed cells with a per-cell asymmetric-distance
+    lookup table over the residual codebooks, followed by exact cosine
+    rerank. Combines llm_knn_ivf's cell pruning (touch nprobe/n_cells
+    of the corpus) with llm_knn_pq's 32x code compression; residual
+    encoding is what makes the shared codebook accurate across cells
+    (residuals live near the origin, so one m x k codebook covers all
+    cells — the core IVFADC insight).
+
+    Scale shape: training collects only parameters (n_cells x dim
+    means, then m x k x dim/m codebook scalars over residuals);
+    assignment, residual computation, and encoding are shuffle-free
+    projections with the centroid/codebook tensors in task closures;
+    the probe filter prunes to nprobe cells BEFORE the ADC scan (in a
+    deployed index the table is partitioned by cell id, so this is
+    partition pruning at the source); candidate selection is
+    TakeOrderedAndProject and the exact rerank touches rerank_factor*k
+    rows, never the corpus."""
+    ndf = df.withColumn("__nvec", _normalized(vec_col))
+    if cells is None:
+        cells = train_centroids(ndf, n_cells, vec_col="__nvec")
+    assigned = assign_to_centroids(ndf, cells, "__nvec")
+    # residual = normalized vector minus its cell centroid, as a pure
+    # JVM expression: the per-cell centroid array rides a literal CASE
+    # over the (bounded, parameter-scale) cell ids
+    cent_case = None
+    for cid, vec in sorted(cells):
+        arr = F.array(*[F.lit(float(x)) for x in vec])
+        cent_case = (
+            F.when(F.col("centroid_id") == cid, arr)
+            if cent_case is None
+            else cent_case.when(F.col("centroid_id") == cid, arr)
+        )
+    res = assigned.withColumn(
+        "__res", F.zip_with(F.col("__nvec"), cent_case, lambda a, b: a - b)
+    )
+    if codebooks is None:
+        codebooks = train_pq(
+            res, m=m, k_codes=k_codes, vec_col="__res", normalize=False
+        )
+    m = len(codebooks)
+    sub = len(codebooks[0][0])
+
+    q = np.array([float(x) for x in query_vec], dtype="float64")
+    q = q / max(float(np.linalg.norm(q)), 1e-12)
+    cell_map = dict(cells)
+    probe_ids = sorted(
+        cell_map,
+        key=lambda cid: (-_py_cosine(cell_map[cid], list(q)), cid),
+    )[:nprobe]
+    # one ADC lookup table PER PROBED CELL, against the query's residual
+    # in that cell — nprobe x m x k floats, shipped as literals
+    lut_case = None
+    for cid in probe_ids:
+        qr = q - np.array(cell_map[cid], dtype="float64")
+        lut = [
+            [
+                float(((qr[j * sub:(j + 1) * sub] - np.array(code)) ** 2).sum())
+                for code in codebooks[j]
+            ]
+            for j in range(m)
+        ]
+        lut_lit = F.array(*[F.array(*[F.lit(v) for v in row]) for row in lut])
+        lut_case = (
+            F.when(F.col("centroid_id") == cid, lut_lit)
+            if lut_case is None
+            else lut_case.when(F.col("centroid_id") == cid, lut_lit)
+        )
+    enc = pq_encode(res, codebooks, vec_col="__res", normalize=False)
+    adc = F.aggregate(
+        F.zip_with(F.col("pq_codes"), lut_case, lambda c, row: F.get(row, c)),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+    qlit = F.array(*[F.lit(float(x)) for x in query_vec])
+    return (
+        enc.filter(F.col("centroid_id").isin([int(c) for c in probe_ids]))
+        .withColumn("__adc", adc)
         .orderBy(F.col("__adc"), F.col(id_col))
         .limit(rerank_factor * k)
         .withColumn(

@@ -504,11 +504,11 @@ def tpch_q4(spark: SparkSession, sf_dir: str) -> DataFrame:
     never materializes per-order duplicates, and the tiny priority
     aggregation follows. r7's static shuffle_hash hint removed in r8:
     the build side is the raw fact projection (the join_multikey
-    OOM class at the 100x tier); with the session's AQE
-    shuffleHashJoinLocalMapThreshold the hash build returns whenever
-    observed partitions are small — 10x A/B unhinted 1.10 s vs hinted
-    1.00 s, inside noise, so the hint bought nothing but the OOM
-    risk."""
+    OOM class at the 100x tier); the join stays sort-merge, which
+    spills gracefully at every scale (round 9 established the AQE
+    SMJ->SHJ conversion is disabled repo-wide — session.py) — 10x A/B
+    unhinted 1.10 s vs hinted 1.00 s, inside noise, so the hint bought
+    nothing but the OOM risk."""
     o = load(spark, sf_dir, "orders")
     li = load(spark, sf_dir, "lineitem")
     hit = o.join(
@@ -2303,11 +2303,10 @@ def join_role_playing_dates(spark: SparkSession, sf_dir: str) -> DataFrame:
     The lineitem-orders equi-join carries no static join hint: the
     orders projection is a raw fact side that grows linearly with SF,
     so an unconditional shuffled-hash build is the same OOM class the
-    round-8 100x tier exposed on join_multikey. AQE's observed-size
-    SMJ->SHJ conversion (shuffleHashJoinLocalMapThreshold) recovers
-    the hash build whenever post-shuffle partitions actually fit
-    (10x A/B: SMJ 2.38 s / SHJ 1.95 s — a modest win not worth a
-    scale landmine; broadcast-orders 2.33 s)."""
+    round-8 100x tier exposed on join_multikey; the join stays
+    sort-merge, which spills gracefully at every scale (10x A/B: SMJ
+    2.38 s / SHJ 1.95 s — a modest win not worth a scale landmine;
+    broadcast-orders 2.33 s)."""
     li = load(spark, sf_dir, "lineitem").select(
         "l_orderkey", "l_linenumber", "l_shipdate"
     )

@@ -297,11 +297,13 @@ def join_multikey(spark: SparkSession, sf_dir: str) -> DataFrame:
     sides are the full-width fact table, so an unconditional SHJ hint
     means an unbounded per-partition hash-map build — it OOM'd at the
     100x tier (16 partitions x ~400 MB build maps; SparkOutOfMemoryError
-    "not enough memory to build hash map"). The session instead enables
-    AQE's shuffleHashJoinLocalMapThreshold, which makes the SMJ->SHJ
-    switch from OBSERVED partition sizes: at 10x (12 MB partitions) the
-    sorts are dropped exactly as the r7 hint did (~1.1 s); at 100x the
-    join stays sort-merge and spills instead of dying. 1x AQE-off A/B:
+    "not enough memory to build hash map"). Round 9 re-confirmed the
+    OOM with AQE's REAL runtime SMJ->SHJ conversion enabled (the conf
+    r8 pinned was a misspelled no-op; the genuine
+    maxShuffledHashJoinLocalMapThreshold at 64 MB converted this join
+    at 100x and died identically at shuffle=16 AND 64 — BASELINE.md),
+    so the conversion stays disabled repo-wide and the join is
+    sort-merge, which spills gracefully at every scale. 1x AQE-off A/B:
     SMJ 0.89 s vs SHJ 0.72 s — floor-dominated either way (the r7
     "5.6 s" SMJ reading was sweep contention)."""
     li = load(spark, sf_dir, "lineitem")

@@ -269,6 +269,26 @@ def llm_knn_pq(spark: SparkSession, sf_dir: str) -> DataFrame:
     return pq_knn(emb, qvec, k=10, rerank_factor=5, m=8, k_codes=16)
 
 
+@query("llm_knn_ivfpq", oracle=None, tags=("llm", "similarity", "approx"))
+def llm_knn_ivfpq(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """L4 composite index: IVFADC (Jegou et al. 2011 §IV) — the coarse
+    quantizer routes the scan to nprobe of n_cells inverted cells
+    (partition pruning in a deployed layout), PQ codes compress the
+    cell RESIDUALS 32x, per-cell ADC lookup tables score JVM-side, and
+    exact cosine reranks the bounded candidate set. This is the shape
+    a 100 TB ANN service actually deploys: cells bound the fraction of
+    the corpus touched, residual PQ bounds the bytes per touched row.
+    Approx -> rows-only; recall + query-self-exactness unit-tested
+    (tests/test_llm.py::test_ivfpq_recall_vs_brute_force)."""
+    from ..llm.similarity import ivfpq_knn
+
+    emb = load(spark, sf_dir, "embeddings")
+    qvec = emb.filter(F.col("vec_id") == 0).select("embedding").collect()[0][0]
+    return ivfpq_knn(
+        emb, qvec, k=10, n_cells=16, nprobe=8, m=8, k_codes=16, rerank_factor=5
+    )
+
+
 @query(
     "llm_sim_join",
     oracle="""

@@ -54,19 +54,25 @@ def get_spark(
         # scale). Genuine dimensions are explicitly F.broadcast()'d at
         # ~65 sites; implicit broadcasts stay for provably tiny sides.
         .config("spark.sql.autoBroadcastJoinThreshold", str(10 * 1024 * 1024))
-        # Runtime-safe SMJ -> shuffled-hash conversion under AQE: when
-        # every post-shuffle partition is observed (not estimated)
-        # under this threshold, the sort pair is dropped for a local
-        # hash build; above it the join stays sort-merge, which spills
-        # gracefully where an unconditional SHJ hint OOMs building its
-        # hash map (join_multikey at the 100x tier, round 8). Static
-        # shuffle_hash hints remain only where the build side is a
-        # narrow aggregate/signature table bounded well below task
-        # memory at any scale under partition discipline.
-        .config(
-            "spark.sql.adaptive.shuffleHashJoinLocalMapThreshold",
-            str(64 * 1024 * 1024),
-        )
+        # AQE's runtime SMJ -> shuffled-hash conversion stays DISABLED
+        # (spark.sql.adaptive.maxShuffledHashJoinLocalMapThreshold at
+        # its 0 default). Round-9 finding: the conf round 8 pinned here
+        # ("spark.sql.adaptive.shuffleHashJoinLocalMapThreshold") is
+        # not a Spark conf at all — Spark silently accepts unknown
+        # keys, so the "machinery" was a no-op for a full round. Once
+        # the REAL conf was enabled at 64 MB, the 100x tier reproduced
+        # the exact OOM the r8 static-hint analysis predicted: the
+        # threshold checks COMPRESSED shuffle bytes but the hash map
+        # builds deserialized rows, so join_multikey's 60M-row build
+        # died ("not enough memory to build hash map") at shuffle=16
+        # AND 64, while the measured wins (tpch_q12 5.9 -> 3.65 s)
+        # share the same compressed-size bin as the OOM — no threshold
+        # separates them (full table in BASELINE.md). Sort-merge
+        # spills gracefully at every scale; that robustness is the
+        # 100 TB-first default. Static shuffle_hash hints remain only
+        # where the build side is a narrow aggregate/signature table
+        # bounded well below task memory at any scale under partition
+        # discipline.
     )
     if extra_conf:
         for k, v in extra_conf.items():

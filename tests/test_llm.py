@@ -440,6 +440,28 @@ def test_pq_recall_vs_brute_force(spark, sf_dir):
         assert all(0 <= c < 16 for c in r["pq_codes"])
 
 
+def test_ivfpq_recall_vs_brute_force(spark, sf_dir):
+    """IVFADC composite index: cell pruning + residual-PQ ADC + exact
+    rerank must recover most of the true top-10; the query vector
+    itself must rank first (it sits in a probed cell by construction —
+    its own cell is the nearest — and rerank is exact)."""
+    from appstore_aws_etl_spark.llm.similarity import ivfpq_knn
+
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    qvec = emb.filter(F.col("vec_id") == 0).select("embedding").collect()[0][0]
+    exact = [r["vec_id"] for r in brute_force_knn(emb, qvec, k=10).collect()]
+    approx_rows = ivfpq_knn(
+        emb, qvec, k=10, n_cells=16, nprobe=8, m=8, k_codes=16, rerank_factor=5
+    ).collect()
+    approx = [r["vec_id"] for r in approx_rows]
+    # near-random fixture vectors are the worst case for both stages
+    # (no cluster structure for the cells, no block structure for PQ);
+    # probing half the cells with a 5x rerank still recovers the head
+    recall = len(set(exact) & set(approx)) / 10
+    assert recall >= 0.4
+    assert approx[0] == 0  # query vector is its own 1-NN after rerank
+
+
 def test_pq_planted_exactness_equals_brute_force(spark):
     """Stronger than the recall floor (r8 verdict item 7): on a fixture
     whose vectors are block-structured — every block is one of four

@@ -143,16 +143,22 @@ def test_session_scale_safety_confs():
       tier showed a 64 MB threshold lets parquet-COMPRESSED size
       estimates implicitly broadcast multi-million-row fact
       projections (5.1 s vs 1.1 s at 10x; a driver OOM at scale);
-    * AQE's observed-size SMJ->SHJ conversion enabled at 64 MB — the
-      replacement for static shuffle_hash hints on unbounded build
-      sides (an unconditional hint OOM'd join_multikey's hash-map
-      build at the 100x tier, where sort-merge spills gracefully).
+    * AQE's observed-size SMJ->SHJ conversion DISABLED (the real conf,
+      spark.sql.adaptive.maxShuffledHashJoinLocalMapThreshold, at its
+      0 default). Round 9 discovered the r8 conf name was not a Spark
+      conf (silent no-op) and that actually enabling the machinery at
+      64 MB reproduces the hash-map-build OOM on join_multikey at the
+      100x tier — the threshold reads compressed shuffle bytes while
+      the build is deserialized, and no threshold separates the
+      measured q12 win from the OOM (BASELINE.md). Sort-merge's
+      graceful spill is the scale-safe default; this pin fails if
+      anyone re-enables the conversion without a new adjudication.
     """
     from appstore_aws_etl_spark.session import get_spark
 
     s = get_spark("conf_pin_test")
     assert s.conf.get("spark.sql.autoBroadcastJoinThreshold") == str(10 * 1024 * 1024)
     assert s.conf.get(
-        "spark.sql.adaptive.shuffleHashJoinLocalMapThreshold"
-    ) == str(64 * 1024 * 1024)
+        "spark.sql.adaptive.maxShuffledHashJoinLocalMapThreshold"
+    ) == "0b"
     assert s.conf.get("spark.sql.adaptive.enabled") == "true"
