@@ -94,11 +94,30 @@ def hyperplane_band_buckets(
     return buckets(vec_col)
 
 
+def adaptive_lsh_params(n_rows: int, min_bands: int = 4) -> tuple[int, int]:
+    """(n_planes, bands) sized to the corpus so banded-bucket work
+    stays linear. Hyperplane buckets live in a 2^r key space (r = bits
+    per band), so expected bucket size is ~n/2^r and verify work per
+    band is ~n^2/2^r: a FIXED r is a quadratic blow-up waiting for a
+    bigger corpus (round 9: the 32-plane/4-band signature that was fine
+    at 20k vectors produced ~6e8 candidate pairs and 70+ GB of spill at
+    200k). r = log2(n)+2 pins expected bucket size at ~1/4 row, making
+    verify work ~n/4 per band at ANY scale; bands grow with r (~r/3) to
+    hold recall for near-threshold pairs as bands deepen — exact-
+    direction duplicates share every band at any depth regardless, so
+    planted-duplicate recall stays exactly 1."""
+    import math
+
+    r = min(40, max(6, math.ceil(math.log2(max(n_rows, 2))) + 2))
+    bands = max(min_bands, math.ceil(r / 3))
+    return r * bands, bands
+
+
 def lsh_candidate_pairs(
     df: DataFrame,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
-    n_planes: int = 24,
+    n_planes: int | None = 24,
     bands: int = 4,
     seed: int = _LSH_SEED,
 ) -> DataFrame:
@@ -107,7 +126,11 @@ def lsh_candidate_pairs(
     The join key is (band, bucket) — work is sum over buckets of
     |bucket|^2, never n^2; only ids shuffle through the join (vectors
     re-attach later by id). At 100 TB, band/bucket cardinality is the
-    tuning knob: more planes per band -> smaller buckets."""
+    tuning knob: more planes per band -> smaller buckets.
+    ``n_planes=None`` sizes the signature to the corpus via
+    ``adaptive_lsh_params`` (one parameter-only count job)."""
+    if n_planes is None:
+        n_planes, bands = adaptive_lsh_params(df.count(), min_bands=bands)
     # materialized once (lazy localCheckpoint, ContextCleaner-released
     # on GC rather than CacheManager-pinned): the banded table feeds
     # both sides of the self-join — without it the signature UDF (the
@@ -134,7 +157,7 @@ def lsh_similarity_join(
     threshold: float,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
-    n_planes: int = 24,
+    n_planes: int | None = 24,
     bands: int = 4,
     seed: int = _LSH_SEED,
 ) -> DataFrame:
@@ -143,7 +166,10 @@ def lsh_similarity_join(
     Candidates from banded random-hyperplane collisions, then exact
     double-precision cosine keeps only pairs >= threshold — precision
     is exact by construction, recall is the banded-LSH probability
-    (1 for same-direction duplicates, which share every band)."""
+    (1 for same-direction duplicates, which share every band).
+    ``n_planes=None`` -> corpus-adaptive signature width (see
+    ``adaptive_lsh_params``) — the deployment setting; a fixed width
+    only suits a known, bounded corpus."""
     cand = lsh_candidate_pairs(df, id_col, vec_col, n_planes, bands, seed)
     va = df.select(F.col(id_col).alias("id_a"), F.col(vec_col).alias("vec_a"))
     vb = df.select(F.col(id_col).alias("id_b"), F.col(vec_col).alias("vec_b"))

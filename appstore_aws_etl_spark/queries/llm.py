@@ -333,7 +333,13 @@ def llm_sim_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         ),
     )
     aug = emb.select("vec_id", "embedding").unionByName(copies)
-    return lsh_similarity_join(aug, threshold=0.95, n_planes=32, bands=4)
+    # corpus-adaptive signature width (n_planes=None): round 9 found the
+    # fixed 32-plane/4-band signature blowing up at a 200k-vector tier
+    # (8-bit bands -> ~780-row buckets -> ~6e8 candidate pairs, 70+ GB
+    # of sort spill); adaptive sizing pins expected bucket size ~1/4 row
+    # at any corpus, and the planted exact-direction pairs still share
+    # every band, so the oracle hash-match is unaffected.
+    return lsh_similarity_join(aug, threshold=0.95, n_planes=None, bands=4)
 
 
 # --------------------------------------------------------------------------
