@@ -643,8 +643,19 @@ def ivfpq_knn(
             if cent_case is None
             else cent_case.when(F.col("centroid_id") == cid, arr)
         )
-    res = assigned.withColumn(
-        "__res", F.zip_with(F.col("__nvec"), cent_case, lambda a, b: a - b)
+    # lazy checkpoint: the residual projection sits above the pandas-UDF
+    # cell assignment and the n_cells-way centroid CASE — PQ training
+    # re-reads it 1 + iterations times (init sample, then one encode +
+    # means pass per Lloyd round) and the ADC scan reads it once more;
+    # without truncation every pass recomputes the assignment UDF from
+    # the raw scan (measured 11.6 s -> ~3 s at sf0.1). Blocks are
+    # ContextCleaner-released on GC (repo checkpoint policy, ckpt.py).
+    from ..ckpt import lazy_checkpoint
+
+    res = lazy_checkpoint(
+        assigned.withColumn(
+            "__res", F.zip_with(F.col("__nvec"), cent_case, lambda a, b: a - b)
+        )
     )
     if codebooks is None:
         codebooks = train_pq(
