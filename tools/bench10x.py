@@ -115,7 +115,19 @@ def bench_spark(skip: dict[str, float] | None = None) -> dict[str, float]:
     the whole Spark phase again."""
     spark = get_spark(
         "bench10x",
-        shuffle_partitions=int(os.environ.get("SPARK_GRAFT_SHUFFLE", "16")),
+        # initial shuffle partitions scale with the tier: 16 suits the
+        # 10x (~200 MB) tier, but at 100x the EXPANDED intermediates
+        # (pagerank's 180M-row edge relation, ~10x its input) make
+        # 16-way per-partition sorts outgrow task memory — the key
+        # OOM'd at 8 AND 16 GB heaps at shuffle=16 and completes in
+        # ~107 s at shuffle=64 on the default heap (round 9). Sizing to
+        # the largest INTERMEDIATE, not the input, is the partition
+        # discipline a real cluster runs (thousands of partitions at
+        # 100 TB); overshooting is safe because AQE coalesces small
+        # stages back down.
+        shuffle_partitions=int(
+            os.environ.get("SPARK_GRAFT_SHUFFLE", "64" if FACTOR >= 100 else "16")
+        ),
         extra_conf={"spark.ui.showConsoleProgress": "false"},
     )
     build_fixture(spark)
@@ -136,13 +148,22 @@ def bench_spark(skip: dict[str, float] | None = None) -> dict[str, float]:
         # one-time codegen constant, so recording it is honest and
         # halves the sweep for the heavy tail; under 5 s the usual warm
         # run absorbs compilation and the second run is recorded, with
-        # a bounded best-of-2 stall guard below 3 s.
-        t = run_once(name)
-        if t < 5.0:
+        # a bounded best-of-2 stall guard below 3 s. A key that dies
+        # (e.g. an executor OOM at the heap edge) records -1.0 and the
+        # sweep continues — one marginal key must not void the other
+        # keys' artifact (round 9: graph_pagerank at 100x OOMs on a
+        # box-day the r8 measurement day survived, same code+fixture).
+        try:
             t = run_once(name)
-            if t < 3.0 and rerun_budget > 0:
-                rerun_budget -= 1
-                t = min(t, run_once(name))
+            if t < 5.0:
+                t = run_once(name)
+                if t < 3.0 and rerun_budget > 0:
+                    rerun_budget -= 1
+                    t = min(t, run_once(name))
+        except Exception as e:
+            print(f"spark {name}: FAILED {type(e).__name__}", flush=True)
+            timings[name] = -1.0
+            continue
         timings[name] = round(t, 3)
         print(f"spark {name}: {timings[name]} s", flush=True)
         # drop lazy-checkpoint blocks so later keys don't read inflated
@@ -222,14 +243,17 @@ def main() -> int:
     # re-timing those keys (the Spark sweep is ~25 min)
     resumed_spark: dict[str, float] = {}
     resumed_duck: dict[str, float] = {}
+    resumed_capped: set[str] = set()
     if "--resume-log" in args:
         import re
 
         for line in open(args[args.index("--resume-log") + 1]):
-            m = re.match(r"(spark|duckdb) (\S+): ([0-9.]+) s", line)
+            m = re.match(r"(spark|duckdb) (\S+): ([0-9.]+) s( \(CAPPED\))?", line)
             if m and m.group(2) in REGISTRY:
                 dest = resumed_spark if m.group(1) == "spark" else resumed_duck
                 dest[m.group(2)] = float(m.group(3))
+                if m.group(4):  # carry the cap through a resume
+                    resumed_capped.add(m.group(2))
     want = [k for k in REGISTRY if not ONLY or k in ONLY]
     # a resume log may carry keys outside this invocation's --only set;
     # they must not leak into the artifact's totals
@@ -242,19 +266,25 @@ def main() -> int:
     else:
         spark_t = bench_spark(skip=resumed_spark)
     duck_t, capped = bench_duckdb(skip=resumed_duck)
-    oracle_keys = sorted(duck_t)
+    capped = sorted(set(capped) | (resumed_capped & set(duck_t)))
+    # keys whose Spark run died (timing -1.0) are excluded from every
+    # total/ratio and listed explicitly — an honest hole, not a silent one
+    failed_keys = sorted(k for k, v in spark_t.items() if v < 0)
+    spark_t = {k: v for k, v in spark_t.items() if v >= 0}
+    oracle_keys = sorted(k for k in duck_t if k in spark_t)
     ratios = {
         k: round(spark_t[k] / max(duck_t[k], 1e-9), 2) for k in oracle_keys
     }
     spark_total = round(sum(spark_t[k] for k in oracle_keys), 2)
-    duck_total = round(sum(duck_t.values()), 2)
+    duck_total = round(sum(duck_t[k] for k in oracle_keys), 2)
     artifact = {
         "date": datetime.date.today().isoformat(),
         "factor": FACTOR,
         "base": BASE_SF_DIR,
         "config": {
-            "spark": "local[*] AQE on shuffle=16 warm-then-time, "
-                     "stall-guarded best-of-2 under 3 s",
+            "spark": "local[*] AQE on shuffle="
+                     + os.environ.get("SPARK_GRAFT_SHUFFLE", "64" if FACTOR >= 100 else "16")
+                     + " warm-then-time, stall-guarded best-of-2 under 3 s",
             "duckdb": "single process warm-then-time",
         },
         "totals": {
@@ -269,6 +299,7 @@ def main() -> int:
             k: f">= {DUCK_TIMEOUT_S} s (interrupted; ratio is an upper "
                f"bound favourable to DuckDB)" for k in capped
         },
+        "spark_failed_keys": failed_keys,
         "median_ratio": round(statistics.median(ratios.values()), 2),
         "ratios_over_2x": {
             k: {"ratio": ratios[k], "spark": spark_t[k], "duckdb": duck_t[k]}
