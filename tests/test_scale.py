@@ -243,3 +243,42 @@ def test_zorder_layout_sorts_and_interleaves(spark):
         assert by_pid[pid] == sorted(by_pid[pid])
         flat.extend(by_pid[pid])
     assert flat == sorted(flat)
+
+
+def test_adaptive_lsh_params_bound_bucket_work():
+    """Round-9 rule: hyperplane signature width must scale with the
+    corpus. bits-per-band = log2(n)+2 pins EXPECTED bucket size at
+    ~1/4 row (n / 2^r <= 0.25 under the uniform model), so band-join
+    verify work stays ~n/4 per band at any corpus; bands grow ~r/3 so
+    near-threshold recall doesn't collapse as bands deepen. A fixed
+    width is the quadratic blow-up the controlled 100x tier caught
+    (~6e8 candidate pairs, 70+ GB of spill at 200k vectors)."""
+    from appstore_aws_etl_spark.llm.similarity import adaptive_lsh_params
+
+    for n in (100, 2_000, 200_000, 10_000_000, 10**12):
+        n_planes, bands = adaptive_lsh_params(n)
+        r = n_planes // bands
+        assert n_planes == r * bands
+        # expected bucket size under the uniform model stays bounded
+        # (the 40-bit cap only engages past ~2.7e11 rows)
+        if r < 40:
+            assert n / 2 ** r <= 0.25
+        assert bands >= 4
+    # monotone: a bigger corpus never gets a narrower signature
+    widths = [adaptive_lsh_params(n)[0] for n in (10**3, 10**6, 10**9)]
+    assert widths == sorted(widths)
+
+
+def test_release_checkpoints_frees_persistent_rdds(spark, sf_dir):
+    """Bench harnesses rely on release_checkpoints() to drop lazy
+    localCheckpoint blocks deterministically between keys (the r8
+    sweep-tail distortion); assert it actually empties the persistent
+    RDD map after a checkpointed action."""
+    from appstore_aws_etl_spark.catalog import load
+    from appstore_aws_etl_spark.ckpt import lazy_checkpoint, release_checkpoints
+
+    df = lazy_checkpoint(load(spark, sf_dir, "orders").select("o_orderkey"))
+    assert df.count() > 0
+    assert spark.sparkContext._jsc.getPersistentRDDs().size() >= 1
+    release_checkpoints(spark)
+    assert spark.sparkContext._jsc.getPersistentRDDs().size() == 0
