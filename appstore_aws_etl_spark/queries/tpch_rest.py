@@ -215,23 +215,32 @@ def tpch_q11(spark: SparkSession, sf_dir: str) -> DataFrame:
 def tpch_q12(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Q12 shipping-mode/priority matrix (no l_shipmode: lines bucket
     by lateness against order date instead). One orderkey shuffle for
-    the join, conditional-sum pivot, 2-row output."""
-    o = load(spark, sf_dir, "orders").select("o_orderkey", "o_orderdate", "o_orderpriority")
+    the join, conditional-sum pivot, 2-row output.
+
+    The orders side is reduced BEFORE its exchange (round 9): the
+    priority string becomes the boolean it is only ever tested as, and
+    the +60d lateness cutoff is folded into the projected timestamp —
+    Catalyst keeps post-join expressions post-join, so without the
+    explicit projection the exchange carries the raw string (100×
+    interleaved A/B at shuffle=64: 5.9 → 5.4 s, identical output)."""
+    o = load(spark, sf_dir, "orders").select(
+        "o_orderkey",
+        (F.col("o_orderdate") + F.expr("INTERVAL 60 DAYS")).alias("late_after"),
+        F.col("o_orderpriority").isin("1-URGENT", "2-HIGH").alias("high"),
+    )
     li = load(spark, sf_dir, "lineitem").select("l_orderkey", "l_shipdate")
-    high = F.col("o_orderpriority").isin("1-URGENT", "2-HIGH")
     return (
         li.join(o, li.l_orderkey == o.o_orderkey)
         .withColumn(
             "ship_bucket",
-            F.when(
-                F.col("l_shipdate") > F.col("o_orderdate") + F.expr("INTERVAL 60 DAYS"),
-                "late",
-            ).otherwise("ontime"),
+            F.when(F.col("l_shipdate") > F.col("late_after"), "late").otherwise(
+                "ontime"
+            ),
         )
         .groupBy("ship_bucket")
         .agg(
-            F.sum(F.when(high, 1).otherwise(0)).alias("high_line_count"),
-            F.sum(F.when(~high, 1).otherwise(0)).alias("low_line_count"),
+            F.sum(F.when(F.col("high"), 1).otherwise(0)).alias("high_line_count"),
+            F.sum(F.when(~F.col("high"), 1).otherwise(0)).alias("low_line_count"),
         )
         .orderBy("ship_bucket")
     )
