@@ -462,6 +462,55 @@ def test_ivfpq_recall_vs_brute_force(spark, sf_dir):
     assert approx[0] == 0  # query vector is its own 1-NN after rerank
 
 
+def test_ivfpq_planted_exactness_equals_brute_force(spark):
+    """Deterministic IVFADC twin of the PQ planted-exactness case: on
+    the block-structured fixture, explicit cells + exact residual
+    codebooks give zero quantization error, and probing EVERY cell
+    makes the candidate set complete — ivfpq_knn must then equal brute
+    force id-for-id. Any deviation is a bug in cell routing, residual
+    computation, the per-cell ADC tables, or the rerank — not ANN
+    noise (the recall test covers the lossy regime)."""
+    from appstore_aws_etl_spark.llm.similarity import brute_force_knn, ivfpq_knn
+
+    m, sub, n_codes = 4, 4, 4
+    rows = []
+    for i in range(64):
+        vec = []
+        for j in range(m):
+            digit = (i // (n_codes ** j)) % n_codes
+            vec.extend([1.0 if p == digit else 0.0 for p in range(sub)])
+        rows.append((i, vec))
+    emb = spark.createDataFrame(rows, "vec_id LONG, embedding ARRAY<DOUBLE>")
+    # two explicit cells: unit mass on dim 0 vs dim 1 of block 0 (the
+    # normalized vectors have norm 2, components 0.5) — every vector
+    # routes deterministically by its block-0 digit's dot product
+    cells = [(0, [0.5 if p == 0 else 0.0 for p in range(16)]),
+             (1, [0.5 if p == 1 else 0.0 for p in range(16)])]
+    # exact residual codebooks per cell geometry: residual block values
+    # are in {-0.5, 0, 0.5} one-hot combinations; 8 codes per block
+    # cover every residual that occurs (one-hot/2 minus cell component)
+    residuals = set()
+    import itertools
+    for i in range(64):
+        v = [x * 0.5 for x in rows[i][1]]
+        cell = cells[0] if v[0] >= v[1] else cells[1]
+        r = [a - b for a, b in zip(v, cell[1])]
+        for j in range(m):
+            residuals.add(tuple(r[j * sub:(j + 1) * sub]))
+    residuals = sorted(residuals)
+    assert len(residuals) <= 16
+    books = [[list(r) for r in residuals] for _ in range(m)]
+    qvec = rows[0][1]
+    exact = brute_force_knn(emb, qvec, k=10).collect()
+    approx = ivfpq_knn(
+        emb, qvec, k=10, n_cells=2, nprobe=2, rerank_factor=7,
+        cells=cells, codebooks=books,
+    ).collect()
+    assert [(r["vec_id"], r["score"]) for r in approx] == [
+        (r["vec_id"], r["score"]) for r in exact
+    ]
+
+
 def test_pq_planted_exactness_equals_brute_force(spark):
     """Stronger than the recall floor (r8 verdict item 7): on a fixture
     whose vectors are block-structured — every block is one of four
