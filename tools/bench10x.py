@@ -160,6 +160,13 @@ def bench_spark(skip: dict[str, float] | None = None) -> dict[str, float]:
                 if t < 3.0 and rerun_budget > 0:
                     rerun_budget -= 1
                     t = min(t, run_once(name))
+            elif t < 60.0:
+                # cold first-runs in the 5-60 s band carry page-cache +
+                # codegen noise that forced idle re-adjudications every
+                # round (r9: join_multikey 34.9 cold vs 7.5 idle); one
+                # extra run, min-of-2, bounds that class at modest cost
+                # while >60 s keys (pagerank) still record single-run
+                t = min(t, run_once(name))
         except Exception as e:
             print(f"spark {name}: FAILED {type(e).__name__}", flush=True)
             timings[name] = -1.0
@@ -284,7 +291,8 @@ def main() -> int:
         "config": {
             "spark": "local[*] AQE on shuffle="
                      + os.environ.get("SPARK_GRAFT_SHUFFLE", "64" if FACTOR >= 100 else "16")
-                     + " warm-then-time, stall-guarded best-of-2 under 3 s",
+                     + " warm-then-time, stall-guarded best-of-2 under 3 s,"
+                     + " min-of-2 in the 5-60 s band, single-run above",
             "duckdb": "single process warm-then-time",
         },
         "totals": {
