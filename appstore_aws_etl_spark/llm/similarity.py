@@ -51,8 +51,12 @@ def _norm(a) -> F.Column:
 
 def cosine_score(a, b) -> F.Column:
     """Cosine similarity of two array<numeric> columns, computed in
-    double regardless of storage precision."""
-    return _dot(a, b) / (_norm(a) * _norm(b))
+    double regardless of storage precision. The norm product is clamped
+    at 1e-12 (a zero vector scores 0.0) so a degenerate embedding can't
+    raise ANSI DIVIDE_BY_ZERO mid-scan — consistent with every other
+    normalization site; no fixture contains zero vectors, so every
+    oracle-verified result is unchanged."""
+    return _dot(a, b) / F.greatest(_norm(a) * _norm(b), F.lit(1e-12))
 
 
 def random_hyperplanes(dim: int, n_planes: int, seed: int = _LSH_SEED) -> np.ndarray:
@@ -383,7 +387,10 @@ def _py_cosine(a: list[float], b: list[float]) -> float:
     dot = sum(x * y for x, y in zip(a, b))
     na = sum(x * x for x in a) ** 0.5
     nb = sum(y * y for y in b) ** 0.5
-    return dot / (na * nb)
+    # norm clamp, consistent with every vectorized site: a zero vector
+    # (e.g. a zero embedding that seeded a centroid) scores 0, it does
+    # not raise ZeroDivisionError on the driver mid-probe
+    return dot / max(na * nb, 1e-12)
 
 
 def ivf_knn(
