@@ -52,9 +52,17 @@ def release_checkpoints(spark) -> None:
     artifacts: graph_degree_distribution 90.4 s in-sweep vs 27-38 s
     idle at 100x; the r8 10x sweep tail needed post-hoc idle
     re-measures). Bench harnesses call this between keys so every
-    timing starts from empty executor storage. Unpersisting a
-    still-referenced RDD is safe — blocks are recomputed if ever read
-    again, and bench keys never share checkpoints across queries."""
+    timing starts from empty executor storage.
+
+    WARNING — released checkpoints are UNRECOVERABLE, not recomputed.
+    ``localCheckpoint`` truncates lineage, so once its blocks are
+    unpersisted a re-read of any still-held DataFrame built on them
+    fails with ``Checkpoint block rdd_X_Y not found`` instead of
+    recomputing (plain ``persist`` recomputes; local checkpoints do
+    not). This helper is bench/sweep-only: call it ONLY after every
+    DataFrame referencing the checkpoints has been discarded — bench
+    keys rebuild their plans per run, so the boundary between keys is
+    safe by construction."""
     import gc
 
     gc.collect()  # drop py4j proxies so dead JVM RDDs are collectable

@@ -98,7 +98,12 @@ def hyperplane_band_buckets(
     return buckets(vec_col)
 
 
-def adaptive_lsh_params(n_rows: int, min_bands: int = 4) -> tuple[int, int]:
+def adaptive_lsh_params(
+    n_rows: int,
+    min_bands: int = 4,
+    threshold: float | None = None,
+    recall_target: float | None = None,
+) -> tuple[int, int]:
     """(n_planes, bands) sized to the corpus so banded-bucket work
     stays linear. Hyperplane buckets live in a 2^r key space (r = bits
     per band), so expected bucket size is ~n/2^r and verify work per
@@ -106,14 +111,55 @@ def adaptive_lsh_params(n_rows: int, min_bands: int = 4) -> tuple[int, int]:
     bigger corpus (round 9: the 32-plane/4-band signature that was fine
     at 20k vectors produced ~6e8 candidate pairs and 70+ GB of spill at
     200k). r = log2(n)+2 pins expected bucket size at ~1/4 row, making
-    verify work ~n/4 per band at ANY scale; bands grow with r (~r/3) to
-    hold recall for near-threshold pairs as bands deepen — exact-
-    direction duplicates share every band at any depth regardless, so
-    planted-duplicate recall stays exactly 1."""
+    verify work ~n/4 per band at ANY scale.
+
+    Band count — two modes:
+
+    * ``threshold`` + ``recall_target`` given (the similarity-join
+      deployment setting): bands are sized to a PER-PAIR recall
+      guarantee at the threshold. A pair at cosine t collides in one
+      r-plane band with probability p^r, p = 1 - acos(t)/pi, so
+      b = ceil(log(1-R) / log(1-p^r)) bands give collision probability
+      >= R for every pair at or above the threshold, at ANY corpus
+      size. This is the honest cost of recall: b grows as r deepens
+      (~19 bands at r=20, ~69 at r=32 for t=0.95, R=0.9), because the
+      per-band collision probability shrinks exponentially in r.
+    * neither given: the round-9 heuristic bands ~ r/3. NOTE (round-10
+      correction): this holds recall only for EXACT-direction
+      duplicates (which share every band with probability 1 at any
+      depth); recall for near-threshold pairs DECAYS with corpus size
+      under it (~0.89 at r=8/b=4, ~0.59 at r=20/b=7, ~0.31 at
+      r=32/b=11 for cosine 0.95). Use the recall-target mode whenever
+      thresholded pairs — not just planted duplicates — must surface.
+    """
     import math
 
     r = min(40, max(6, math.ceil(math.log2(max(n_rows, 2))) + 2))
-    bands = max(min_bands, math.ceil(r / 3))
+    if threshold is not None and recall_target is not None:
+        t = min(max(threshold, -1.0), 1.0)
+        p = 1.0 - math.acos(t) / math.pi
+        p_band = p**r
+        if p_band >= 1.0:  # threshold 1.0: every band collides
+            bands = min_bands
+        else:
+            bands = max(
+                min_bands,
+                math.ceil(math.log(1.0 - recall_target) / math.log(1.0 - p_band)),
+            )
+            if bands > 512:
+                # honest refusal, not a silent recall cut: at low
+                # thresholds p^r vanishes and the band count needed for
+                # the guarantee explodes — banded sign-LSH is the wrong
+                # index there (use fewer bits per band / another family)
+                raise ValueError(
+                    f"threshold {threshold} needs {bands} bands for "
+                    f"recall {recall_target} at {r} bits/band — "
+                    "banded hyperplane LSH cannot hold this guarantee "
+                    "affordably; lower recall_target or the corpus-"
+                    "driven band width"
+                )
+    else:
+        bands = max(min_bands, math.ceil(r / 3))
     return r * bands, bands
 
 
@@ -124,6 +170,8 @@ def lsh_candidate_pairs(
     n_planes: int | None = 24,
     bands: int = 4,
     seed: int = _LSH_SEED,
+    threshold: float | None = None,
+    recall_target: float | None = None,
 ) -> DataFrame:
     """Candidate (id_a, id_b) pairs that collide in >=1 LSH band.
 
@@ -131,10 +179,22 @@ def lsh_candidate_pairs(
     |bucket|^2, never n^2; only ids shuffle through the join (vectors
     re-attach later by id). At 100 TB, band/bucket cardinality is the
     tuning knob: more planes per band -> smaller buckets.
+
     ``n_planes=None`` sizes the signature to the corpus via
-    ``adaptive_lsh_params`` (one parameter-only count job)."""
+    ``adaptive_lsh_params``. NOTE the semantics shift in that mode:
+    one extra parameter-only ``df.count()`` job runs per call, and the
+    explicit ``bands`` argument becomes a MINIMUM (``min_bands``) —
+    the adaptive sizing may deepen it — rather than the exact band
+    count it is when ``n_planes`` is explicit. Pass
+    ``threshold``/``recall_target`` to additionally size bands for a
+    per-pair recall guarantee at the threshold (see
+    ``adaptive_lsh_params``); they are ignored when ``n_planes`` is
+    explicit."""
     if n_planes is None:
-        n_planes, bands = adaptive_lsh_params(df.count(), min_bands=bands)
+        n_planes, bands = adaptive_lsh_params(
+            df.count(), min_bands=bands,
+            threshold=threshold, recall_target=recall_target,
+        )
     # materialized once (lazy localCheckpoint, ContextCleaner-released
     # on GC rather than CacheManager-pinned): the banded table feeds
     # both sides of the self-join — without it the signature UDF (the
@@ -164,6 +224,7 @@ def lsh_similarity_join(
     n_planes: int | None = 24,
     bands: int = 4,
     seed: int = _LSH_SEED,
+    recall_target: float | None = 0.9,
 ) -> DataFrame:
     """L5 scale path: LSH-prefiltered threshold similarity join.
 
@@ -171,10 +232,22 @@ def lsh_similarity_join(
     double-precision cosine keeps only pairs >= threshold — precision
     is exact by construction, recall is the banded-LSH probability
     (1 for same-direction duplicates, which share every band).
+
     ``n_planes=None`` -> corpus-adaptive signature width (see
     ``adaptive_lsh_params``) — the deployment setting; a fixed width
-    only suits a known, bounded corpus."""
-    cand = lsh_candidate_pairs(df, id_col, vec_col, n_planes, bands, seed)
+    only suits a known, bounded corpus. In that mode ``bands`` acts as
+    a minimum and bands are sized so every pair AT the threshold
+    collides with probability >= ``recall_target`` regardless of
+    corpus size (round-10 correction: the former bands~r/3 heuristic
+    let near-threshold recall decay as the corpus — and hence r —
+    grew, ~0.59 by 200k rows for cosine 0.95; only exact-direction
+    duplicates kept recall 1). ``recall_target=None`` restores the
+    cheaper heuristic when planted/exact duplicates are the only
+    recall contract."""
+    cand = lsh_candidate_pairs(
+        df, id_col, vec_col, n_planes, bands, seed,
+        threshold=threshold, recall_target=recall_target,
+    )
     va = df.select(F.col(id_col).alias("id_a"), F.col(vec_col).alias("vec_a"))
     vb = df.select(F.col(id_col).alias("id_b"), F.col(vec_col).alias("vec_b"))
     return (
@@ -471,22 +544,39 @@ def train_pq(
     exactly 1 + iterations jobs (no separate dim probe)."""
     # duplicate vectors hash identically under xxhash64, so the raw
     # top-k sample could seed duplicate codebook entries (ties then
-    # resolve to the lower code, wasting capacity); the shuffle-free
-    # oversample + driver-side dedup keeps each initial code unique
-    # without a full-width distinct() of the corpus.
+    # resolve to the lower code, wasting capacity). Codebooks are
+    # per-block SLICES, and two distinct full vectors can still share a
+    # slice — so dedup happens per block: oversample distinct FULL
+    # vectors shuffle-free (4x, driver-side parameters), then walk each
+    # block's slices keeping the first k_codes DISTINCT ones. If the
+    # corpus can't fill k_codes distinct slices for some block,
+    # leftover sampled slices repeat — the data itself lacks that many
+    # codes there, and Lloyd rounds re-separate ties if means diverge.
     # normalize=False trains on the raw column — the IVF-PQ path hands
     # in RESIDUALS (already centered; re-normalizing them would destroy
     # the geometry the coarse quantizer removed)
     vec_expr = _normalized(vec_col) if normalize else F.col(vec_col)
-    init = _distinct_seed_sample(df, vec_expr, k_codes, seed)
+    init = _distinct_seed_sample(df, vec_expr, k_codes * 4, seed)
     dim = len(init[0])
     if dim % m:
         raise ValueError(f"dim {dim} not divisible by m={m} blocks")
     sub = dim // m
-    books: PQCodebooks = [
-        [v[j * sub:(j + 1) * sub] for v in init]
-        for j in range(m)
-    ]
+    books = []
+    for j in range(m):
+        slices = [tuple(v[j * sub:(j + 1) * sub]) for v in init]
+        block: list[list[float]] = []
+        seen: set[tuple[float, ...]] = set()
+        for s in slices:
+            if s not in seen:
+                seen.add(s)
+                block.append(list(s))
+            if len(block) == k_codes:
+                break
+        for s in slices:  # corpus-limited fallback: repeats allowed
+            if len(block) == k_codes:
+                break
+            block.append(list(s))
+        books.append(block)
     for _ in range(iterations):
         enc = pq_encode(df, books, vec_col=vec_col, out_col="__codes", normalize=normalize)
         rows = (
@@ -646,30 +736,35 @@ def ivfpq_knn(
             ndf, n_cells, iterations=coarse_iterations, vec_col="__nvec"
         )
     assigned = assign_to_centroids(ndf, cells, "__nvec")
-    # residual = normalized vector minus its cell centroid, as a pure
-    # JVM expression: the per-cell centroid array rides a literal CASE
-    # over the (bounded, parameter-scale) cell ids
-    cent_case = None
-    for cid, vec in sorted(cells):
-        arr = F.array(*[F.lit(float(x)) for x in vec])
-        cent_case = (
-            F.when(F.col("centroid_id") == cid, arr)
-            if cent_case is None
-            else cent_case.when(F.col("centroid_id") == cid, arr)
-        )
+    # residual = normalized vector minus its cell centroid, via a
+    # broadcast join on centroid_id (the queries/llm.py topic-cluster
+    # pattern). Round 9 shipped this as an n_cells-way literal CASE of
+    # dim-wide arrays — an O(n_cells x dim) expression TREE whose
+    # analysis/codegen cost grows with the index, a plan-size
+    # scale-killer at corpus-realistic cell counts (n_cells ~ sqrt(n));
+    # the join keeps the plan O(1) and ships the same floats as a
+    # parameter-scale relation instead (measured at n_cells=450:
+    # see BASELINE.md IVFADC cell-count note).
+    cells_df = df.sparkSession.createDataFrame(
+        [(int(cid), [float(x) for x in vec]) for cid, vec in sorted(cells)],
+        "centroid_id LONG, __cent ARRAY<DOUBLE>",
+    )
     # lazy checkpoint: the residual projection sits above the pandas-UDF
-    # cell assignment and the n_cells-way centroid CASE — PQ training
-    # re-reads it 1 + iterations times (init sample, then one encode +
-    # means pass per Lloyd round) and the ADC scan reads it once more;
-    # without truncation every pass recomputes the assignment UDF from
-    # the raw scan (measured 11.6 s -> ~3 s at sf0.1). Blocks are
+    # cell assignment and the centroid join — PQ training re-reads it
+    # 1 + iterations times (init sample, then one encode + means pass
+    # per Lloyd round) and the ADC scan reads it once more; without
+    # truncation every pass recomputes the assignment UDF from the raw
+    # scan (measured 11.6 s -> ~3 s at sf0.1). Blocks are
     # ContextCleaner-released on GC (repo checkpoint policy, ckpt.py).
     from ..ckpt import lazy_checkpoint
 
     res = lazy_checkpoint(
-        assigned.withColumn(
-            "__res", F.zip_with(F.col("__nvec"), cent_case, lambda a, b: a - b)
+        # bounded: n_cells x dim quantizer parameters, not data
+        assigned.join(F.broadcast(cells_df), "centroid_id")
+        .withColumn(
+            "__res", F.zip_with(F.col("__nvec"), F.col("__cent"), lambda a, b: a - b)
         )
+        .drop("__cent")
     )
     if codebooks is None:
         codebooks = train_pq(

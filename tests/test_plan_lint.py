@@ -67,6 +67,32 @@ def test_no_unexpected_nested_loop_joins(plans):
     assert offenders == []
 
 
+def test_no_wide_array_literal_case_chains(plans):
+    """Round-10 rule (the lint analogue of the `# bounded:` broadcast
+    rule): a CASE chain whose branches yield ARRAY LITERALS embeds
+    O(branches x dim) constants in the expression tree — plan
+    analysis/codegen cost then grows with a model parameter instead of
+    staying O(1). Round 9's IVFADC residual path shipped exactly this
+    (an n_cells-way centroid-array CASE; at corpus-realistic
+    n_cells ~ sqrt(n) ~ 450 the plan alone is ~2 MB of literals) and
+    was re-shaped to a broadcast join on centroid_id. Bounded chains
+    are legitimate — the nprobe-way ADC lookup-table CASE is
+    parameter-bounded by construction — so the cap is 32 branches:
+    anything wider belongs in a broadcast-joined parameter relation."""
+    import re
+
+    pat = re.compile(r"WHEN .{0,120}? THEN \[")
+    offenders = {
+        name: len(pat.findall(plan))
+        for name, plan in plans.items()
+        if len(pat.findall(plan)) > 32
+    }
+    assert offenders == {}, (
+        f"array-literal CASE chains wider than 32 branches: {offenders} "
+        "— ship the arrays as a broadcast-joined relation instead"
+    )
+
+
 def test_no_unexpected_row_python_udfs(plans):
     offenders = [
         name

@@ -269,6 +269,37 @@ def test_adaptive_lsh_params_bound_bucket_work():
     assert widths == sorted(widths)
 
 
+def test_adaptive_lsh_recall_target_mode():
+    """Round-10 rule: when a threshold + recall target are given, bands
+    are sized so a pair AT the threshold collides in >=1 band with
+    probability >= the target at ANY corpus size (the r/3 heuristic
+    only preserved exact-direction recall; near-threshold recall
+    decayed to ~0.31 by r=32). Verify the guarantee analytically and
+    that the guarantee-impossible regime refuses instead of silently
+    under-recalling."""
+    import math
+
+    import pytest
+
+    from appstore_aws_etl_spark.llm.similarity import adaptive_lsh_params
+
+    for n in (2_000, 200_000, 10**9):
+        n_planes, bands = adaptive_lsh_params(
+            n, threshold=0.95, recall_target=0.9
+        )
+        r = n_planes // bands
+        p = 1.0 - math.acos(0.95) / math.pi
+        recall_at_threshold = 1.0 - (1.0 - p**r) ** bands
+        assert recall_at_threshold >= 0.9, (n, r, bands, recall_at_threshold)
+        # bucket-size discipline unchanged: bits per band still log2(n)+2
+        if r < 40:
+            assert n / 2**r <= 0.25
+    # low thresholds need exponentially many bands — refuse, don't
+    # silently cut the guarantee
+    with pytest.raises(ValueError, match="bands"):
+        adaptive_lsh_params(10**9, threshold=0.5, recall_target=0.9)
+
+
 def test_release_checkpoints_frees_persistent_rdds(spark, sf_dir):
     """Bench harnesses rely on release_checkpoints() to drop lazy
     localCheckpoint blocks deterministically between keys (the r8

@@ -107,6 +107,11 @@ def build_fixture(spark) -> str:
 
 ONLY: list[str] = []  # --only k1 k2 ... restricts both sweeps (smoke)
 
+# set when a key's failure killed the shared JVM mid-sweep: the name of
+# the key whose failure orphaned the session (keys after it in registry
+# order are unmeasured, not failed). Surfaced in the artifact.
+SESSION_DEAD_AFTER: str | None = None
+
 
 def bench_spark(skip: dict[str, float] | None = None) -> dict[str, float]:
     """``skip``: per-key timings resumed from a prior run's log (same
@@ -170,6 +175,23 @@ def bench_spark(skip: dict[str, float] | None = None) -> dict[str, float]:
         except Exception as e:
             print(f"spark {name}: FAILED {type(e).__name__}", flush=True)
             timings[name] = -1.0
+            # the motivating failure class (executor OOM in local mode)
+            # usually kills the shared JVM: every later key would then
+            # also record -1.0 and the artifact becomes mostly holes
+            # that look like per-key failures. Probe liveness with a
+            # trivial job and abort the sweep with an explicit marker
+            # instead of silently failing the remainder.
+            try:
+                spark.range(1).count()
+            except Exception:
+                global SESSION_DEAD_AFTER
+                SESSION_DEAD_AFTER = name
+                print(
+                    f"spark session DEAD after {name} — aborting sweep "
+                    "(remaining keys unmeasured, not failed)",
+                    flush=True,
+                )
+                break
             continue
         timings[name] = round(t, 3)
         print(f"spark {name}: {timings[name]} s", flush=True)
@@ -308,6 +330,7 @@ def main() -> int:
                f"bound favourable to DuckDB)" for k in capped
         },
         "spark_failed_keys": failed_keys,
+        "session_dead_after": SESSION_DEAD_AFTER,
         "median_ratio": round(statistics.median(ratios.values()), 2),
         "ratios_over_2x": {
             k: {"ratio": ratios[k], "spark": spark_t[k], "duckdb": duck_t[k]}
