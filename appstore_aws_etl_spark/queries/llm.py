@@ -289,6 +289,47 @@ def llm_knn_ivfpq(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@query("llm_knn_ivfpq_probe", oracle=None, tags=("llm", "similarity", "approx"))
+def llm_knn_ivfpq_probe(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deployed-index IVFADC: train-once / probe-many (round-10 item —
+    ``llm_knn_ivfpq`` trains both quantizers inline per query, which is
+    the ad-hoc shape; a served ANN index amortizes training across
+    queries, and the bench should see what a probe costs, not what
+    training costs). ``build_ivfpq_index`` materializes the encoded
+    corpus partitioned BY CELL (``partitionBy(centroid_id)``) plus the
+    two parameter tables; this key builds it once per (sf_dir, params)
+    into the scan cache and every subsequent run executes ONLY the
+    probe: parameter-table load, nprobe cell selection, a parquet scan
+    that PARTITION-PRUNES to those cells, the nprobe-bounded ADC LUT
+    CASE, TakeOrdered candidates, exact rerank of rerank_factor*k rows.
+    Approx -> rows-only; probe-vs-inline agreement + partition pruning
+    are unit-tested (tests/test_llm.py)."""
+    import os
+
+    from ..llm.similarity import build_ivfpq_index, ivfpq_probe
+    from .scans import CACHE_DIR
+
+    emb = load(spark, sf_dir, "embeddings")
+    qvec = emb.filter(F.col("vec_id") == 0).select("embedding").collect()[0][0]
+    params = "c16_m8_k16_s42"
+    # cache key: full-path hash (basenames collide across fixture
+    # trees) + params; mtime of the source parquet invalidates the
+    # index when a fixture is rebuilt in place
+    import hashlib
+
+    src = os.path.join(sf_dir, "embeddings.parquet")
+    stamp = str(os.path.getmtime(src)) if os.path.exists(src) else "0"
+    key = hashlib.md5(f"{os.path.abspath(sf_dir)}|{params}|{stamp}".encode()).hexdigest()[:16]
+    index_path = os.path.join(CACHE_DIR, "ivfpq_index", key)
+    if not os.path.exists(os.path.join(index_path, "codes", "_SUCCESS")):
+        build_ivfpq_index(
+            emb, index_path, n_cells=16, m=8, k_codes=16, coarse_iterations=2
+        )
+    return ivfpq_probe(
+        spark, index_path, emb, qvec, k=10, nprobe=8, rerank_factor=5
+    )
+
+
 @query(
     "llm_sim_join",
     oracle="""
