@@ -1139,35 +1139,64 @@ def analytics_dau_wau(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     Trailing-window distinct counts don't decompose into window frames
     (COUNT(DISTINCT) OVER RANGE isn't supported by either engine), and
-    a day-range theta join would plan as a nested loop. The scale shape
-    here: dedup events to day grain, then *explode each activity day
-    into the 7 window-end days it contributes to* — a constant 7x
-    fan-out that turns the trailing window into a plain equi-join/
-    aggregation on the day key (the standard shift-and-union trick for
-    sliding distinct counts). The observed-day spine is day-grain
-    (bounded at ~365 rows/year forever) and is broadcast so the 7x
-    contribution stream never shuffles for the semijoin — the r7 10x
-    bench flagged this join re-bucketing the fan-out; broadcast A/B at
-    10x: 1.89 -> 1.12 s."""
+    a day-range theta join would plan as a nested loop. Rounds 7-9
+    used the shift-and-union trick: explode each activity day into the
+    7 window-end days it contributes to, then countDistinct — correct,
+    but the 7x fan-out re-shuffles into a two-phase distinct and read
+    8.5x DuckDB at the 100x tier (the worst non-graph ratio).
+
+    Round-10 shape — interval merge + delta prefix sum, O(activity)
+    with NO fan-out and NO countDistinct: a user counts toward WAU(d)
+    iff d lies in the union of [a, a+6] over their active days a.
+    Per user, merge overlapping 7-day intervals (one user-partitioned
+    window: a new interval starts where the gap since the previous
+    active day exceeds 6 days), emit +1/-1 boundary deltas, and take a
+    running sum over the day spine: WAU(d) = sum of deltas <= d. Every
+    user contributes 2 x (their merged-interval count) <= 2 x (their
+    active days) rows to the delta stream, so shuffle volume is ~1x
+    the deduped activity instead of 7x, and the distinct is gone
+    (interval union already dedups coverage). The final running sum is
+    a single-partition window at DAY grain — bounded (~365 rows/year
+    at any corpus size; a 10-year 100 TB event store is ~3.7k rows),
+    the same bounded-spine argument as the old broadcast."""
     ev = load(spark, sf_dir, "events")
     daily = ev.select(
         F.date_trunc("day", F.col("ts")).alias("day"), "user_id"
     ).distinct()
     dau = daily.groupBy("day").agg(F.count(F.lit(1)).alias("dau"))
-    days = daily.select("day").distinct()
-    contrib = daily.select(
-        F.col("day").alias("a_day"),
-        "user_id",
-        F.explode(F.sequence(F.lit(0), F.lit(6))).alias("i"),
-    ).select(
-        F.expr("a_day + make_interval(0, 0, 0, cast(i AS int))").alias("day"),
-        "user_id",
+    # merge each user's overlapping [day, day+6] coverage intervals:
+    # a gap > 6 days since the previous active day opens a new interval
+    w = Window.partitionBy("user_id").orderBy("day")
+    run = w.rowsBetween(Window.unboundedPreceding, 0)
+    intervals = (
+        daily.withColumn(
+            "new_grp",
+            F.when(
+                F.datediff(F.col("day"), F.lag("day").over(w)) <= 6, 0
+            ).otherwise(1),
+        )
+        .withColumn("grp", F.sum("new_grp").over(run))
+        # same-user rows are already co-located by the window's hash
+        # partitioning on user_id, so this groupBy adds no exchange
+        .groupBy("user_id", "grp")
+        .agg(F.min("day").alias("cov_start"), F.max("day").alias("last_day"))
     )
+    deltas = intervals.select(
+        F.col("cov_start").alias("day"), F.lit(1).alias("d")
+    ).unionAll(
+        intervals.select(
+            F.expr("last_day + make_interval(0, 0, 0, 7)").alias("day"),
+            F.lit(-1).alias("d"),
+        )
+    )
+    net = deltas.groupBy("day").agg(F.sum("d").alias("net"))
+    days = daily.select("day").distinct().withColumn("observed", F.lit(1))
+    spine = days.join(net, "day", "full_outer")
+    wsum = Window.orderBy("day").rowsBetween(Window.unboundedPreceding, 0)
     wau = (
-        # bounded: generated day spine, fixed horizon
-        contrib.join(F.broadcast(days), "day")
-        .groupBy("day")
-        .agg(F.countDistinct("user_id").alias("wau"))
+        spine.withColumn("wau", F.sum(F.coalesce("net", F.lit(0))).over(wsum))
+        .filter(F.col("observed") == 1)
+        .select("day", "wau")
     )
     return dau.join(wau, "day").select(
         "day",
@@ -2306,7 +2335,16 @@ def join_role_playing_dates(spark: SparkSession, sf_dir: str) -> DataFrame:
     round-8 100x tier exposed on join_multikey; the join stays
     sort-merge, which spills gracefully at every scale (10x A/B: SMJ
     2.38 s / SHJ 1.95 s — a modest win not worth a scale landmine;
-    broadcast-orders 2.33 s)."""
+    broadcast-orders 2.33 s).
+
+    Round 10 moved both broadcast calendar joins BELOW the fact-fact
+    exchange (the q12 pre-exchange projection pattern): each fact side
+    resolves its date to the boolean weekend flag map-side BEFORE
+    shuffling, so the big exchange carries (key, bool) instead of
+    (key, timestamp) and the dates never cross the wire. Same rows —
+    the calendar covers the full date domain, and an inner calendar
+    join commutes with the orderkey join. Interleaved 100x A/B:
+    AB_100X_r10.json (pre-exchange) vs the r9 post-exchange reading."""
     li = load(spark, sf_dir, "lineitem").select(
         "l_orderkey", "l_linenumber", "l_shipdate"
     )
@@ -2333,14 +2371,17 @@ def join_role_playing_dates(spark: SparkSession, sf_dir: str) -> DataFrame:
     scal = cal.select(
         F.col("date_key").alias("s_key"), F.col("is_weekend").alias("shipped_on_weekend")
     )
-    return (
-        li.join(o, li.l_orderkey == o.o_orderkey)
+    o_flagged = o.join(
         # bounded: generated calendar <= 2557 rows
-        .join(F.broadcast(ocal), F.date_trunc("day", "o_orderdate") == F.col("o_key"))
+        F.broadcast(ocal), F.date_trunc("day", "o_orderdate") == F.col("o_key")
+    ).select("o_orderkey", "ordered_on_weekend")
+    li_flagged = li.join(
         # bounded: generated calendar <= 2557 rows
-        .join(F.broadcast(scal), F.date_trunc("day", "l_shipdate") == F.col("s_key"))
-        .select("l_orderkey", "l_linenumber", "ordered_on_weekend", "shipped_on_weekend")
-    )
+        F.broadcast(scal), F.date_trunc("day", "l_shipdate") == F.col("s_key")
+    ).select("l_orderkey", "l_linenumber", "shipped_on_weekend")
+    return li_flagged.join(
+        o_flagged, li_flagged.l_orderkey == o_flagged.o_orderkey
+    ).select("l_orderkey", "l_linenumber", "ordered_on_weekend", "shipped_on_weekend")
 
 
 @query(

@@ -139,7 +139,25 @@ def bench_spark(skip: dict[str, float] | None = None) -> dict[str, float]:
 
     def run_once(name: str) -> float:
         t0 = time.perf_counter()
-        REGISTRY[name].fn(spark, FIXTURE_DIR).count()
+        timer = None
+        if SPARK_TIMEOUT_S > 0:
+            # per-key wall cap (round 10, for the widened 100x set):
+            # the clique-dense replicated fixture makes pair-emitting
+            # keys legitimately OUTPUT-bound (~74M true pairs — r8
+            # measured 25 min on minhash); cap them via job
+            # cancellation and record the cap explicitly rather than
+            # spending the sweep's whole budget or excluding them
+            import threading
+
+            timer = threading.Timer(
+                SPARK_TIMEOUT_S, spark.sparkContext.cancelAllJobs
+            )
+            timer.start()
+        try:
+            REGISTRY[name].fn(spark, FIXTURE_DIR).count()
+        finally:
+            if timer is not None:
+                timer.cancel()
         return time.perf_counter() - t0
 
     run_once("agg_group")  # JVM/codegen warm
@@ -158,6 +176,7 @@ def bench_spark(skip: dict[str, float] | None = None) -> dict[str, float]:
         # sweep continues — one marginal key must not void the other
         # keys' artifact (round 9: graph_pagerank at 100x OOMs on a
         # box-day the r8 measurement day survived, same code+fixture).
+        t_start = time.perf_counter()
         try:
             t = run_once(name)
             if t < 5.0:
@@ -173,6 +192,13 @@ def bench_spark(skip: dict[str, float] | None = None) -> dict[str, float]:
                 # while >60 s keys (pagerank) still record single-run
                 t = min(t, run_once(name))
         except Exception as e:
+            if (
+                SPARK_TIMEOUT_S > 0
+                and time.perf_counter() - t_start >= SPARK_TIMEOUT_S
+            ):
+                print(f"spark {name}: CAPPED >= {SPARK_TIMEOUT_S} s", flush=True)
+                timings[name] = -2.0
+                continue
             print(f"spark {name}: FAILED {type(e).__name__}", flush=True)
             timings[name] = -1.0
             # the motivating failure class (executor OOM in local mode)
@@ -208,6 +234,13 @@ def bench_spark(skip: dict[str, float] | None = None) -> dict[str, float]:
 # bound on DuckDB's time, i.e. an upper bound favourable to DuckDB in
 # every ratio — and flagged in the artifact.
 DUCK_TIMEOUT_S = float(os.environ.get("BENCH10X_DUCK_TIMEOUT", "120"))
+
+# optional per-key Spark wall cap (seconds; 0 = off). A capped key
+# records -2.0 internally and lands in the artifact's
+# spark_capped_keys — a LOWER bound on its time, same contract as the
+# DuckDB cap. Cancellation is job-level (cancelAllJobs), so the shared
+# session survives and the sweep continues.
+SPARK_TIMEOUT_S = float(os.environ.get("BENCH10X_SPARK_TIMEOUT", "0"))
 
 
 def bench_duckdb(skip: dict[str, float] | None = None) -> tuple[dict[str, float], list[str]]:
@@ -296,9 +329,11 @@ def main() -> int:
         spark_t = bench_spark(skip=resumed_spark)
     duck_t, capped = bench_duckdb(skip=resumed_duck)
     capped = sorted(set(capped) | (resumed_capped & set(duck_t)))
-    # keys whose Spark run died (timing -1.0) are excluded from every
-    # total/ratio and listed explicitly — an honest hole, not a silent one
-    failed_keys = sorted(k for k, v in spark_t.items() if v < 0)
+    # keys whose Spark run died (-1.0) or hit the per-key wall cap
+    # (-2.0) are excluded from every total/ratio and listed explicitly
+    # — an honest hole, not a silent one
+    spark_capped = sorted(k for k, v in spark_t.items() if v == -2.0)
+    failed_keys = sorted(k for k, v in spark_t.items() if v < 0 and v != -2.0)
     spark_t = {k: v for k, v in spark_t.items() if v >= 0}
     oracle_keys = sorted(k for k in duck_t if k in spark_t)
     ratios = {
@@ -330,6 +365,11 @@ def main() -> int:
                f"bound favourable to DuckDB)" for k in capped
         },
         "spark_failed_keys": failed_keys,
+        "spark_capped_keys": {
+            k: f">= {SPARK_TIMEOUT_S} s (jobs cancelled at the per-key "
+               "wall cap; a lower bound, excluded from totals)"
+            for k in spark_capped
+        },
         "session_dead_after": SESSION_DEAD_AFTER,
         "median_ratio": round(statistics.median(ratios.values()), 2),
         "ratios_over_2x": {
