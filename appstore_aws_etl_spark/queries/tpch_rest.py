@@ -374,22 +374,31 @@ def tpch_q20(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def tpch_q21(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Q21 suppliers who kept finished orders waiting (lateness =
-    shipped >30 days after order date). The EXISTS / NOT EXISTS pair
-    decorrelates into per-order aggregates computed in ONE pass each:
-    distinct suppliers per order (EXISTS) and distinct *late*
-    suppliers per order (NOT EXISTS == exactly this one late
-    supplier) — no per-row subquery re-execution, two orderkey
-    shuffles total. All three orderkey joins are shuffle_hash-hinted:
-    every build side (filtered orders, the two per-order aggregates)
-    has at most one row per key, so SMJ's sorts of the fact side buy
-    nothing (measured 3.3 -> 2.45 s at 10x sf0.1; re-adjudicated at
-    the 100x tier round 9 under the factor-scaled partition
-    discipline: hinted 14.9-15.3 s vs unhinted 16.8-17.7, completing
-    cleanly — the builds are narrow 2-3-long-column relations whose
-    per-partition maps stay bounded when partitions scale with data,
-    unlike the full-width fact build that OOM'd join_multikey; the
-    hint's safety condition IS that discipline, documented in
-    tools/bench10x.py)."""
+    shipped >30 days after order date).
+
+    The EXISTS / NOT EXISTS pair decorrelates into per-order facts.
+    Rounds 4-9 computed them as two count_distinct aggregates and
+    joined them back — correct, but lineitem crossed the wire TWICE
+    (the raw join side plus order_supps' partial-aggregate exchange of
+    ~every (orderkey, suppkey) pair) and the aggregates re-joined on
+    the same key. Round 10: both facts are windowed min/max over the
+    ONE l_orderkey partitioning the orders join already established —
+
+        EXISTS other supplier       <=>  min(suppkey) != max(suppkey)
+        NOT EXISTS other late supp  <=>  min(late supp) == max(late supp)
+
+    (distinct-count >= 2 and == 1 need only the extremes, never the
+    count), so the exists/not-exists legs SHARE the join's exchange:
+    lineitem shuffles once, the WindowExec adds a per-partition sort
+    on the already-clustered key, and both legs evaluate in one pass.
+    Interleaved 100x A/B (AB_Q21_r10.json, identical results at
+    sf0.01): two-exchange 25.0-31.2 s vs one-exchange 4.95-10.2 s —
+    5.1x, moving q21 from ~2x DuckDB to under it.
+
+    The orders build keeps its shuffle_hash hint: a narrow 2-long-
+    column, <=1-row-per-key build whose per-partition maps stay
+    bounded under the factor-scaled partition discipline
+    (re-adjudicated at 100x in round 9; tools/bench10x.py)."""
     o = (
         load(spark, sf_dir, "orders")
         .filter(F.col("o_orderstatus") == "F")
@@ -397,24 +406,26 @@ def tpch_q21(spark: SparkSession, sf_dir: str) -> DataFrame:
         .hint("shuffle_hash")
     )
     li = load(spark, sf_dir, "lineitem").select("l_orderkey", "l_suppkey", "l_shipdate")
-    late = li.join(o, li.l_orderkey == o.o_orderkey).filter(
-        F.col("l_shipdate") > F.col("o_orderdate") + F.expr("INTERVAL 30 DAYS")
-    ).select("l_orderkey", "l_suppkey")
-    order_supps = li.groupBy("l_orderkey").agg(
-        F.count_distinct("l_suppkey").alias("n_supps")
+    joined = li.join(o, li.l_orderkey == o.o_orderkey).withColumn(
+        "is_late",
+        F.col("l_shipdate") > F.col("o_orderdate") + F.expr("INTERVAL 30 DAYS"),
     )
-    late_supps = late.groupBy(F.col("l_orderkey").alias("lk")).agg(
-        F.count_distinct("l_suppkey").alias("n_late_supps")
+    w = Window.partitionBy("l_orderkey")
+    late_supp = F.when(F.col("is_late"), F.col("l_suppkey"))
+    per_order = joined.select(
+        "l_orderkey",
+        "l_suppkey",
+        "is_late",
+        (F.min("l_suppkey").over(w) != F.max("l_suppkey").over(w)).alias(
+            "has_other_supp"
+        ),
+        F.min(late_supp).over(w).alias("late_min"),
+        F.max(late_supp).over(w).alias("late_max"),
     )
-    blamed = (
-        late.join(
-            order_supps.filter(F.col("n_supps") >= 2).hint("shuffle_hash"),
-            "l_orderkey",
-        )
-        .join(
-            late_supps.filter(F.col("n_late_supps") == 1).hint("shuffle_hash"),
-            F.col("l_orderkey") == F.col("lk"),
-        )
+    blamed = per_order.filter(
+        F.col("is_late")
+        & F.col("has_other_supp")
+        & (F.col("late_min") == F.col("late_max"))
     )
     s = load(spark, sf_dir, "supplier").select("s_suppkey", "s_name")
     return (
