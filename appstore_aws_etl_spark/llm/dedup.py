@@ -30,10 +30,79 @@ _MINHASH_SEED = 874321
 _MERSENNE = (1 << 31) - 1
 
 
-def exact_dedup(df: DataFrame, keys: list[str], order: list[str]) -> DataFrame:
+# delete-table for ASCII normalization: every byte outside [a-z0-9 ]
+_NORM_DELETE = bytes(
+    b for b in range(256) if b not in set(b"abcdefghijklmnopqrstuvwxyz0123456789 ")
+)
+
+
+def normalize_ascii_text(col) -> F.Column:
+    """Column: lower -> drop non-[a-z0-9 ] -> collapse/trim whitespace,
+    the dedup-normalization contract, at C-string speed.
+
+    Why a pandas UDF when the same expression exists as two JVM
+    regexp_replace calls: java.util.regex walks documents ~10-20 MB/s,
+    and the round-10 widened 100x tier measured the regex pair at ~19 s
+    of a 23 s key over ~150 MB of text (35x the DuckDB comparator,
+    whose RE2 streams the same char class at SIMD rate). Python's
+    ``bytes.translate``/``split`` are memcpy-class loops over Arrow-
+    delivered batches — the same "vectorized beats Catalyst here"
+    argument as minhash_signatures. ``str.lower()`` runs BEFORE the
+    byte pass so unicode lowering matches the SQL engines' lower()
+    (e.g. Kelvin sign -> ascii 'k' survives; any codepoint still
+    non-ASCII after lowering is a multi-byte UTF-8 sequence whose
+    bytes are all >= 0x80 and drop, exactly like the codepoint-level
+    character class)."""
+
+    @F.pandas_udf("string")
+    def norm(s: pd.Series) -> pd.Series:
+        return pd.Series(
+            [
+                None
+                if t is None
+                else b" ".join(
+                    t.lower().encode("utf-8").translate(None, _NORM_DELETE).split()
+                ).decode("ascii")
+                for t in s
+            ],
+            dtype=object,
+        )
+
+    return norm(col)
+
+
+def exact_dedup(
+    df: DataFrame, keys: list[str], order: list[str], digest_keys: bool = False
+) -> DataFrame:
     """L1 keep exactly one row per key, the first under ``order``
     (deterministic survivor, unlike dropDuplicates which keeps an
-    arbitrary row per key)."""
+    arbitrary row per key).
+
+    ``digest_keys=True`` is the WIDE-key scale path (round 10; found
+    by the widened 100x tier, where full-document dedup keys read 35x
+    the DuckDB comparator): shuffle a SHA-256 digest of each key
+    instead of the raw value, and pick the survivor with one
+    map-side-combinable ``min_by`` aggregate instead of a
+    row_number window. The exchange then carries 32 bytes per key
+    rather than the whole document, duplicates collapse BEFORE the
+    wire (partial aggregation), and nothing sorts. This is standard
+    content-addressable dedup: distinct keys collide with probability
+    ~2^-128 (birthday bound ~2^-65 even at 10^18 documents) —
+    cosmologically below any data-quality noise floor; leave it off
+    for short keys, where digesting only adds compute."""
+    if digest_keys:
+        kcols = [
+            F.sha2(F.col(k).cast("string"), 256).alias(f"__k{i}")
+            for i, k in enumerate(keys)
+        ]
+        row = F.struct(*[F.col(c) for c in df.columns])
+        ordst = F.struct(*[F.col(o) for o in order])
+        return (
+            df.select(*kcols, row.alias("__row"), ordst.alias("__o"))
+            .groupBy(*[f"__k{i}" for i in range(len(keys))])
+            .agg(F.min_by("__row", F.col("__o")).alias("__row"))
+            .select("__row.*")
+        )
     w = Window.partitionBy(*keys).orderBy(*order)
     return (
         df.withColumn("__rn", F.row_number().over(w))
@@ -293,20 +362,19 @@ def ngram_jaccard_pairs(
     sizes = grams.groupBy(id_col, *scope_cols).agg(F.count(F.lit(1)).alias("n_grams"))
     a = grams.select(*scope_cols, F.col(id_col).alias("id_a"), "gram")
     b = grams.select(*scope_cols, F.col(id_col).alias("id_b"), "gram")
-    # shuffle_hash on every equi-join here: the df_cap bounds per-gram
-    # fanout so no build partition can blow up on one key, the size
-    # joins build one row per doc, and SMJ's sorts of the (large) gram
-    # and pair tables buy nothing (3.75 -> 2.17 s at 10x sf0.1 for the
-    # jaccard key; SHJ spills per-partition on misestimate, and the
-    # build partition size is rows/shuffle-partitions — an operator the
-    # caller scales with the corpus). Re-adjudicated in r8's static-hint
-    # audit (which removed the raw-fact-build hints after a 100x OOM):
-    # these hints STAY — the unhinted plan under the session's AQE
-    # conversion threshold measured 6.46 s vs 3.78 s hinted at 10x, and
-    # the build sides here are narrow capped gram rows / one-row-per-doc
-    # size tables, not full-width fact projections.
+    # NO static shuffle_hash hints (round 10; they were here r8-r9 for
+    # a 6.46 -> 3.78 s win at 10x): the widened 100x tier heap-OOM'd
+    # the JVM on all three keys built over this operator, because the
+    # df_cap bounds per-GRAM fanout but the SHJ BUILD relation is the
+    # whole gram table — corpus-linear, ~150M rows at the tier, and N
+    # concurrent per-partition hash maps of a linear relation is
+    # exactly the join_multikey OOM class r8 banned static hints for.
+    # Sort-merge spills gracefully at any size, so a clique-dense
+    # corpus now runs out the per-key wall cap (an honest output-bound
+    # CAPPED record) instead of killing the session; AQE still
+    # converts to SHJ when a side is OBSERVED small.
     inter = (
-        a.join(b.hint("shuffle_hash"), on=[*scope_cols, "gram"])
+        a.join(b, on=[*scope_cols, "gram"])
         .filter(F.col("id_a") < F.col("id_b"))
         .groupBy("id_a", "id_b")
         .agg(F.count(F.lit(1)).alias("n_inter"))
@@ -314,8 +382,8 @@ def ngram_jaccard_pairs(
     sa = sizes.select(F.col(id_col).alias("id_a"), F.col("n_grams").alias("na"))
     sb = sizes.select(F.col(id_col).alias("id_b"), F.col("n_grams").alias("nb"))
     return (
-        inter.join(sa.hint("shuffle_hash"), "id_a")
-        .join(sb.hint("shuffle_hash"), "id_b")
+        inter.join(sa, "id_a")
+        .join(sb, "id_b")
         .withColumn(
             "jaccard",
             F.round(F.col("n_inter") / (F.col("na") + F.col("nb") - F.col("n_inter")), 4),

@@ -55,11 +55,15 @@ from ..registry import query
     tags=("llm", "dedup"),
 )
 def llm_dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """L1 exact dedup on content, deterministic survivor (lowest id)."""
+    """L1 exact dedup on content, deterministic survivor (lowest id).
+    digest_keys: the dedup key is the full document, so the shuffle
+    carries a 32-byte SHA-256 per row instead of the text and the
+    survivor comes from a map-side-combinable min_by (exact_dedup
+    docstring has the collision bound)."""
     docs = load(spark, sf_dir, "documents")
-    return exact_dedup(docs, keys=["text"], order=["doc_id"]).select(
-        "doc_id", "lang", "source", "n_chars"
-    )
+    return exact_dedup(
+        docs, keys=["text"], order=["doc_id"], digest_keys=True
+    ).select("doc_id", "lang", "source", "n_chars")
 
 
 @query(
@@ -84,20 +88,31 @@ def llm_dedup_normalized(spark: SparkSession, sf_dir: str) -> DataFrame:
     collapse whitespace, then keep the lowest-id survivor per
     normalized form. Catches the case/punctuation/whitespace variants
     ``llm_dedup_exact`` (byte-identical text) misses; all JVM-side
-    regexp_replace + one window shuffle, so the normalization adds no
-    Python and no extra exchange over exact dedup."""
+    regexp_replace, no Python.
+
+    Scale shape (round 10 — the widened 100x tier caught the previous
+    plan at 35x the comparator, 23.6 s): two fixes, each measured.
+    (1) The window on raw normalized text shipped and SORTED every
+    DOCUMENT as its partition key — now the key is a SHA-256 digest
+    and the survivor comes from one map-side-combinable min_by
+    (32 bytes + 3 small columns per row on the wire, nothing sorts;
+    collision bound in exact_dedup's docstring). (2) The digest alone
+    changed little because ~19 s was java.util.regex itself walking
+    the text at ~10 MB/s — normalization now runs as the Arrow-batched
+    bytes.translate UDF (llm/dedup.normalize_ascii_text), memcpy-class
+    per byte. Measured at the 100x tier: 23.6 -> 1.3 s (BASELINE.md)."""
+    from ..llm.dedup import normalize_ascii_text
+
     docs = load(spark, sf_dir, "documents")
-    norm = F.trim(
-        F.regexp_replace(
-            F.regexp_replace(F.lower(F.col("text")), "[^a-z0-9 ]", ""),
-            " +", " ",
-        )
-    )
-    w = Window.partitionBy(norm).orderBy("doc_id")
+    norm = normalize_ascii_text(F.col("text"))
     return (
-        docs.withColumn("__rn", F.row_number().over(w))
-        .filter(F.col("__rn") == 1)
-        .select("doc_id", "lang", "source")
+        docs.select(
+            F.sha2(norm, 256).alias("__k"),
+            F.struct("doc_id", "lang", "source").alias("__row"),
+        )
+        .groupBy("__k")
+        .agg(F.min_by("__row", F.col("__row.doc_id")).alias("__row"))
+        .select("__row.*")
     )
 
 

@@ -316,6 +316,16 @@ def main() -> int:
                 dest[m.group(2)] = float(m.group(3))
                 if m.group(4):  # carry the cap through a resume
                     resumed_capped.add(m.group(2))
+                continue
+            # carry Spark failures/caps through a resume too — a key
+            # that killed the JVM once (r10: llm_jaccard_ngram heap-OOM
+            # at 100x survived even job cancellation) must not re-kill
+            # the resumed sweep; it stays an explicit hole
+            m = re.match(r"spark (\S+): (FAILED|CAPPED)", line)
+            if m and m.group(1) in REGISTRY:
+                resumed_spark[m.group(1)] = (
+                    -1.0 if m.group(2) == "FAILED" else -2.0
+                )
     want = [k for k in REGISTRY if not ONLY or k in ONLY]
     # a resume log may carry keys outside this invocation's --only set;
     # they must not leak into the artifact's totals
