@@ -451,38 +451,27 @@ def connected_dedup_clusters(
     df: DataFrame,
     id_col: str = "doc_id",
     text_col: str = "text",
-    max_rounds: int = 50,
+    max_rounds: int = 50,  # kept for API compatibility; unused
 ) -> DataFrame:
-    """Duplicate clusters as connected components: every document gets
-    ``cluster_id`` = the minimum id among all documents with identical
-    content — union-find at Spark scale.
+    """Duplicate clusters: every document gets ``cluster_id`` = the
+    minimum id among all documents with identical content.
 
-    Edges are the *chain* of consecutive ids per content fingerprint
-    (linear in group size — never the clique; a clique would be
-    quadratic in the duplicate count), and labels converge via the
-    shared min-label propagation walk (operators/labelprop.py): relax
-    + pointer-doubling compress per round — so a 10k-copy duplicate
-    chain (diameter 10k) converges in O(log) rounds — with driver-side
-    changed-count convergence exit, localCheckpoint-per-round lineage
-    truncation, and a RuntimeError rather than a silent
-    half-propagated result if ``max_rounds`` is exhausted — identical
-    semantics to ``graph_connected_components``.
-    """
-    from ..operators.labelprop import propagate_min_labels
-
-    fp = df.select(
-        F.col(id_col).alias("node"), F.md5(F.col(text_col)).alias("__fp")
-    ).localCheckpoint(eager=False, storageLevel=CHECKPOINT_LEVEL)
-    w = Window.partitionBy("__fp").orderBy("node")
-    chain = fp.withColumn("__prev", F.lag("node").over(w))
-    edges = chain.filter(F.col("__prev").isNotNull()).select(
-        F.col("__prev").alias("src"), F.col("node").alias("dst")
+    Rounds 4-9 ran this as iterative min-label propagation over
+    per-fingerprint chain edges — machinery this operator never needs:
+    EXACT-duplicate clusters ARE the fingerprint groups by definition
+    (content equality is already transitive), so the component minimum
+    is a single windowed min over the fingerprint. One exchange whose
+    payload is (id, 16-byte md5) — no loop, no convergence protocol,
+    no per-round checkpoints. The widened 100x tier priced the
+    difference: the iterative walk read 10.0 s / 41.6x the comparator
+    on what one window does in ~1 s; at 100 TB the loop's per-round
+    full-relation exchanges were pure overhead. Iterative propagation
+    remains the right operator where edges are GENUINELY transitive
+    relations — near-dup similarity chains (llm_dedup_survivors) and
+    real graphs (graph_connected_components, operators/labelprop.py)
+    — which keep exercising it."""
+    fp = df.select(F.col(id_col), F.md5(F.col(text_col)).alias("__fp"))
+    w = Window.partitionBy("__fp")
+    return fp.select(
+        F.col(id_col), F.min(id_col).over(w).alias("cluster_id")
     )
-    und = edges.union(
-        edges.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
-    ).localCheckpoint(eager=False, storageLevel=CHECKPOINT_LEVEL)
-    labels = fp.select("node", F.col("node").alias("cluster_id"))
-    labels = propagate_min_labels(
-        und, labels, "node", "cluster_id", max_rounds=max_rounds
-    )
-    return labels.select(F.col("node").alias(id_col), "cluster_id")

@@ -1,5 +1,5 @@
 """Min-label propagation to convergence — the shared connected-components
-core behind ``graph_connected_components``, ``connected_dedup_clusters``
+core behind ``graph_connected_components``, ``llm_dedup_survivors``
 and ``llm_dedup_survivors``.
 
 Reference parity: the reference repo has no graph operator (97 LoC of

@@ -902,16 +902,20 @@ def llm_pii_redact(spark: SparkSession, sf_dir: str) -> DataFrame:
     tags=("llm", "dedup"),
 )
 def llm_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Duplicate clustering as connected components (union-find at
-    scale). Fixture texts are all distinct, so duplicate chains are
-    planted first (copies at +off / +2*off, off = max(doc_id)+1 via a
-    parameter-only collect so planted ids never collide with real ones,
-    for every 10th / 20th doc — components of size up to 3); iterative
-    min-label propagation over per-fingerprint chain edges then
-    converges to cluster_id = min(doc_id) per component, which is
-    exactly what the oracle's window expresses. The iterative DataFrame
-    loop is the real operator; the window SQL is only checkable because
-    components here are content-identical."""
+    """Duplicate clustering: cluster_id = min(doc_id) among documents
+    with identical content. Fixture texts are all distinct, so
+    duplicate chains are planted first (copies at +off / +2*off,
+    off = max(doc_id)+1 via a parameter-only collect so planted ids
+    never collide with real ones, for every 10th / 20th doc —
+    components of size up to 3). Round 10 re-planned the operator
+    itself (llm/dedup.connected_dedup_clusters): exact-duplicate
+    clusters ARE fingerprint groups — content equality is transitive
+    already — so the component minimum is one windowed min over the
+    md5 fingerprint (one exchange of (id, 16 B)), not an iterative
+    label-propagation loop; the widened 100x tier priced the loop at
+    10.0 s / 41.6x for what one window does in ~1 s. Genuinely
+    transitive edge relations keep the iterative operator
+    (llm_dedup_survivors, graph_connected_components)."""
     from ..llm.dedup import connected_dedup_clusters
 
     docs = load(spark, sf_dir, "documents").select("doc_id", "text")
