@@ -430,13 +430,16 @@ def agg_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
     prunes the candidate space — so the oracle is the plain
     GROUP BY/HAVING. At 100 TB the full-vocabulary shuffle never
     happens: each partition streams through at most k counters and the
-    recount aggregates only the broadcast candidate set."""
-    from ..llm.text import tokenize
-    from ..operators.sketches import heavy_hitters
+    recount touches only the candidate set. Round 10 moved the key to
+    the document-level operator (heavy_hitters_docs): both passes
+    tokenize in Python at C speed over Arrow batches instead of
+    re-running the JVM regex split + explode per pass, which the 100x
+    tier measured as the actual cost (~10 s -> ~2 s; the token-stream
+    heavy_hitters stays for callers that already hold a token column)."""
+    from ..operators.sketches import heavy_hitters_docs
 
     docs = load(spark, sf_dir, "documents")
-    tokens = tokenize(docs).select(F.explode("tokens").alias("token"))
-    return heavy_hitters(tokens, col="token", phi=0.0345)
+    return heavy_hitters_docs(docs, text_col="text", phi=0.0345)
 
 
 @query(
