@@ -1,21 +1,41 @@
 """Text analysis operators: tokenization, word counts, TF-IDF, n-grams,
 language ID, quality scoring, fingerprinting.
 
-All pure JVM expressions (split/explode/window/groupBy) — the hot path
-stays inside whole-stage codegen; there is no Python UDF anywhere in
-this module.
+Everything downstream of tokenization is pure JVM expressions
+(explode/window/groupBy) inside whole-stage codegen. Tokenization
+itself is the ONE Arrow-batched exception (round 10): java.util.regex
+walks text at ~10-20 MB/s and the widened 100x tier measured the regex
+split as the dominant cost of every tokenize-fed key (the
+heavy_hitters interleaved A/B isolated it), while Python's C-level
+``str.split`` is memcpy-class over Arrow batches — the same
+"vectorized beats Catalyst here" exception as minhash_signatures.
 """
 
 from __future__ import annotations
 
+import pandas as pd
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
 
 def tokenize(df: DataFrame, text_col: str = "text", out_col: str = "tokens") -> DataFrame:
     """Whitespace tokenization to an array column (fixture text is
-    pre-normalized lowercase; real corpora would lower+strip first)."""
-    return df.withColumn(out_col, F.split(F.lower(F.col(text_col)), r"\s+"))
+    pre-normalized lowercase; real corpora would lower+strip first).
+
+    Arrow-batched ``str.lower().split()`` instead of the former
+    ``F.split(lower, \\s+)`` (module docstring has the measured
+    rationale). Same tokens on whitespace-normalized text; the python
+    split additionally drops leading/trailing empty tokens where the
+    java regex kept a leading "" — the saner contract, and identical
+    on every fixture/oracle (which split on single spaces)."""
+
+    @F.pandas_udf("array<string>")
+    def tok(s: pd.Series) -> pd.Series:
+        return pd.Series(
+            [None if t is None else t.lower().split() for t in s], dtype=object
+        )
+
+    return df.withColumn(out_col, tok(F.col(text_col)))
 
 
 def word_counts(df: DataFrame, text_col: str = "text") -> DataFrame:
