@@ -1,19 +1,18 @@
 """Text analysis operators: tokenization, word counts, TF-IDF, n-grams,
 language ID, quality scoring, fingerprinting.
 
-Everything downstream of tokenization is pure JVM expressions
-(explode/window/groupBy) inside whole-stage codegen. Tokenization
-itself is the ONE Arrow-batched exception (round 10): java.util.regex
-walks text at ~10-20 MB/s and the widened 100x tier measured the regex
-split as the dominant cost of every tokenize-fed key (the
-heavy_hitters interleaved A/B isolated it), while Python's C-level
-``str.split`` is memcpy-class over Arrow batches — the same
-"vectorized beats Catalyst here" exception as minhash_signatures.
+All pure JVM expressions (split/explode/window/groupBy) — the hot path
+stays inside whole-stage codegen; there is no Python UDF anywhere in
+this module. Round 10 MEASURED the tempting exception and rejected it:
+a vectorized-Python tokenizer must return array<string>, and
+marshalling per-token Python strings back through Arrow costs ~25x
+the JVM regex split it replaces (see tokenize's docstring). Python
+wins only where it returns something SMALL (normalize_ascii_text's
+digest-bound strings, heavy_hitters_docs' sketch rows).
 """
 
 from __future__ import annotations
 
-import pandas as pd
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
@@ -22,20 +21,15 @@ def tokenize(df: DataFrame, text_col: str = "text", out_col: str = "tokens") -> 
     """Whitespace tokenization to an array column (fixture text is
     pre-normalized lowercase; real corpora would lower+strip first).
 
-    Arrow-batched ``str.lower().split()`` instead of the former
-    ``F.split(lower, \\s+)`` (module docstring has the measured
-    rationale). Same tokens on whitespace-normalized text; the python
-    split additionally drops leading/trailing empty tokens where the
-    java regex kept a leading "" — the saner contract, and identical
-    on every fixture/oracle (which split on single spaces)."""
-
-    @F.pandas_udf("array<string>")
-    def tok(s: pd.Series) -> pd.Series:
-        return pd.Series(
-            [None if t is None else t.lower().split() for t in s], dtype=object
-        )
-
-    return df.withColumn(out_col, tok(F.col(text_col)))
+    Stays a JVM regex split DELIBERATELY (round-10 measured dead end:
+    an Arrow-batched ``str.split`` UDF looked like the heavy_hitters
+    win but returned ``array<string>`` — marshalling ~25M individual
+    Python strings back through Arrow cost 77 s on a 100x tfidf run
+    that the regex does in ~3 s. The vectorized-UDF exception pays off
+    only when Python RETURNS something small — scalars, digests,
+    sketch rows — never a per-token array; heavy_hitters_docs and
+    normalize_ascii_text qualify, a tokenizer does not)."""
+    return df.withColumn(out_col, F.split(F.lower(F.col(text_col)), r"\s+"))
 
 
 def word_counts(df: DataFrame, text_col: str = "text") -> DataFrame:
