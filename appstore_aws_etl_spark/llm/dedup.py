@@ -174,13 +174,27 @@ def minhash_near_dup_pairs(
     bands: int = 8,
     shingle_k: int = 5,
     jaccard_threshold: float = 0.6,
+    max_bucket_docs: int | None = 1000,
 ) -> DataFrame:
     """L2 near-duplicate pairs via banded MinHash-LSH.
 
     Pairs collide if any band of their signatures is identical; the
     signature-Jaccard estimate then filters candidates. Returns
     (id_a, id_b, est_jaccard) with id_a < id_b.
-    """
+
+    ``max_bucket_docs`` is the degenerate-bucket guard (round 10): a
+    band bucket generates |bucket|^2 join rows and CANNOT split across
+    partitions, so one mega-bucket serializes the whole pipeline into
+    a single spilling task (measured: a bucket the corpus's shared
+    shingle base inflated at a 500k-doc tier ground one task for 40+
+    minutes while 31 sat idle). Buckets above the cap are dropped
+    BEFORE the self-join — standard banded-LSH practice: a bucket
+    thousands of documents wide carries no near-dup signal at the
+    threshold (its members' pairwise similarity is the corpus
+    background), while a TRUE near-dup pair has ``bands`` independent
+    chances to collide in a small bucket, so recall loss is bounded to
+    pairs whose EVERY colliding band is degenerate (planted-duplicate
+    recall is unit-tested). ``None`` disables the cap."""
     rows_per_band = num_hashes // bands
     # signatures are tiny relative to the text (num_hashes longs/doc);
     # lazy localCheckpoint so the shingling+permutation work runs once,
@@ -198,6 +212,28 @@ def minhash_near_dup_pairs(
             )
         ).alias("band", "bucket"),
     )
+    # PIN the self-join width (explicit numPartitions => AQE must not
+    # coalesce it). AQE sizes post-shuffle partitions by the INPUT
+    # exchange — the banded table is tiny — but this join FANS OUT as
+    # sum(bucket^2): on a duplicate-dense corpus (deep scalecheck tier,
+    # ~74M true pairs from a 43 MB banded table) AQE coalesced the join
+    # to 3 partitions and the pair distinct ground for 40+ minutes in
+    # ONE spilling task. Joins whose output explodes relative to input
+    # must carry their own width — the output, not the input, is what
+    # the partition discipline has to size for (the round-9 pagerank
+    # lesson, now on the join side).
+    n_shuffle = int(df.sparkSession.conf.get("spark.sql.shuffle.partitions"))
+    banded = banded.repartition(n_shuffle, "band", "bucket")
+    if max_bucket_docs is not None:
+        hot = (
+            banded.groupBy("band", "bucket")
+            .agg(F.count(F.lit(1)).alias("__n"))
+            .filter(F.col("__n") > max_bucket_docs)
+            .select("band", "bucket")
+        )
+        # hot-bucket list is the skew tail — tiny, but corpus-dependent,
+        # so not force-broadcast; AQE ships it while observed-small
+        banded = banded.join(hot, ["band", "bucket"], "left_anti")
     # candidate ids only through the band join/distinct — shuffling and
     # deduping full signature arrays is what makes naive LSH slow
     cand = (

@@ -206,6 +206,14 @@ def lsh_candidate_pairs(
             hyperplane_band_buckets(F.col(vec_col), n_planes, bands, seed)
         ).alias("band", "bucket"),
     ).localCheckpoint(eager=False, storageLevel=CHECKPOINT_LEVEL)
+    # PIN the self-join width (explicit numPartitions => AQE keeps it):
+    # AQE coalesces by the INPUT exchange size, but a band-bucket
+    # self-join fans out as sum(bucket^2) — on a duplicate-dense corpus
+    # the coalesced plan concentrates the pair explosion in a few
+    # spilling tasks (measured on the MinHash twin of this join:
+    # 40+ min single-task vs minutes wide). Size to the OUTPUT.
+    n_shuffle = int(df.sparkSession.conf.get("spark.sql.shuffle.partitions"))
+    banded = banded.repartition(n_shuffle, "band", "bucket")
     a = banded.select(F.col(id_col).alias("id_a"), "band", "bucket")
     b = banded.select(F.col(id_col).alias("id_b"), "band", "bucket")
     return (
