@@ -89,7 +89,15 @@ def exact_dedup(
     content-addressable dedup: distinct keys collide with probability
     ~2^-128 (birthday bound ~2^-65 even at 10^18 documents) —
     cosmologically below any data-quality noise floor; leave it off
-    for short keys, where digesting only adds compute."""
+    for short keys, where digesting only adds compute.
+
+    CAVEAT (advisor round 10): the digest hashes ``cast(key as
+    string)``, so distinct non-string values whose string renderings
+    coincide (a date vs its ISO string, float formatting) merge into
+    one group — unlike the window path, which partitions on native
+    values. Harmless for the text-only callers this path serves; for
+    general typed keys either keep ``digest_keys=False`` or digest a
+    canonical binary encoding (``to_json`` of a struct) instead."""
     if digest_keys:
         kcols = [
             F.sha2(F.col(k).cast("string"), 256).alias(f"__k{i}")
@@ -187,14 +195,21 @@ def minhash_near_dup_pairs(
     partitions, so one mega-bucket serializes the whole pipeline into
     a single spilling task (measured: a bucket the corpus's shared
     shingle base inflated at a 500k-doc tier ground one task for 40+
-    minutes while 31 sat idle). Buckets above the cap are dropped
-    BEFORE the self-join — standard banded-LSH practice: a bucket
-    thousands of documents wide carries no near-dup signal at the
-    threshold (its members' pairwise similarity is the corpus
-    background), while a TRUE near-dup pair has ``bands`` independent
-    chances to collide in a small bucket, so recall loss is bounded to
-    pairs whose EVERY colliding band is degenerate (planted-duplicate
-    recall is unit-tested). ``None`` disables the cap."""
+    minutes while 31 sat idle). Buckets above the cap skip the
+    quadratic self-join; round 11 (advisor finding) they emit a linear
+    ANCHOR STAR instead of dropping outright — every member pairs with
+    the bucket's min-id document, O(|bucket|) rows. Rationale: a
+    document duplicated more than the cap produces the SAME mega-bucket
+    in every band (identical signatures), so a drop-only cap made every
+    colliding band degenerate and zeroed recall for exactly the
+    most-duplicated content. The star keeps any exact-dup clique fully
+    CONNECTED (est_jaccard = 1 against the anchor), which is what the
+    downstream connected-components survivors consume; what hot buckets
+    lose is only the quadratic pair ENUMERATION, plus near-dup members
+    whose similarity to the anchor (not to every member) falls below
+    the threshold — those still have ``bands`` independent chances to
+    collide in a non-degenerate bucket (planted big-clique recall is
+    unit-tested). ``None`` disables the cap."""
     rows_per_band = num_hashes // bands
     # signatures are tiny relative to the text (num_hashes longs/doc);
     # lazy localCheckpoint so the shingling+permutation work runs once,
@@ -224,12 +239,26 @@ def minhash_near_dup_pairs(
     # lesson, now on the join side).
     n_shuffle = int(df.sparkSession.conf.get("spark.sql.shuffle.partitions"))
     banded = banded.repartition(n_shuffle, "band", "bucket")
+    hot_pairs = None
     if max_bucket_docs is not None:
         hot = (
             banded.groupBy("band", "bucket")
             .agg(F.count(F.lit(1)).alias("__n"))
             .filter(F.col("__n") > max_bucket_docs)
             .select("band", "bucket")
+        )
+        # anchor star over hot buckets: map-side-combinable min per
+        # bucket, then a hash join back — never a whole-bucket window
+        # sort. One row per member, so a million-wide exact-dup clique
+        # costs 1M rows here instead of 5e11 in the self-join.
+        hot_members = banded.join(hot, ["band", "bucket"], "left_semi")
+        anchors = hot_members.groupBy("band", "bucket").agg(
+            F.min(id_col).alias("id_a")
+        )
+        hot_pairs = (
+            hot_members.join(anchors, ["band", "bucket"])
+            .filter(F.col(id_col) != F.col("id_a"))
+            .select("id_a", F.col(id_col).alias("id_b"))
         )
         # hot-bucket list is the skew tail — tiny, but corpus-dependent,
         # so not force-broadcast; AQE ships it while observed-small
@@ -242,8 +271,10 @@ def minhash_near_dup_pairs(
               on=["band", "bucket"])
         .filter(F.col("id_a") < F.col("id_b"))
         .select("id_a", "id_b")
-        .distinct()
     )
+    if hot_pairs is not None:
+        cand = cand.unionByName(hot_pairs)
+    cand = cand.distinct()
     with_sigs = cand.join(
         sigs.select(F.col(id_col).alias("id_a"), F.col("signature").alias("sig_a")), "id_a"
     ).join(

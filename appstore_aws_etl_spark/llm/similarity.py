@@ -142,10 +142,18 @@ def adaptive_lsh_params(
         if p_band >= 1.0:  # threshold 1.0: every band collides
             bands = min_bands
         else:
-            bands = max(
-                min_bands,
-                math.ceil(math.log(1.0 - recall_target) / math.log(1.0 - p_band)),
-            )
+            # log1p keeps the denominator accurate where p^r underflows
+            # (1.0 - p_band == 1.0 in floats raised ZeroDivisionError,
+            # and recall_target=1.0 hit a log(0) domain error — advisor
+            # round 10). Either case demands unbounded bands, so it
+            # flows into the same descriptive refusal as the 512 cap.
+            if recall_target >= 1.0 or p_band < 1e-15:
+                bands = math.inf
+            else:
+                bands = max(
+                    min_bands,
+                    math.ceil(math.log1p(-recall_target) / math.log1p(-p_band)),
+                )
             if bands > 512:
                 # honest refusal, not a silent recall cut: at low
                 # thresholds p^r vanishes and the band count needed for
@@ -585,6 +593,16 @@ def train_pq(
                 break
             block.append(list(s))
         books.append(block)
+    # corpus-limited degenerate case (advisor round 10): blocks can end
+    # UNEQUAL when the sample holds fewer than k_codes slices, and a
+    # ragged codebook crashes pq_encode's np.array tensor / the
+    # ivfpq_probe LUT downstream. Pad every block to a common width by
+    # repeating its last entry — duplicate codes are harmless (argmin
+    # first-hit resolves ties to the lower code).
+    width = max(len(b) for b in books)
+    for b in books:
+        while len(b) < width:
+            b.append(list(b[-1]))
     for _ in range(iterations):
         enc = pq_encode(df, books, vec_col=vec_col, out_col="__codes", normalize=normalize)
         rows = (

@@ -1,6 +1,5 @@
 """Min-label propagation to convergence — the shared connected-components
-core behind ``graph_connected_components``, ``llm_dedup_survivors``
-and ``llm_dedup_survivors``.
+core behind ``graph_connected_components`` and ``llm_dedup_survivors``.
 
 Reference parity: the reference repo has no graph operator (97 LoC of
 object-store plumbing); this exists for SURVEY.md §2.12's dedup/graph

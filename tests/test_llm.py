@@ -59,6 +59,33 @@ def test_minhash_estimate_tracks_true_jaccard(planted_docs):
     assert pairs[(1, 2)] > 0.5  # high overlap
 
 
+def test_minhash_big_clique_survives_bucket_cap(spark):
+    """Advisor round 10 (medium): a clique duplicated beyond
+    max_bucket_docs lands in the SAME mega-bucket in every band, so the
+    old drop-only cap zeroed recall for exactly the most-duplicated
+    content. The anchor star must keep the clique connected (every
+    member reachable from the min id) while staying O(|bucket|)."""
+    base = "the quick brown fox jumps over the lazy dog again and again today"
+    clique = [Row(doc_id=i, text=base) for i in range(1, 31)]  # 30 > cap of 10
+    others = [
+        Row(doc_id=100, text="completely different words about spark engines"),
+        Row(doc_id=101, text="another unrelated document mentioning parquet files"),
+    ]
+    df = spark.createDataFrame(clique + others)
+    pairs = minhash_near_dup_pairs(
+        df, num_hashes=32, bands=8, jaccard_threshold=0.5, max_bucket_docs=10
+    ).collect()
+    got = {(r["id_a"], r["id_b"]) for r in pairs}
+    # star connectivity: every clique member pairs with the anchor (min id)
+    for i in range(2, 31):
+        assert (1, i) in got, f"clique member {i} disconnected by the bucket cap"
+    # the cap still prevents the quadratic enumeration of the mega-bucket
+    assert len(got) < 30 * 29 / 2
+    assert all(r["est_jaccard"] == 1.0 for r in pairs)
+    # unrelated docs stay out
+    assert not any(a in (100, 101) or b in (100, 101) for a, b in got)
+
+
 def test_simhash_exact_dup_same_fingerprint(planted_docs):
     rows = {r["doc_id"]: r for r in simhash_buckets(planted_docs, bits=32).collect()}
     assert rows[1]["simhash"] == rows[4]["simhash"]
@@ -438,6 +465,28 @@ def test_pq_recall_vs_brute_force(spark, sf_dir):
     for r in codes:
         assert len(r["pq_codes"]) == 8
         assert all(0 <= c < 16 for c in r["pq_codes"])
+
+
+def test_train_pq_tiny_corpus_rectangular_codebooks(spark):
+    """Advisor round 10 (low): a corpus with fewer distinct vectors
+    than k_codes used to leave per-block codebooks with UNEQUAL
+    lengths, crashing pq_encode's tensor / ivfpq's LUT downstream.
+    Blocks must come back rectangular and still encode/probe."""
+    from appstore_aws_etl_spark.llm.similarity import pq_encode, train_pq
+
+    rows = [
+        Row(vec_id=i, embedding=[float(i % 3)] * 8 + [float(i % 2)] * 8)
+        for i in range(6)
+    ]
+    emb = spark.createDataFrame(rows)
+    books = train_pq(emb, m=2, k_codes=16)
+    widths = {len(b) for b in books}
+    assert len(widths) == 1, f"ragged codebooks: {[len(b) for b in books]}"
+    codes = pq_encode(emb, books).select("pq_codes").collect()
+    width = widths.pop()
+    for r in codes:
+        assert len(r["pq_codes"]) == 2
+        assert all(0 <= c < width for c in r["pq_codes"])
 
 
 def test_ivfpq_recall_vs_brute_force(spark, sf_dir):

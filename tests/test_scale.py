@@ -298,6 +298,13 @@ def test_adaptive_lsh_recall_target_mode():
     # silently cut the guarantee
     with pytest.raises(ValueError, match="bands"):
         adaptive_lsh_params(10**9, threshold=0.5, recall_target=0.9)
+    # advisor round 10: p_band underflow (1 - p^r == 1.0 in floats) and
+    # recall_target=1.0 must hit the SAME descriptive refusal, not
+    # ZeroDivisionError / math-domain crashes
+    with pytest.raises(ValueError, match="bands"):
+        adaptive_lsh_params(10**9, threshold=-0.5, recall_target=0.9)
+    with pytest.raises(ValueError, match="bands"):
+        adaptive_lsh_params(10**9, threshold=0.95, recall_target=1.0)
 
 
 def test_release_checkpoints_frees_persistent_rdds(spark, sf_dir):
