@@ -1,17 +1,21 @@
 """Text analysis operators: tokenization, word counts, TF-IDF, n-grams,
 language ID, quality scoring, fingerprinting.
 
-All pure JVM expressions (split/explode/window/groupBy) — the hot path
-stays inside whole-stage codegen; there is no Python UDF anywhere in
-this module. Round 10 MEASURED the tempting exception and rejected it:
-a vectorized-Python tokenizer must return array<string>, and
-marshalling per-token Python strings back through Arrow costs ~25x
-the JVM regex split it replaces (see tokenize's docstring). Python
-wins only where it returns something SMALL (normalize_ascii_text's
-digest-bound strings, heavy_hitters_docs' sketch rows).
+Mostly pure JVM expressions (split/explode/window/groupBy) — the hot
+path stays inside whole-stage codegen. Round 10 MEASURED the tempting
+exception and rejected it: a vectorized-Python tokenizer must return
+array<string>, and marshalling per-token Python strings back through
+Arrow costs ~25x the JVM regex split it replaces (see tokenize's
+docstring). Python wins only where it returns something SMALL
+(normalize_ascii_text's digest-bound strings, heavy_hitters_docs'
+sketch rows, and — round 11 — keywords_topk's k rows per document).
 """
 
 from __future__ import annotations
+
+from typing import Iterator
+
+import pandas as pd
 
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
@@ -83,6 +87,125 @@ def tfidf(df: DataFrame, id_col: str = "doc_id", text_col: str = "text") -> Data
             * (F.log((F.col("n_docs") + 1) / (F.col("df") + 1)) + 1),
         )
         .select(id_col, "term", "tf", "df", "tfidf")
+    )
+
+
+def keywords_topk(
+    df: DataFrame, k: int = 3, id_col: str = "doc_id", text_col: str = "text"
+) -> DataFrame:
+    """Top-k TF-IDF terms per document, document-level Arrow shape
+    (round 11; verdict item 2 — the windowed plan over ``tfidf`` read
+    8.12 s / 4.84x DuckDB at the 100x tier while plain tfidf ran 3.14 s,
+    i.e. the JVM split + explode + (doc,term) exchange + full-table
+    window sort IS the cost). This is ``heavy_hitters_docs``' two-pass
+    pattern, which qualifies under the module's SMALL-output rule both
+    times:
+
+    * pass 1 streams raw text over Arrow and emits per-PARTITION
+      document-frequency partials with C-level ``str.split`` —
+      vocab-sized rows, never a (doc, term) exchange; a vocab-sized
+      partial agg then lands the global df vector on the driver (the
+      same Heaps'-law vocab-bounded parameter collect as ``tfidf``'s
+      docfreq broadcast, shipped back as an sc.broadcast dict; for an
+      adversarial 100 TB vocabulary swap pass 1's dict for the plain
+      shuffle-join tfidf plan).
+    * pass 2 re-tokenizes, scores tf * idf per document against the
+      broadcast df dict, and emits ONLY the k winners — k rows per
+      document, zero shuffles anywhere downstream of the df agg.
+
+    Exactness: the 4dp rounding that orders the oracle's row_number
+    replicates Spark's ``Round`` (BigDecimal.valueOf -> shortest
+    decimal repr -> HALF_UP) via ``Decimal(repr(x))``, but Decimal is
+    ~1us/call so it is NOT paid per term: rounding is monotone, so the
+    multiset of rounded scores sorted desc equals rounding applied
+    along the unrounded-desc order — the k-th largest rounded value is
+    round(x_(k)), and only the prefix whose rounded score still equals
+    or exceeds it (the candidates a rounding-tie could reorder by term)
+    ever gets quantized, ~k + ties per document. Token semantics mirror
+    ``tokenize`` on the pre-normalized corpus (single-space lowercase;
+    see tokenize's docstring)."""
+    import math
+    from collections import Counter
+    from decimal import ROUND_HALF_UP, Decimal
+
+    def df_partials(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        seen: dict[str, int] = {}
+        n_docs = 0
+        for pdf in batches:
+            for t in pdf[text_col]:
+                n_docs += 1
+                if t is None:
+                    continue
+                for tok in set(t.split()):
+                    seen[tok] = seen.get(tok, 0) + 1
+        if seen or n_docs:
+            yield pd.DataFrame(
+                {"term": list(seen) + [None],
+                 "df_part": list(seen.values()) + [n_docs]}
+            )
+
+    partials = (
+        df.select(text_col)
+        .mapInPandas(df_partials, schema="term string, df_part long")
+        .groupBy("term")
+        .agg(F.sum("df_part").alias("df"))
+    )
+    # bounded: vocab-sized parameter collect (Heaps'-law sub-linear, the
+    # same df vector tfidf's docfreq broadcast ships to the driver)
+    rows = partials.collect()
+    n_docs = sum(r["df"] for r in rows if r["term"] is None)
+    df_map = {r["term"]: r["df"] for r in rows if r["term"] is not None}
+    # bounded: vocab-sized df dict, shipped once per executor
+    df_b = df.sparkSession.sparkContext.broadcast(df_map)
+    quantum = Decimal("0.0001")
+
+    def _round4(x: float) -> float:
+        return float(Decimal(repr(x)).quantize(quantum, rounding=ROUND_HALF_UP))
+
+    def topk(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        dfm = df_b.value
+        idf_cache: dict[int, float] = {}
+        for pdf in batches:
+            ids, terms, scores, rnks = [], [], [], []
+            for doc_id, t in zip(pdf[id_col], pdf[text_col]):
+                if t is None:
+                    continue
+                scored = []
+                for term, tf in Counter(t.split()).items():
+                    dfv = dfm[term]
+                    idf = idf_cache.get(dfv)
+                    if idf is None:
+                        idf = math.log((n_docs + 1) / (dfv + 1)) + 1.0
+                        idf_cache[dfv] = idf
+                    scored.append((-tf * idf, term))
+                if not scored:
+                    continue
+                scored.sort()
+                if len(scored) > k:
+                    # quantize only the rounding-tie frontier: every term
+                    # whose rounded score >= round(x_(k)) could still beat
+                    # the k-th pick on the (score desc, term asc) order
+                    rk = _round4(-scored[k - 1][0])
+                    n_cand = k
+                    while n_cand < len(scored) and _round4(-scored[n_cand][0]) >= rk:
+                        n_cand += 1
+                    cand = sorted(
+                        (-_round4(-s), term) for s, term in scored[:n_cand]
+                    )[:k]
+                else:
+                    cand = [(-_round4(-s), term) for s, term in scored]
+                for rnk, (neg_r, term) in enumerate(cand, 1):
+                    ids.append(doc_id)
+                    terms.append(term)
+                    scores.append(-neg_r)
+                    rnks.append(rnk)
+            if ids:
+                yield pd.DataFrame(
+                    {id_col: ids, "term": terms, "tfidf": scores, "rnk": rnks}
+                )
+
+    return df.select(id_col, text_col).mapInPandas(
+        topk, schema=f"{id_col} long, term string, tfidf double, rnk int"
     )
 
 

@@ -28,6 +28,7 @@ from ..llm.similarity import (
 )
 from ..llm.text import (
     document_fingerprint,
+    keywords_topk,
     language_id,
     ngrams,
     quality_scores,
@@ -1198,19 +1199,18 @@ def llm_char_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
     tags=("llm", "text"),
 )
 def llm_keywords(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Keyword extraction: top-3 TF-IDF terms per document. Document
-    frequencies are corpus-global; the per-doc top-k is a row_number
-    window over the (already tiny) per-doc term list with a
-    deterministic (score, term) tiebreak — ranking happens on the
-    4dp-rounded score on both engines so float noise can't reorder."""
+    """Keyword extraction: top-3 TF-IDF terms per document with the
+    deterministic (4dp score desc, term asc) tiebreak.
+
+    Round 11 re-plan (verdict item 2): the windowed plan over
+    ``tfidf`` — JVM regex split + explode + (doc, term) exchange +
+    full-table window sort — read 8.12 s / 4.84x DuckDB at the 100x
+    tier. Now the document-level two-Arrow-pass shape
+    (``keywords_topk``, the heavy_hitters_docs pattern): pass 1 lands
+    the vocab-bounded df vector, pass 2 emits exactly 3 rows per
+    document, no full-size exchange anywhere."""
     docs = load(spark, sf_dir, "documents")
-    scored = tfidf(docs).withColumn("tfidf", F.round("tfidf", 4))
-    w = Window.partitionBy("doc_id").orderBy(F.col("tfidf").desc(), "term")
-    return (
-        scored.withColumn("rnk", F.row_number().over(w))
-        .filter(F.col("rnk") <= 3)
-        .select("doc_id", "term", "tfidf", "rnk")
-    )
+    return keywords_topk(docs, k=3)
 
 
 @query(
