@@ -68,4 +68,16 @@ def release_checkpoints(spark) -> None:
     gc.collect()  # drop py4j proxies so dead JVM RDDs are collectable
     jmap = spark.sparkContext._jsc.getPersistentRDDs()
     for jrdd in list(jmap.values()):
-        jrdd.unpersist(False)
+        # BLOCKING unpersist (round 11): with blocking=False the blocks
+        # only actually drop when the BlockManager gets around to it, so
+        # a key whose predecessor checkpointed heavily starts with the
+        # unified region's protected storage half still resident — the
+        # exact concurrent-pressure regime where the 100x sweep's
+        # UNABLE_TO_ACQUIRE_MEMORY task deaths happened. Synchronous
+        # release costs milliseconds between keys and makes the next
+        # key's starting memory state deterministic.
+        jrdd.unpersist(True)
+    # nudge the ContextCleaner's JVM side too: broadcast blocks from the
+    # previous key release on GC, and an explicit collection between
+    # keys beats waiting for heap pressure mid-sort.
+    spark.sparkContext._jvm.System.gc()

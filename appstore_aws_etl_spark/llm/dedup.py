@@ -348,6 +348,7 @@ def embedding_near_dup_pairs(
     vec_col: str = "embedding",
     n_planes: int = 12,
     bands: int = 2,
+    max_bucket_vecs: int | None = None,
 ) -> DataFrame:
     """Embedding-cosine near-duplicate pairs: banded seeded
     random-hyperplane LSH prefilter + exact double-precision cosine
@@ -364,7 +365,8 @@ def embedding_near_dup_pairs(
     from .similarity import lsh_similarity_join
 
     return lsh_similarity_join(
-        df, threshold, id_col=id_col, vec_col=vec_col, n_planes=n_planes, bands=bands
+        df, threshold, id_col=id_col, vec_col=vec_col, n_planes=n_planes,
+        bands=bands, max_bucket_vecs=max_bucket_vecs,
     )
 
 
@@ -483,6 +485,23 @@ def cross_split_contamination(
     grams before the join — one row per gram, so a gram shared by k
     train docs costs 1 join row, not k (no hot-gram blowup by
     construction); the join shuffles on the gram key only.
+
+    Round 11 (100x burn-down): grams are FINGERPRINTED to 64-bit
+    xxhash64 before anything shuffles — the distinct and the
+    train/test join exchange 8-byte longs instead of ~40-byte n-gram
+    strings (at the 100x tier: ~10M train grams through the distinct).
+    Collision math for the fingerprint: ~1e7 distinct grams into 2^64
+    gives an expected cross-gram collision count of n^2/2^65 ~ 3e-6 —
+    a false shared gram is orders of magnitude rarer than a cosmic-ray
+    bitflip, the bound every hashed-key analytics join accepts. Two
+    measured dead ends from the same session (AB_R11_100X /
+    cont_ab logs): (a) replacing the shared gram CHECKPOINT with
+    per-side recomputation read 13-15 s vs 8.8 — the bucket filters
+    do not spare the gram CPU, so the explode-once checkpoint stays;
+    (b) composing gram identity from per-token hashes via
+    zip_with(xxhash64(a,b)) instead of string concat measured within
+    noise of concat (~4%) — the cost lives in the explode/exchange,
+    not the concat — so the simpler string form stays.
     """
     from .sampling import key_hash
 
@@ -491,11 +510,16 @@ def cross_split_contamination(
     for k in range(1, n):
         shifted = F.slice(toks, k + 1, F.size(toks))
         gram_arr = F.zip_with(gram_arr, shifted, lambda x, y: F.concat(x, F.lit(" "), y))
-    gram_arr = F.filter(gram_arr, lambda g: g.isNotNull())
+    gram_arr = F.array_distinct(
+        F.transform(
+            F.filter(gram_arr, lambda g: g.isNotNull()),
+            lambda g: F.xxhash64(g),
+        )
+    )
     grams = df.select(
         id_col,
         key_hash(id_col).alias("__bucket"),
-        F.explode(F.array_distinct(gram_arr)).alias("gram"),
+        F.explode(gram_arr).alias("gram"),
     ).localCheckpoint(eager=False, storageLevel=CHECKPOINT_LEVEL)
     train_grams = (
         grams.filter(F.col("__bucket") < train_max_bucket).select("gram").distinct()

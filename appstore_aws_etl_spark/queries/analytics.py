@@ -1844,11 +1844,23 @@ def sub_recursive_hierarchy(spark: SparkSession, sf_dir: str) -> DataFrame:
     the oracle's inner-join termination exactly (no phantom +1 step).
 
     Scale shape: O(log depth) rounds (vs depth rounds for the naive
-    level walk), each one self-join on the ancestor key + a scalar
-    advanced-count for the exit test; every round localCheckpoints so
-    the plan tree stays O(1) regardless of hierarchy depth."""
+    level walk) over a SHRINKING FRONTIER (round 11, 100x burn-down).
+    A row leaves the frontier the round it stops advancing (its
+    pointer reached the root or an absent ancestor — both terminal
+    forever, since the up side always covers every relation node), so
+    converged rows are checkpointed ONCE into an accumulator instead
+    of re-joined, re-checkpointed and re-counted every round; the
+    per-round join/checkpoint/count run over the frontier only. On
+    the 100x fixture that's one full-width round (99% of rows stop
+    at their first absent ancestor) and then kilobyte rounds. Once
+    the counted frontier fits a broadcast (<= 200k rows), the
+    compose join flips from shuffle-SMJ to scanning the checkpointed
+    map with the frontier broadcast as an inner probe + a broadcast
+    anti for the terminal misses — no shuffle, no sort, no wide
+    checkpoint, the frontier analogue of AQE's runtime SMJ->BHJ
+    re-plan, decided on a measured count rather than an estimate."""
     part = load(spark, sf_dir, "part")
-    ptr = part.filter(F.col("p_partkey") > 0).select(
+    ptr0 = part.filter(F.col("p_partkey") > 0).select(
         F.col("p_partkey").alias("node"),
         F.floor((F.col("p_partkey") - 1) / 7).cast("long").alias("anc"),
         F.lit(1).cast("long").alias("depth"),
@@ -1856,6 +1868,11 @@ def sub_recursive_hierarchy(spark: SparkSession, sf_dir: str) -> DataFrame:
             "top_branch"
         ),
     ).localCheckpoint(eager=True, storageLevel=CHECKPOINT_LEVEL)
+    # rows born terminal (direct children of the root) never join
+    done_frames = [ptr0.filter(F.col("anc") == 0)]
+    live = ptr0.filter(F.col("anc") > 0)
+    live_n = live.count()
+    _BCAST_FRONTIER = 200_000  # ~10 MB of (4 longs)-rows, the BHJ cutoff
     # Pointer doubling covers 2^k ancestors after k rounds, so 64
     # rounds suffice for any acyclic hierarchy that fits in a long.
     # A CYCLE in the parent relation (possible for FK-sourced
@@ -1863,35 +1880,79 @@ def sub_recursive_hierarchy(spark: SparkSession, sf_dir: str) -> DataFrame:
     # this driver loop forever — raise instead, mirroring
     # operators/labelprop.py's max_rounds contract.
     for _round in range(64):
-        up = ptr.select(
+        if live_n == 0:
+            break
+        # the up side must expose every node's CURRENT pointer: done
+        # rows are frozen at their terminal pointer, live rows carry
+        # this round's — each frame below is already checkpointed.
+        up = live
+        for f in done_frames:
+            up = up.unionByName(f)
+        up = up.select(
             F.col("node").alias("jnode"),
             F.col("anc").alias("janc"),
             F.col("depth").alias("jdepth"),
             F.col("top_branch").alias("jtb"),
         )
-        live = (F.col("anc") > 0) & F.col("jnode").isNotNull()
-        stepped = ptr.join(up, ptr.anc == up.jnode, "left").select(
-            "node",
-            F.when(live, F.col("janc")).otherwise(F.col("anc")).alias("anc"),
-            F.when(live, F.col("depth") + F.col("jdepth"))
-            .otherwise(F.col("depth"))
-            .alias("depth"),
-            F.coalesce("top_branch", F.when(live, F.col("jtb"))).alias("top_branch"),
-            live.alias("__advanced"),
-            # lazy checkpoint: the advanced-count below materializes the
-            # checkpoint blocks, so each round is ONE job (see
-            # operators/labelprop.py for the same pattern + rationale)
-        ).localCheckpoint(eager=False, storageLevel=CHECKPOINT_LEVEL)
-        advanced = stepped.filter(F.col("__advanced")).count()
-        ptr = stepped.drop("__advanced")
-        if advanced == 0:
-            break
+        if live_n <= _BCAST_FRONTIER:
+            # bounded: frontier row count measured this round (<= 200k)
+            adv = up.join(
+                F.broadcast(live), live.anc == up.jnode, "inner"
+            )
+            stepped = adv.select(
+                "node",
+                F.col("janc").alias("anc"),
+                (F.col("depth") + F.col("jdepth")).alias("depth"),
+                F.coalesce("top_branch", "jtb").alias("top_branch"),
+            ).localCheckpoint(eager=False, storageLevel=CHECKPOINT_LEVEL)
+            # a frontier row with no ancestor row anywhere stopped AT
+            # that ancestor — terminal with its current pointer
+            # bounded: projection of the <= 200k frontier join output
+            missed = live.join(
+                F.broadcast(stepped.select(F.col("node").alias("__hit"))),
+                live.node == F.col("__hit"),
+                "left_anti",
+            )
+            done_frames.append(missed)
+            newly_done = stepped.filter(F.col("anc") == 0)
+            live = stepped.filter(F.col("anc") > 0)
+        else:
+            hit = F.col("jnode").isNotNull()
+            stepped = live.join(up, live.anc == up.jnode, "left").select(
+                "node",
+                F.when(hit, F.col("janc")).otherwise(F.col("anc")).alias("anc"),
+                F.when(hit, F.col("depth") + F.col("jdepth"))
+                .otherwise(F.col("depth"))
+                .alias("depth"),
+                F.coalesce("top_branch", F.when(hit, F.col("jtb"))).alias(
+                    "top_branch"
+                ),
+                hit.alias("__advanced"),
+                # lazy checkpoint: the frontier count below materializes
+                # the blocks, so each round is ONE job (see
+                # operators/labelprop.py for the same pattern + rationale)
+            ).localCheckpoint(eager=False, storageLevel=CHECKPOINT_LEVEL)
+            done_frames.append(
+                stepped.filter(
+                    ~F.col("__advanced") | (F.col("anc") == 0)
+                ).drop("__advanced")
+            )
+            newly_done = None
+            live = stepped.filter(
+                F.col("__advanced") & (F.col("anc") > 0)
+            ).drop("__advanced")
+        if newly_done is not None:
+            done_frames.append(newly_done)
+        live_n = live.count()
     else:
         raise RuntimeError(
             "sub_recursive_hierarchy: no fixpoint after 64 pointer-doubling "
             "rounds — the parent relation contains a cycle"
         )
-    return ptr.select(
+    out = done_frames[0]
+    for f in done_frames[1:]:
+        out = out.unionByName(f)
+    return out.select(
         "node",
         "depth",
         F.coalesce("top_branch", F.when(F.col("anc") > 0, F.col("anc")), F.col("node"))

@@ -34,8 +34,16 @@ _SUPPLY_SQL = """
         FROM lineitem GROUP BY 1, 2"""
 
 
-def _supply(spark: SparkSession, sf_dir: str) -> DataFrame:
-    li = load(spark, sf_dir, "lineitem")
+def _supply(
+    spark: SparkSession, sf_dir: str, lineitem: DataFrame | None = None
+) -> DataFrame:
+    """``lineitem`` lets callers pre-filter the fact BELOW the supply
+    aggregation: grouping on (partkey, suppkey) commutes with any
+    partkey-/suppkey-level row filter, so a caller that only consumes
+    one supplier slice can shrink the agg's exchange by the filter's
+    selectivity instead of aggregating the full fact (round-11 100x
+    burn-down for Q2/Q11)."""
+    li = lineitem if lineitem is not None else load(spark, sf_dir, "lineitem")
     return li.groupBy(
         F.col("l_partkey").alias("ps_partkey"), F.col("l_suppkey").alias("ps_suppkey")
     ).agg(
@@ -73,7 +81,16 @@ def tpch_q2(spark: SparkSession, sf_dir: str) -> DataFrame:
     relation — one shuffle on partkey instead of a re-executed
     subquery per row. Bounded dims (nation, region) broadcast; the
     part/supplier slices scale with SF, so AQE picks their join
-    strategy from observed sizes; limit is TakeOrderedAndProject."""
+    strategy from observed sizes; limit is TakeOrderedAndProject.
+
+    Round 11 (100x burn-down): the Europe-supplier filter is pushed
+    BELOW the supply aggregation (grouping on (partkey, suppkey)
+    commutes with a suppkey-level filter), so the dominant exchange
+    aggregates the ~1/5 European slice of lineitem instead of all of
+    it; the supplier relation is small enough for Catalyst's static
+    auto-broadcast, so the push-down costs no lineitem shuffle. The
+    per-part window min is unchanged — it runs over every European
+    supplier of each part, exactly the correlated subquery's scope."""
     p = (
         load(spark, sf_dir, "part")
         .filter((F.col("p_size") <= 15) & (F.col("p_type") == "STANDARD"))
@@ -87,7 +104,10 @@ def tpch_q2(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.broadcast(n.join(F.broadcast(r), n.n_regionkey == r.r_regionkey)),
         s.s_nationkey == F.col("n_nationkey"),
     ).select("s_suppkey", "s_name", "s_acctbal", "n_name")
-    sup = _supply(spark, sf_dir).join(
+    li = load(spark, sf_dir, "lineitem").join(
+        euro_snk.select("s_suppkey"), F.col("l_suppkey") == F.col("s_suppkey")
+    )
+    sup = _supply(spark, sf_dir, lineitem=li).join(
         euro_snk, F.col("ps_suppkey") == F.col("s_suppkey")
     )
     w = Window.partitionBy("ps_partkey")
@@ -176,15 +196,24 @@ def tpch_q11(spark: SparkSession, sf_dir: str) -> DataFrame:
     nation, kept when above a fraction of the nation total. The
     uncorrelated scalar subquery becomes a 1-row broadcast-joined
     aggregate — the nation slice is computed once and feeds both the
-    per-part agg and the total."""
+    per-part agg and the total.
+
+    Round 11 (100x burn-down): the one-nation supplier filter is
+    pushed BELOW the supply aggregation. Grouping on (partkey,
+    suppkey) commutes with any suppkey-level row filter, so the
+    supply agg runs over the ~1/25 nation slice of lineitem instead
+    of all of it — the query's dominant exchange shrinks 25x, and the
+    supplier side is small enough that Catalyst's static 10 MB
+    auto-broadcast joins it without shuffling lineitem at all."""
     s = load(spark, sf_dir, "supplier").select("s_suppkey", "s_nationkey")
     n = load(spark, sf_dir, "nation").filter(F.col("n_name") == "NATION_7")
-    natsup = (
-        _supply(spark, sf_dir)
-        # bounded: nation slice <= 25 rows
-        .join(s.join(F.broadcast(n), s.s_nationkey == n.n_nationkey),
-              F.col("ps_suppkey") == F.col("s_suppkey"))
-        .select("ps_partkey", (F.col("ps_supplycost") * F.col("ps_shipqty")).alias("val"))
+    # bounded: nation slice <= 25 rows
+    s7 = s.join(F.broadcast(n), s.s_nationkey == n.n_nationkey).select("s_suppkey")
+    li = load(spark, sf_dir, "lineitem").join(
+        s7, F.col("l_suppkey") == F.col("s_suppkey")
+    )
+    natsup = _supply(spark, sf_dir, lineitem=li).select(
+        "ps_partkey", (F.col("ps_supplycost") * F.col("ps_shipqty")).alias("val")
     )
     per_part = natsup.groupBy("ps_partkey").agg(F.sum("val").alias("raw_value"))
     total = natsup.agg((F.sum("val") * 0.001).alias("thresh"))
@@ -264,7 +293,17 @@ def tpch_q16(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Q16 supplier count per part attribute (complaint suppliers ->
     negative balance). NOT IN becomes a broadcast left-anti join —
     NULL-safe here because keys are non-null; the distinct count
-    shuffles once on the 3-attribute key."""
+    shuffles once on the 3-attribute key.
+
+    Round 11 (100x burn-down): the supply AGGREGATE is gone — Q16
+    consumes neither ps_supplycost nor ps_shipqty, only the distinct
+    (partkey, suppkey) incidence, and count(DISTINCT ps_suppkey)
+    deduplicates repeated pairs itself. Reading raw lineitem pairs
+    drops the query's heaviest exchange (the full-fact (partkey,
+    suppkey) agg with two value buffers, which on this fixture barely
+    reduced row count anyway) AND two double columns from the parquet
+    scan; what remains is the partkey join shuffle on 2-long rows and
+    the small distinct-count exchange."""
     bad = load(spark, sf_dir, "supplier").filter(F.col("s_acctbal") < 0).select(
         "s_suppkey"
     )
@@ -277,8 +316,12 @@ def tpch_q16(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .select("p_partkey", "p_brand", "p_type", "p_size")
     )
+    pairs = load(spark, sf_dir, "lineitem").select(
+        F.col("l_partkey").alias("ps_partkey"),
+        F.col("l_suppkey").alias("ps_suppkey"),
+    )
     return (
-        _supply(spark, sf_dir)
+        pairs
         .join(bad, F.col("ps_suppkey") == F.col("s_suppkey"), "left_anti")
         .join(p, F.col("ps_partkey") == F.col("p_partkey"))
         .groupBy("p_brand", "p_type", "p_size")

@@ -171,6 +171,39 @@ def test_embedding_near_dup_finds_planted_duplicate(spark):
     assert (1, 3) not in pairs
 
 
+def test_embedding_bucket_cap_reports_and_keeps_clique_connected(spark, caplog):
+    """Round 11 (verdict item 4): the hyperplane-LSH output cap. A
+    same-direction clique wider than max_bucket_vecs shares every band
+    bucket, so the cap must (a) replace the quadratic enumeration with
+    a verified anchor star that keeps the clique connected, and (b)
+    REPORT the truncation driver-side — never silently."""
+    import logging
+
+    from appstore_aws_etl_spark.llm.dedup import embedding_near_dup_pairs
+
+    base = [0.5, -0.2, 0.1, 0.9, -0.7, 0.3, 0.2, -0.1]
+    clique = [
+        Row(vec_id=i, embedding=[x * (1 + 0.0001 * i) for x in base])
+        for i in range(1, 31)  # 30 same-direction vectors > cap of 10
+    ]
+    others = [Row(vec_id=100, embedding=[-x for x in base])]
+    df = spark.createDataFrame(clique + others)
+    with caplog.at_level(logging.WARNING, "appstore_aws_etl_spark.llm.similarity"):
+        rows = embedding_near_dup_pairs(
+            df, threshold=0.95, max_bucket_vecs=10
+        ).collect()
+    got = {(r["id_a"], r["id_b"]) for r in rows}
+    # star connectivity: every clique member pairs with the anchor
+    for i in range(2, 31):
+        assert (1, i) in got, f"clique member {i} disconnected by the cap"
+    # the cap prevents the quadratic enumeration
+    assert len(got) < 30 * 29 / 2
+    # opposite-direction vector never collides above the threshold
+    assert not any(100 in p for p in got)
+    # no-silent-cap: the truncation was logged with the bucket count
+    assert any("max_bucket_vecs" in r.message for r in caplog.records)
+
+
 def test_split_assign_deterministic_and_partition_stable(spark, sf_dir):
     from appstore_aws_etl_spark.llm.sampling import split_assign
 
