@@ -49,7 +49,18 @@ TIERS = (1, 10)
 # original gains 99 true near-duplicates, so TRUE pair output grows
 # ~x100^2 inside cliques while the corpus grows x100 — the adversarial
 # regime where a super-linear-in-corpus implementation would bend.
-DEEP_KEYS = ("llm_dedup_minhash", "llm_dedup_survivors", "llm_sim_join")
+# llm_dedup_embedding joined the deep tier in round 11: its output-cap
+# contract (max_bucket_vecs anchor stars, truncation logged) makes the
+# geometry-bound regime completable — the tier now measures the capped
+# operator the way production would run it. The CONTROLLED tiers still
+# exclude it (see controlled_note: no linear-pair fixture exists at
+# threshold 0.30 / d=64).
+DEEP_KEYS = (
+    "llm_dedup_minhash",
+    "llm_dedup_survivors",
+    "llm_sim_join",
+    "llm_dedup_embedding",
+)
 DEEP_TIER = 100
 
 
