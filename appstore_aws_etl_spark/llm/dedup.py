@@ -196,20 +196,31 @@ def minhash_near_dup_pairs(
     a single spilling task (measured: a bucket the corpus's shared
     shingle base inflated at a 500k-doc tier ground one task for 40+
     minutes while 31 sat idle). Buckets above the cap skip the
-    quadratic self-join; round 11 (advisor finding) they emit a linear
-    ANCHOR STAR instead of dropping outright — every member pairs with
-    the bucket's min-id document, O(|bucket|) rows. Rationale: a
-    document duplicated more than the cap produces the SAME mega-bucket
-    in every band (identical signatures), so a drop-only cap made every
-    colliding band degenerate and zeroed recall for exactly the
-    most-duplicated content. The star keeps any exact-dup clique fully
-    CONNECTED (est_jaccard = 1 against the anchor), which is what the
-    downstream connected-components survivors consume; what hot buckets
-    lose is only the quadratic pair ENUMERATION, plus near-dup members
-    whose similarity to the anchor (not to every member) falls below
-    the threshold — those still have ``bands`` independent chances to
-    collide in a non-degenerate bucket (planted big-clique recall is
-    unit-tested). ``None`` disables the cap."""
+    quadratic self-join and emit TWO linear star families instead
+    (both O(|bucket|), deduped by the candidate distinct):
+
+    * a BUCKET-anchor star — every member vs the bucket's min id.
+      Rescues duplicate-DENSE hot buckets (a doc duplicated past the
+      cap produces the same mega-bucket in every band, so the whole
+      bucket is one near-dup clique and every member verifies against
+      the anchor; the round-10 drop-only cap zeroed recall exactly
+      there, advisor finding).
+    * a per-SIGNATURE-group anchor star — members grouped by their
+      full MinHash signature, each group starred at its own min id
+      (round 11). Rescues MIXED hot buckets: when a shared shingle
+      base merges unrelated docs into one mega-bucket, the bucket
+      anchor is an unrelated doc and its star pairs fail the verify —
+      but exact duplicates have IDENTICAL signatures, so their group
+      star always verifies at est = 1. Found by the r11 scalecheck:
+      a components consumer running a tight cap (16) on the
+      adversarial fixture lost exact-dup pairs inside the corpus's
+      shared-shingle mega-buckets (survivors x1 2944 -> 3911 rows).
+
+    What hot buckets still lose is only the quadratic enumeration of
+    near-dup-but-not-identical pairs dissimilar to the bucket anchor —
+    those keep ``bands`` independent chances to collide in a
+    non-degenerate bucket (planted big-clique and mixed-mega-bucket
+    recall are unit-tested). ``None`` disables the cap."""
     rows_per_band = num_hashes // bands
     # signatures are tiny relative to the text (num_hashes longs/doc);
     # lazy localCheckpoint so the shingling+permutation work runs once,
@@ -220,6 +231,10 @@ def minhash_near_dup_pairs(
     sigs = minhash_signatures(df, id_col, text_col, num_hashes, shingle_k).localCheckpoint(eager=False, storageLevel=CHECKPOINT_LEVEL)
     banded = sigs.select(
         id_col,
+        # full-signature fingerprint, carried as one int so the hot-
+        # bucket path can group exact duplicates without re-joining
+        # the signature table (exact dups <=> identical signatures)
+        F.hash("signature").alias("__sig"),
         F.posexplode(
             F.transform(
                 F.sequence(F.lit(0), F.lit(bands - 1)),
@@ -247,16 +262,29 @@ def minhash_near_dup_pairs(
             .filter(F.col("__n") > max_bucket_docs)
             .select("band", "bucket")
         )
-        # anchor star over hot buckets: map-side-combinable min per
-        # bucket, then a hash join back — never a whole-bucket window
-        # sort. One row per member, so a million-wide exact-dup clique
-        # costs 1M rows here instead of 5e11 in the self-join.
+        # anchor stars over hot buckets: map-side-combinable min per
+        # group, then a hash join back — never a whole-bucket window
+        # sort. One row per member per family, so a million-wide
+        # exact-dup clique costs 2M rows here instead of 5e11 in the
+        # self-join. Family 1 anchors the whole bucket (duplicate-dense
+        # buckets ARE one near-dup clique); family 2 anchors each
+        # full-signature group (exact dups in MIXED buckets always
+        # verify against their own group's anchor at est = 1 even when
+        # the bucket anchor is an unrelated doc — r11 scalecheck
+        # finding, see docstring).
         hot_members = banded.join(hot, ["band", "bucket"], "left_semi")
         anchors = hot_members.groupBy("band", "bucket").agg(
             F.min(id_col).alias("id_a")
         )
+        sig_anchors = hot_members.groupBy("band", "bucket", "__sig").agg(
+            F.min(id_col).alias("id_a")
+        )
         hot_pairs = (
             hot_members.join(anchors, ["band", "bucket"])
+            .filter(F.col(id_col) != F.col("id_a"))
+            .select("id_a", F.col(id_col).alias("id_b"))
+        ).unionByName(
+            hot_members.join(sig_anchors, ["band", "bucket", "__sig"])
             .filter(F.col(id_col) != F.col("id_a"))
             .select("id_a", F.col(id_col).alias("id_b"))
         )

@@ -328,25 +328,45 @@ def tpch_q3(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def tpch_q5(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Q5 local supplier volume: revenue where customer and supplier
-    share an ASIA nation. The nation/region/supplier dims broadcast;
-    the fact chain shuffles once per equi-key."""
-    c = load(spark, sf_dir, "customer")
+    share an ASIA nation.
+
+    Round 11 (100x burn-down): the ASIA predicate prunes both fact
+    sides BELOW the orderkey join — suppliers and customers outside
+    the region can never satisfy the shared-nation condition, so
+    lineitem joins the ASIA supplier slice first (static
+    auto-broadcast, no lineitem shuffle; carries s_nationkey) and
+    orders joins the ASIA customer slice (carries c_nationkey). The
+    customer-nation = supplier-nation equality then filters the
+    reduced orderkey join output, and the nation-name rollup
+    broadcasts onto 25-row keys. The former shape shuffled the full
+    60M-row fact through the orderkey SMJ, a full custkey exchange,
+    and a supplier join before any regional pruning."""
+    li = load(spark, sf_dir, "lineitem")
     o = load(spark, sf_dir, "orders").filter(
         (F.col("o_orderdate") >= F.lit("1996-01-01").cast("timestamp"))
         & (F.col("o_orderdate") < F.lit("1998-01-01").cast("timestamp"))
     )
-    li = load(spark, sf_dir, "lineitem")
+    c = load(spark, sf_dir, "customer")
     s = load(spark, sf_dir, "supplier")
-    n = load(spark, sf_dir, "nation")
     r = load(spark, sf_dir, "region").filter(F.col("r_name") == "ASIA")
+    # bounded: nation x region <= 25 rows
+    n_asia = F.broadcast(
+        load(spark, sf_dir, "nation").join(
+            F.broadcast(r), F.col("n_regionkey") == r.r_regionkey
+        ).select("n_nationkey", "n_name")
+    )
+    s2 = s.join(n_asia, s.s_nationkey == F.col("n_nationkey")).select(
+        "s_suppkey", F.col("s_nationkey").alias("supp_nk"), "n_name"
+    )
+    c2 = c.join(
+        n_asia.select(F.col("n_nationkey").alias("cnk")),
+        c.c_nationkey == F.col("cnk"),
+    ).select("c_custkey", F.col("c_nationkey").alias("cust_nk"))
+    li2 = li.join(s2, li.l_suppkey == s2.s_suppkey)
+    o2 = o.join(c2, o.o_custkey == c2.c_custkey)
     return (
-        li.join(o, li.l_orderkey == o.o_orderkey)
-        .join(c, o.o_custkey == c.c_custkey)
-        .join(s, (li.l_suppkey == s.s_suppkey) & (c.c_nationkey == s.s_nationkey))
-        # bounded: nation <= 25 rows
-        .join(F.broadcast(n), s.s_nationkey == n.n_nationkey)
-        # bounded: region <= 5 rows
-        .join(F.broadcast(r), n.n_regionkey == r.r_regionkey)
+        li2.join(o2, li2.l_orderkey == o2.o_orderkey)
+        .filter(F.col("cust_nk") == F.col("supp_nk"))
         .groupBy("n_name")
         .agg(F.round(F.sum(_net()), 2).alias("revenue"))
     )
@@ -574,27 +594,42 @@ def tpch_q6(spark: SparkSession, sf_dir: str) -> DataFrame:
 def tpch_q7(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Q7 volume shipping between two trading nations.
 
-    supplier/customer/nation are broadcast dims; orders↔lineitem is
-    the only big join; the nation-pair filter prunes before the final
-    (nation, nation, year) aggregation."""
+    Round 11 (100x burn-down): the two-nation predicate prunes BOTH
+    fact sides BELOW the orderkey join. Suppliers outside the two
+    nations can never satisfy the pair filter, so lineitem joins the
+    2/25-nation supplier slice first (small enough for the static
+    auto-broadcast — no lineitem shuffle) and shrinks ~12x before the
+    big join; symmetrically, orders joins the two-nation customer
+    slice first. The former shape carried the full 60M-row fact
+    through the orderkey SMJ and a second full exchange on custkey,
+    then discarded 24/25ths of it at the pair filter above the joins.
+    The residual pair filter (excluding N1-N1/N2-N2 combos) is
+    evaluated on the reduced join output, exactly the oracle's
+    scope."""
     li = load(spark, sf_dir, "lineitem")
     s = load(spark, sf_dir, "supplier")
     o = load(spark, sf_dir, "orders")
     c = load(spark, sf_dir, "customer")
-    n = load(spark, sf_dir, "nation")
+    n = load(spark, sf_dir, "nation").filter(
+        F.col("n_name").isin("NATION_1", "NATION_2")
+    )
     n1 = n.select(F.col("n_nationkey").alias("sk"), F.col("n_name").alias("supp_nation"))
     n2 = n.select(F.col("n_nationkey").alias("ck"), F.col("n_name").alias("cust_nation"))
+    # bounded: nation projection <= 25 rows
+    s2 = s.join(F.broadcast(n1), s.s_nationkey == F.col("sk")).select(
+        "s_suppkey", "supp_nation"
+    )
+    # bounded: nation projection <= 25 rows
+    c2 = c.join(F.broadcast(n2), c.c_nationkey == F.col("ck")).select(
+        "c_custkey", "cust_nation"
+    )
     pair = (
         (F.col("supp_nation") == "NATION_1") & (F.col("cust_nation") == "NATION_2")
     ) | ((F.col("supp_nation") == "NATION_2") & (F.col("cust_nation") == "NATION_1"))
+    li2 = li.join(s2, li.l_suppkey == s2.s_suppkey)
+    o2 = o.join(c2, o.o_custkey == c2.c_custkey)
     return (
-        li.join(o, li.l_orderkey == o.o_orderkey)
-        .join(s, li.l_suppkey == s.s_suppkey)
-        .join(c, o.o_custkey == c.c_custkey)
-        # bounded: nation projection <= 25 rows
-        .join(F.broadcast(n1), s.s_nationkey == F.col("sk"))
-        # bounded: nation projection <= 25 rows
-        .join(F.broadcast(n2), c.c_nationkey == F.col("ck"))
+        li2.join(o2, li2.l_orderkey == o2.o_orderkey)
         .filter(pair)
         .groupBy("supp_nation", "cust_nation", F.year("l_shipdate").alias("l_year"))
         .agg(F.round(F.sum(_net()), 2).alias("revenue"))

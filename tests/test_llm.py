@@ -86,6 +86,41 @@ def test_minhash_big_clique_survives_bucket_cap(spark):
     assert not any(a in (100, 101) or b in (100, 101) for a, b in got)
 
 
+def test_minhash_mixed_mega_bucket_keeps_exact_cliques(spark):
+    """Round 11 scalecheck finding: when a shared shingle base merges
+    MANY near-identical cliques into the same hot band buckets, the
+    bucket-anchor star alone pairs members with an unrelated min-id
+    doc and the verify drops them — exact-dup cliques inside mixed
+    mega-buckets lost their pairs. The per-signature-group star must
+    connect every exact-dup clique through its own anchor at est = 1,
+    in hot and non-hot buckets alike."""
+    words = [f"w{i}" for i in range(13)]
+    rows = []
+    for clique in range(30):
+        toks = list(words)
+        toks[clique % 13] = f"edit{clique}"  # one-word deviation per clique
+        text = " ".join(toks)
+        for copy in range(10):
+            rows.append(Row(doc_id=clique * 100 + copy, text=text))
+    df = spark.createDataFrame(rows)
+    pairs = minhash_near_dup_pairs(
+        df, num_hashes=32, bands=8, jaccard_threshold=0.95, max_bucket_docs=10
+    ).collect()
+    got = {(r["id_a"], r["id_b"]): r["est_jaccard"] for r in pairs}
+    for clique in range(30):
+        anchor = clique * 100
+        for copy in range(1, 10):
+            member = clique * 100 + copy
+            assert (anchor, member) in got, (
+                f"exact copy {member} disconnected from its clique anchor "
+                f"{anchor} (mixed mega-bucket recall gap)"
+            )
+            assert got[(anchor, member)] == 1.0
+    # the cap still prevents quadratic enumeration of the mega-buckets:
+    # 300 near-identical docs would otherwise emit ~300*299/2 pairs
+    assert len(got) < 300 * 299 / 2
+
+
 def test_simhash_exact_dup_same_fingerprint(planted_docs):
     rows = {r["doc_id"]: r for r in simhash_buckets(planted_docs, bits=32).collect()}
     assert rows[1]["simhash"] == rows[4]["simhash"]
