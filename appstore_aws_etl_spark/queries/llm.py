@@ -1613,20 +1613,25 @@ def llm_dedup_survivors(spark: SparkSession, sf_dir: str) -> DataFrame:
     Components, not pairs (round 11, verdict item 3): this pipeline's
     ONLY consumer of the pair stream is connected components, and a
     component needs SPANNING connectivity, never the full pair
-    enumeration — so the LSH bucket cap runs at 16 instead of the
-    pair-semantics default 1000. Any band bucket wider than 16 emits
-    an anchor star (every member vs the bucket's min id, O(|bucket|)
-    rows) in place of the O(|bucket|^2) self-join; a true duplicate
-    clique stays one component because every member verifies against
-    the shared anchor. On the duplicate-dense 100x tier (500k docs in
-    100-cliques) this cuts the edge relation from ~33M verified pairs
-    (x2 directions, each dragging two 32-long signatures through the
-    verify join) to ~corpus-linear, which is what let the key OOM a
-    task under the 8 GB local heap's concurrent-sweep pressure before.
-    What the low cap costs is only marginal-pair connectivity inside
-    wide buckets (members near-dup to each other but not to the
-    anchor) — those still have `bands` independent chances to share a
-    narrow bucket, and planted chain recall is unit-tested."""
+    enumeration — so the LSH bucket cap runs at 64 instead of the
+    pair-semantics default 1000. Any band bucket wider than 64 emits
+    anchor stars (bucket anchor + per-signature-group anchors, see
+    llm/dedup.py) in place of the O(|bucket|^2) self-join; a true
+    duplicate clique stays one component because every member verifies
+    against a shared anchor. On the duplicate-dense 100x tier (500k
+    docs in 100-cliques) this cuts the edge relation from ~33M
+    verified pairs (x2 directions, each dragging two 32-long
+    signatures through the verify join) to ~corpus-linear, which is
+    what let the key OOM a task under the 8 GB local heap's
+    concurrent-sweep pressure before. 64 is a MEASURED point on the
+    recall/scale curve (same session, same fixtures, /tmp/cap_ab):
+    cap 1000 removes 2556 dups at sf0.1 but takes 453.5 s on the
+    clique-dense 100x tier; cap 64 keeps 83% of that removal (2120)
+    at 54.5 s; cap 16 keeps 62% at 66.9 s (slower AND blinder — the
+    extra starred mid-size buckets emit mostly verify-failing pairs).
+    What the cap costs is near-dup-but-not-identical pairs inside
+    >64-wide mixed buckets — exact dups are cap-immune via the
+    signature-group stars, and planted chain recall is unit-tested."""
     from ..operators.labelprop import propagate_min_labels
 
     docs = load(spark, sf_dir, "documents").select("doc_id", "text")
@@ -1638,7 +1643,7 @@ def llm_dedup_survivors(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     )
     pairs = minhash_near_dup_pairs(
-        aug, jaccard_threshold=0.5, max_bucket_docs=16
+        aug, jaccard_threshold=0.5, max_bucket_docs=64
     ).select(F.col("id_a").alias("src"), F.col("id_b").alias("dst"))
     und = pairs.union(
         pairs.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
