@@ -971,6 +971,68 @@ def build_ivfpq_index(
     ).write.mode("overwrite").parquet(f"{index_path}/codebooks")
 
 
+def ivfpq_refresh(
+    spark,
+    index_path: str,
+    df: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> None:
+    """Incremental-maintenance half of the deployed IVFADC shape:
+    fold NEW vectors into an existing ``build_ivfpq_index`` index
+    WITHOUT retraining either quantizer — the steady-state path a
+    served 100 TB ANN index runs as the corpus grows (retraining
+    touches the whole corpus; arrival encoding touches only the
+    arrivals).
+
+    Mechanics: load the two parameter tables (n_cells x dim coarse
+    cells, m x k x dim/m codebooks — driver-side parameters), assign
+    each arrival to its nearest EXISTING cell (broadcast-closure
+    projection, no shuffle), PQ-encode its residual with the EXISTING
+    codebooks, and write the encoded delta ``partitionBy(centroid_id)``
+    alongside the base codes. Probes read base + delta with the same
+    centroid_id partition pruning. The write is an idempotent
+    OVERWRITE of the delta relation, not an append — re-running a
+    refresh converges to the same index state (a production deployment
+    would fold deltas into the base on its compaction schedule, the
+    ``warehouse_layout_compaction`` pattern). Quantization error for
+    arrivals matches the base exactly as long as the arrival
+    distribution matches training — the standard IVF maintenance
+    contract (drifted corpora schedule a retrain, which is
+    ``build_ivfpq_index`` again)."""
+    cells = [
+        (int(r["centroid_id"]), [float(x) for x in r["centroid"]])
+        for r in spark.read.parquet(f"{index_path}/cells").collect()
+    ]
+    book_rows = spark.read.parquet(f"{index_path}/codebooks").collect()
+    m = 1 + max(r["block"] for r in book_rows)
+    k_codes = 1 + max(r["code"] for r in book_rows)
+    codebooks: PQCodebooks = [[None] * k_codes for _ in range(m)]  # type: ignore[list-item]
+    for r in book_rows:
+        codebooks[r["block"]][r["code"]] = [float(x) for x in r["subvector"]]
+    cells_df = spark.createDataFrame(
+        [(cid, vec) for cid, vec in sorted(cells)],
+        "centroid_id LONG, centroid ARRAY<DOUBLE>",
+    )
+    ndf = df.withColumn("__nvec", _normalized(vec_col))
+    assigned = assign_to_centroids(ndf, cells, "__nvec")
+    res = (
+        # bounded: n_cells x dim quantizer parameters, not data
+        assigned.join(F.broadcast(cells_df), "centroid_id")
+        .withColumn(
+            "__res", F.zip_with(F.col("__nvec"), F.col("centroid"), lambda a, b: a - b)
+        )
+        .drop("centroid")
+    )
+    enc = pq_encode(res, codebooks, vec_col="__res", out_col="pq_codes", normalize=False)
+    (
+        enc.select(id_col, "pq_codes", "centroid_id")
+        .write.mode("overwrite")
+        .partitionBy("centroid_id")
+        .parquet(f"{index_path}/codes_delta")
+    )
+
+
 def ivfpq_probe(
     spark,
     index_path: str,
@@ -1033,7 +1095,17 @@ def ivfpq_probe(
             if lut_case is None
             else lut_case.when(F.col("centroid_id") == cid, lut_lit)
         )
-    codes = spark.read.parquet(f"{index_path}/codes").filter(
+    codes = spark.read.parquet(f"{index_path}/codes")
+    # fold in any refresh delta (ivfpq_refresh) — same schema, same
+    # centroid_id partitioning, so the partition pruning below applies
+    # to both relations' scans
+    import os as _os
+
+    if _os.path.exists(f"{index_path}/codes_delta/_SUCCESS"):
+        codes = codes.unionByName(
+            spark.read.parquet(f"{index_path}/codes_delta")
+        )
+    codes = codes.filter(
         F.col("centroid_id").isin([int(c) for c in probe_ids])
     )
     adc = F.aggregate(

@@ -355,6 +355,50 @@ def llm_knn_ivfpq_probe(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@query("llm_knn_ivfpq_refresh", oracle=None, tags=("llm", "similarity", "approx"))
+def llm_knn_ivfpq_refresh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deployed-index MAINTENANCE: incremental refresh (round 11 — the
+    third leg of the served-ANN lifecycle after build-once and
+    probe-many). A live corpus grows between retrains; the steady-state
+    path assigns ARRIVALS to the existing coarse cells, PQ-encodes
+    their residuals with the existing codebooks, and folds them into
+    the partitioned index as a delta relation — touching only the
+    arrivals, never the corpus (``ivfpq_refresh``). This key builds
+    the base index on the vec_id % 7 != 0 slice (cached per fixture
+    like the probe key), refreshes with the % 7 == 0 arrivals
+    (idempotent delta overwrite, so every bench run converges to the
+    same index state), then probes with an ARRIVAL's own embedding —
+    the probe partition-prunes base + delta to the same nprobe cells,
+    and the arrival must surface through the delta (self-recall
+    unit-tested: an unrefreshed index cannot return it). Approx ->
+    rows-only."""
+    import hashlib
+    import os
+
+    from ..llm.similarity import build_ivfpq_index, ivfpq_probe, ivfpq_refresh
+    from .scans import CACHE_DIR
+
+    emb = load(spark, sf_dir, "embeddings")
+    base = emb.filter(F.col("vec_id") % 7 != 0)
+    arrivals = emb.filter(F.col("vec_id") % 7 == 0)
+    # vec_id 0 is an arrival (0 % 7 == 0): probing its embedding tests
+    # that the refresh actually made it retrievable
+    qvec = emb.filter(F.col("vec_id") == 0).select("embedding").collect()[0][0]
+    params = "refresh_c16_m8_k16_s42"
+    src = os.path.join(sf_dir, "embeddings.parquet")
+    stamp = str(os.path.getmtime(src)) if os.path.exists(src) else "0"
+    key = hashlib.md5(f"{os.path.abspath(sf_dir)}|{params}|{stamp}".encode()).hexdigest()[:16]
+    index_path = os.path.join(CACHE_DIR, "ivfpq_index", key)
+    if not os.path.exists(os.path.join(index_path, "codes", "_SUCCESS")):
+        build_ivfpq_index(
+            base, index_path, n_cells=16, m=8, k_codes=16, coarse_iterations=2
+        )
+    ivfpq_refresh(spark, index_path, arrivals)
+    return ivfpq_probe(
+        spark, index_path, emb, qvec, k=10, nprobe=8, rerank_factor=5
+    )
+
+
 @query(
     "llm_sim_join",
     oracle="""

@@ -664,6 +664,51 @@ def test_ivfpq_probe_deployed_index(spark, sf_dir, tmp_path):
     ), f"probe scan does not partition-prune on centroid_id:\n{codes_chunks[0]}"
 
 
+def test_ivfpq_refresh_makes_arrivals_retrievable(spark, sf_dir, tmp_path):
+    """Incremental index maintenance (round 11): build the index on a
+    base slice, refresh with the held-out arrivals, probe with an
+    arrival's own embedding. Asserts the maintenance semantics:
+    (a) the UNREFRESHED index cannot return the arrival; (b) after
+    refresh the arrival ranks first at score 1 through the delta
+    relation (exact rerank); (c) the refresh is idempotent — running
+    it twice leaves the same result (overwrite-delta contract); (d)
+    the delta scan partition-prunes on centroid_id like the base."""
+    from appstore_aws_etl_spark.llm.similarity import (
+        build_ivfpq_index,
+        ivfpq_probe,
+        ivfpq_refresh,
+    )
+    from appstore_aws_etl_spark.plans import formatted_plan
+
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    base = emb.filter(F.col("vec_id") % 7 != 0)
+    arrivals = emb.filter(F.col("vec_id") % 7 == 0)
+    qvec = emb.filter(F.col("vec_id") == 7).select("embedding").collect()[0][0]
+    idx = str(tmp_path / "ivfpq_idx")
+    build_ivfpq_index(base, idx, n_cells=16, m=8, k_codes=16)
+    before = ivfpq_probe(spark, idx, emb, qvec, k=10, nprobe=8).collect()
+    assert all(r["vec_id"] != 7 for r in before), "unrefreshed index returned an arrival"
+    ivfpq_refresh(spark, idx, arrivals)
+    after = ivfpq_probe(spark, idx, emb, qvec, k=10, nprobe=8)
+    rows = after.collect()
+    assert rows[0]["vec_id"] == 7 and rows[0]["score"] == 1.0
+    ivfpq_refresh(spark, idx, arrivals)  # idempotent overwrite
+    again = ivfpq_probe(spark, idx, emb, qvec, k=10, nprobe=8).collect()
+    assert [(r["vec_id"], r["score"]) for r in again] == [
+        (r["vec_id"], r["score"]) for r in rows
+    ]
+    plan = formatted_plan(after)
+    delta_chunks = [
+        c for c in plan.split("\n\n") if "Scan parquet" in c and "codes_delta" in c
+    ]
+    assert delta_chunks, "delta scan missing from the refreshed probe plan"
+    assert any(
+        "PartitionFilters" in c
+        and "centroid_id" in c.split("PartitionFilters", 1)[1].split("]", 1)[0]
+        for c in delta_chunks
+    ), f"delta scan does not partition-prune on centroid_id:\n{delta_chunks[0]}"
+
+
 def test_pq_planted_exactness_equals_brute_force(spark):
     """Stronger than the recall floor (r8 verdict item 7): on a fixture
     whose vectors are block-structured — every block is one of four
