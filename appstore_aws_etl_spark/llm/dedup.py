@@ -233,8 +233,13 @@ def minhash_near_dup_pairs(
         id_col,
         # full-signature fingerprint, carried as one int so the hot-
         # bucket path can group exact duplicates without re-joining
-        # the signature table (exact dups <=> identical signatures)
-        F.hash("signature").alias("__sig"),
+        # the signature table (exact dups <=> identical signatures).
+        # xxhash64, not 32-bit murmur: two distinct signature groups
+        # colliding inside one hot bucket would merge under one anchor
+        # and the losing clique's star pairs would fail the verify —
+        # at 500k docs a 32-bit sig expects ~30 global collisions,
+        # repeated in every band; 64-bit makes the bound negligible
+        F.xxhash64("signature").alias("__sig"),
         F.posexplode(
             F.transform(
                 F.sequence(F.lit(0), F.lit(bands - 1)),

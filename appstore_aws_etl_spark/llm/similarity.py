@@ -907,6 +907,68 @@ def ivfpq_knn(
     )
 
 
+def _hadoop_fs(spark, path: str):
+    """(FileSystem, Path) for ``path`` via the session's Hadoop conf —
+    works for local paths AND object stores (s3a://, hdfs://, ...),
+    unlike ``os.path`` which only ever sees the driver's local disk
+    (the r11-advice portability hole)."""
+    jpath = spark._jvm.org.apache.hadoop.fs.Path(path)
+    return jpath.getFileSystem(spark._jsc.hadoopConfiguration()), jpath
+
+
+def _fs_delete(spark, path: str) -> None:
+    """Recursive delete through the Hadoop FS API; no-op if absent."""
+    fs, jpath = _hadoop_fs(spark, path)
+    fs.delete(jpath, True)
+
+
+def _fs_replace(spark, src: str, dst: str) -> None:
+    """Atomically-as-the-store-allows swap ``src`` into ``dst``:
+    delete dst, rename src -> dst. Used to rewrite a relation that the
+    new contents were derived FROM (Spark reads lazily, so overwriting
+    a path while a plan still references it corrupts the read)."""
+    fs, jsrc = _hadoop_fs(spark, src)
+    _, jdst = _hadoop_fs(spark, dst)
+    fs.delete(jdst, True)
+    fs.rename(jsrc, jdst)
+
+
+def _read_parquet_if_exists(spark, path: str) -> DataFrame | None:
+    """Detect-by-reading: returns the DataFrame, or None when the path
+    does not resolve. Path resolution happens eagerly at load (schema
+    inference), so a missing relation raises AnalysisException here —
+    portable to any filesystem the session can read, unlike an
+    ``os.path.exists`` probe."""
+    from pyspark.errors import AnalysisException
+
+    try:
+        return spark.read.parquet(path)
+    except AnalysisException:
+        return None
+
+
+def _params_fingerprint(cells, codebooks) -> str:
+    """Deterministic 64-hex-bit fingerprint of an index's quantizer
+    parameters (coarse cells + PQ codebooks), computed from the
+    driver-side copies both ``ivfpq_refresh`` and ``ivfpq_probe``
+    already collect. A refresh stamps its delta with the fingerprint of
+    the parameters it encoded AGAINST; a probe unions a delta only if
+    the stamp matches the CURRENT parameters — so a delta orphaned by a
+    retrain (``build_ivfpq_index`` at the same path) can never
+    contribute stale ADC distances, even on an object store where the
+    builder's delta delete may lag visibility."""
+    import hashlib
+    import json
+
+    payload = json.dumps(
+        [
+            sorted([int(cid), [float(x) for x in vec]] for cid, vec in cells),
+            [[float(x) for x in code] for block in codebooks for code in block],
+        ]
+    )
+    return hashlib.sha256(payload.encode()).hexdigest()[:16]
+
+
 def build_ivfpq_index(
     df: DataFrame,
     index_path: str,
@@ -969,6 +1031,13 @@ def build_ivfpq_index(
     spark.createDataFrame(
         books_rows, "block INT, code INT, subvector ARRAY<DOUBLE>"
     ).write.mode("overwrite").parquet(f"{index_path}/codebooks")
+    # a retrain orphans any refresh delta encoded against the OLD
+    # quantizers (stale centroids/codebooks => wrong ADC distances) —
+    # remove it through the Hadoop FS API (portable to object stores);
+    # the probe's base_fp stamp validation is the second line of
+    # defense where this delete's visibility lags (r11 advice, medium)
+    _fs_delete(spark, f"{index_path}/codes_delta")
+    _fs_delete(spark, f"{index_path}/codes_delta_tmp")
 
 
 def ivfpq_refresh(
@@ -991,15 +1060,25 @@ def ivfpq_refresh(
     projection, no shuffle), PQ-encode its residual with the EXISTING
     codebooks, and write the encoded delta ``partitionBy(centroid_id)``
     alongside the base codes. Probes read base + delta with the same
-    centroid_id partition pruning. The write is an idempotent
-    OVERWRITE of the delta relation, not an append — re-running a
-    refresh converges to the same index state (a production deployment
-    would fold deltas into the base on its compaction schedule, the
+    centroid_id partition pruning.
+
+    Delta semantics (r11 advice): successive refreshes ACCUMULATE —
+    the existing delta is read back, rows whose ids reappear in the
+    new batch are superseded (anti-join), and the union is swapped in
+    via a tmp-dir rename (never an in-place overwrite of a relation
+    the plan still reads from). Re-running the SAME batch is therefore
+    idempotent, and refreshing batch B after batch A keeps A's rows.
+    Each delta row carries ``base_fp`` — the fingerprint of the
+    quantizer parameters it was encoded against — so a probe (or this
+    merge) discards rows orphaned by a retrain instead of mixing codes
+    from two codebook generations. A production deployment folds the
+    delta into the base on its compaction schedule (the
     ``warehouse_layout_compaction`` pattern). Quantization error for
     arrivals matches the base exactly as long as the arrival
     distribution matches training — the standard IVF maintenance
     contract (drifted corpora schedule a retrain, which is
-    ``build_ivfpq_index`` again)."""
+    ``build_ivfpq_index`` again — and that retrain both deletes this
+    delta and changes the fingerprint it validates against)."""
     cells = [
         (int(r["centroid_id"]), [float(x) for x in r["centroid"]])
         for r in spark.read.parquet(f"{index_path}/cells").collect()
@@ -1025,12 +1104,23 @@ def ivfpq_refresh(
         .drop("centroid")
     )
     enc = pq_encode(res, codebooks, vec_col="__res", out_col="pq_codes", normalize=False)
-    (
-        enc.select(id_col, "pq_codes", "centroid_id")
-        .write.mode("overwrite")
-        .partitionBy("centroid_id")
-        .parquet(f"{index_path}/codes_delta")
+    fp = _params_fingerprint(cells, codebooks)
+    new_delta = enc.select(id_col, "pq_codes", "centroid_id").withColumn(
+        "base_fp", F.lit(fp)
     )
+    existing = _read_parquet_if_exists(spark, f"{index_path}/codes_delta")
+    if existing is not None and "base_fp" in existing.columns:
+        # accumulate prior batches: keep rows encoded against the SAME
+        # parameters whose ids are not superseded by this batch
+        kept = (
+            existing.filter(F.col("base_fp") == fp)
+            .join(new_delta.select(id_col), id_col, "left_anti")
+            .select(*new_delta.columns)
+        )
+        new_delta = new_delta.unionByName(kept)
+    tmp = f"{index_path}/codes_delta_tmp"
+    new_delta.write.mode("overwrite").partitionBy("centroid_id").parquet(tmp)
+    _fs_replace(spark, tmp, f"{index_path}/codes_delta")
 
 
 def ivfpq_probe(
@@ -1098,12 +1188,15 @@ def ivfpq_probe(
     codes = spark.read.parquet(f"{index_path}/codes")
     # fold in any refresh delta (ivfpq_refresh) — same schema, same
     # centroid_id partitioning, so the partition pruning below applies
-    # to both relations' scans
-    import os as _os
-
-    if _os.path.exists(f"{index_path}/codes_delta/_SUCCESS"):
+    # to both relations' scans. Detection is ATTEMPT-THE-READ (not
+    # os.path.exists, which silently ignores s3://... deltas — r11
+    # advice), and the base_fp stamp gates out a delta encoded against
+    # pre-retrain quantizers (stale ADC distances).
+    delta = _read_parquet_if_exists(spark, f"{index_path}/codes_delta")
+    if delta is not None and "base_fp" in delta.columns:
+        fp = _params_fingerprint(cells, codebooks)
         codes = codes.unionByName(
-            spark.read.parquet(f"{index_path}/codes_delta")
+            delta.filter(F.col("base_fp") == fp).drop("base_fp")
         )
     codes = codes.filter(
         F.col("centroid_id").isin([int(c) for c in probe_ids])

@@ -748,3 +748,108 @@ def test_pq_planted_exactness_equals_brute_force(spark):
     # twelve 3-of-4-block neighbours at cos 0.75, id-ordered
     assert approx[0]["vec_id"] == 0 and approx[0]["score"] == 1.0
     assert [r["score"] for r in approx[1:]] == [0.75] * 9
+
+
+def test_ivfpq_refresh_accumulates_batches(spark, sf_dir, tmp_path):
+    """r11-advice (cumulative delta): refreshing batch B after batch A
+    must keep A's rows — the delta merge anti-joins superseded ids and
+    unions the rest, so successive arrival batches accumulate instead
+    of the last overwrite silently dropping earlier ones. Also asserts
+    the same-batch idempotency contract still holds after the merge
+    rewrite (re-running batch B changes nothing)."""
+    from appstore_aws_etl_spark.llm.similarity import (
+        build_ivfpq_index,
+        ivfpq_probe,
+        ivfpq_refresh,
+    )
+
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    base = emb.filter(F.col("vec_id") % 7 != 0)
+    batch_a = emb.filter((F.col("vec_id") % 7 == 0) & (F.col("vec_id") % 2 == 0))
+    batch_b = emb.filter((F.col("vec_id") % 7 == 0) & (F.col("vec_id") % 2 == 1))
+    idx = str(tmp_path / "ivfpq_idx")
+    build_ivfpq_index(base, idx, n_cells=16, m=8, k_codes=16)
+    ivfpq_refresh(spark, idx, batch_a)
+    ivfpq_refresh(spark, idx, batch_b)
+    qa = emb.filter(F.col("vec_id") == 14).select("embedding").collect()[0][0]
+    qb = emb.filter(F.col("vec_id") == 7).select("embedding").collect()[0][0]
+    got_a = ivfpq_probe(spark, idx, emb, qa, k=5, nprobe=8).collect()
+    got_b = ivfpq_probe(spark, idx, emb, qb, k=5, nprobe=8).collect()
+    assert got_a[0]["vec_id"] == 14 and got_a[0]["score"] == 1.0, (
+        "batch-A arrival dropped by the batch-B refresh"
+    )
+    assert got_b[0]["vec_id"] == 7 and got_b[0]["score"] == 1.0
+    ivfpq_refresh(spark, idx, batch_b)  # idempotent re-run of the same batch
+    again_a = ivfpq_probe(spark, idx, emb, qa, k=5, nprobe=8).collect()
+    assert [(r["vec_id"], r["score"]) for r in again_a] == [
+        (r["vec_id"], r["score"]) for r in got_a
+    ]
+
+
+def test_ivfpq_delta_detection_is_not_local_fs(spark, sf_dir, tmp_path, monkeypatch):
+    """r11-advice (portability): the probe must fold the refresh delta
+    even when the driver's LOCAL filesystem cannot see the index path
+    (the deployed s3://... case). Simulated by poisoning os.path.exists
+    to always say no — detection goes through spark.read, so the
+    arrival must still surface."""
+    import os as _os
+
+    from appstore_aws_etl_spark.llm.similarity import (
+        build_ivfpq_index,
+        ivfpq_probe,
+        ivfpq_refresh,
+    )
+
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    base = emb.filter(F.col("vec_id") % 7 != 0)
+    arrivals = emb.filter(F.col("vec_id") % 7 == 0)
+    idx = str(tmp_path / "ivfpq_idx")
+    build_ivfpq_index(base, idx, n_cells=16, m=8, k_codes=16)
+    ivfpq_refresh(spark, idx, arrivals)
+    qvec = emb.filter(F.col("vec_id") == 7).select("embedding").collect()[0][0]
+    monkeypatch.setattr(_os.path, "exists", lambda _p: False)
+    rows = ivfpq_probe(spark, idx, emb, qvec, k=5, nprobe=8).collect()
+    assert rows[0]["vec_id"] == 7 and rows[0]["score"] == 1.0, (
+        "probe missed the delta when os.path.exists is blind (object-store shape)"
+    )
+
+
+def test_ivfpq_retrain_invalidates_stale_delta(spark, sf_dir, tmp_path):
+    """r11-advice (medium): a retrain at the same index_path must not
+    union a delta encoded against the OLD centroids/codebooks. Two
+    layers are asserted: (a) build_ivfpq_index deletes the delta
+    relation; (b) even if a stale delta SURVIVES the delete (object-
+    store visibility lag — simulated by copying it back), the probe's
+    base_fp stamp validation refuses it, so results equal a fresh
+    index's."""
+    import shutil
+
+    from appstore_aws_etl_spark.llm.similarity import (
+        build_ivfpq_index,
+        ivfpq_probe,
+        ivfpq_refresh,
+    )
+
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    base = emb.filter(F.col("vec_id") % 7 != 0)
+    arrivals = emb.filter(F.col("vec_id") % 7 == 0)
+    idx = str(tmp_path / "ivfpq_idx")
+    build_ivfpq_index(base, idx, n_cells=16, m=8, k_codes=16)
+    ivfpq_refresh(spark, idx, arrivals)
+    stale = str(tmp_path / "stale_delta")
+    shutil.copytree(f"{idx}/codes_delta", stale)
+    # retrain with DIFFERENT quantizer geometry -> new params, new fp
+    build_ivfpq_index(base, idx, n_cells=8, m=8, k_codes=16, seed=7)
+    import os as _os
+
+    assert not _os.path.exists(f"{idx}/codes_delta"), (
+        "retrain left the orphaned delta in place"
+    )
+    qvec = emb.filter(F.col("vec_id") == 7).select("embedding").collect()[0][0]
+    clean = ivfpq_probe(spark, idx, emb, qvec, k=5, nprobe=8).collect()
+    # simulate the delete not being visible: restore the stale delta
+    shutil.copytree(stale, f"{idx}/codes_delta")
+    guarded = ivfpq_probe(spark, idx, emb, qvec, k=5, nprobe=8).collect()
+    assert [(r["vec_id"], r["score"]) for r in guarded] == [
+        (r["vec_id"], r["score"]) for r in clean
+    ], "probe unioned a delta stamped with pre-retrain parameters"
