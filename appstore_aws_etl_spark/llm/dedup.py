@@ -125,6 +125,7 @@ def minhash_signatures(
     text_col: str = "text",
     num_hashes: int = 32,
     shingle_k: int = 5,
+    seed: int | None = None,
 ) -> DataFrame:
     """MinHash signature per document.
 
@@ -137,13 +138,19 @@ def minhash_signatures(
     magnitude — nested higher-order lambdas at this arity drop out of
     codegen into interpreted evaluation. crc32 keeps the base hash
     deterministic across executors and runs (PYTHONHASHSEED-proof).
+
+    ``seed`` defaults to the module's pinned permutation family; a
+    caller passing its own (the hot-bucket second-chance pass) gets an
+    INDEPENDENT family — signatures from different seeds must never be
+    compared position-wise.
     """
+    s = _MINHASH_SEED if seed is None else seed
     a = np.array(
-        [2 * ((_MINHASH_SEED * (i + 1)) % _MERSENNE) + 1 for i in range(num_hashes)],
+        [2 * ((s * (i + 1)) % _MERSENNE) + 1 for i in range(num_hashes)],
         dtype=np.int64,
     )
     b = np.array(
-        [(_MINHASH_SEED * 7919 * (i + 1)) % _MERSENNE for i in range(num_hashes)],
+        [(s * 7919 * (i + 1)) % _MERSENNE for i in range(num_hashes)],
         dtype=np.int64,
     )
 
@@ -183,6 +190,7 @@ def minhash_near_dup_pairs(
     shingle_k: int = 5,
     jaccard_threshold: float = 0.6,
     max_bucket_docs: int | None = 1000,
+    second_chance: bool = False,
 ) -> DataFrame:
     """L2 near-duplicate pairs via banded MinHash-LSH.
 
@@ -220,7 +228,16 @@ def minhash_near_dup_pairs(
     near-dup-but-not-identical pairs dissimilar to the bucket anchor —
     those keep ``bands`` independent chances to collide in a
     non-degenerate bucket (planted big-clique and mixed-mega-bucket
-    recall are unit-tested). ``None`` disables the cap."""
+    recall are unit-tested). ``None`` disables the cap.
+
+    ``second_chance=True`` (round 12) adds a bounded recovery pass for
+    exactly that residual loss: hot-bucket members are re-signed with
+    an INDEPENDENT permutation family and re-banded once, and pairs
+    landing in sub-cap buckets under the fresh family are enumerated
+    and verified like any other candidate (against the original
+    signatures). Mixed mega-buckets decompose under a fresh family;
+    true dense cliques re-form hot and are simply dropped (pass 1's
+    anchor stars already span them). Cost is linear in hot membership."""
     rows_per_band = num_hashes // bands
     # signatures are tiny relative to the text (num_hashes longs/doc);
     # lazy localCheckpoint so the shingling+permutation work runs once,
@@ -307,6 +324,56 @@ def minhash_near_dup_pairs(
     )
     if hot_pairs is not None:
         cand = cand.unionByName(hot_pairs)
+    if hot_pairs is not None and second_chance:
+        # second-chance pass over hot-bucket MEMBERS (round 12; recovers
+        # most of the cap's near-dup forfeit, AB_SURVIVORS_r12): docs in
+        # >cap buckets get FRESH signatures from an independent
+        # permutation family and are re-banded. A bucket that was hot
+        # because one band's slice coincided across unrelated docs (the
+        # mixed-mega-bucket shape) decomposes under the new family —
+        # genuinely similar pairs re-collide in small buckets and get
+        # enumerated; coincidental cohabitants scatter. A bucket that
+        # re-forms past the cap is a true dense clique, already spanned
+        # by pass 1's anchor stars, so pass 2 just drops it (no stars,
+        # no recursion). Cost is corpus-small: hot membership only —
+        # one extra shingling pass + a capped band self-join over those
+        # docs. Recovered candidates are verified against the ORIGINAL
+        # signatures below, so est_jaccard keeps one definition.
+        hot_ids = hot_members.select(id_col).distinct()
+        hot_docs = df.join(hot_ids, id_col, "left_semi")
+        sigs2 = minhash_signatures(
+            hot_docs, id_col, text_col, num_hashes, shingle_k,
+            seed=_MINHASH_SEED ^ 0x9E3779B9,
+        )
+        banded2 = sigs2.select(
+            id_col,
+            F.posexplode(
+                F.transform(
+                    F.sequence(F.lit(0), F.lit(bands - 1)),
+                    lambda b: F.hash(
+                        F.slice("signature", b * rows_per_band + 1, rows_per_band), b
+                    ),
+                )
+            ).alias("band", "bucket"),
+        ).repartition(n_shuffle, "band", "bucket")
+        cool2 = banded2.join(
+            banded2.groupBy("band", "bucket")
+            .agg(F.count(F.lit(1)).alias("__n"))
+            .filter(F.col("__n") <= max_bucket_docs)
+            .select("band", "bucket"),
+            ["band", "bucket"],
+            "left_semi",
+        )
+        cand2 = (
+            cool2.select(F.col(id_col).alias("id_a"), "band", "bucket")
+            .join(
+                cool2.select(F.col(id_col).alias("id_b"), "band", "bucket"),
+                on=["band", "bucket"],
+            )
+            .filter(F.col("id_a") < F.col("id_b"))
+            .select("id_a", "id_b")
+        )
+        cand = cand.unionByName(cand2)
     cand = cand.distinct()
     with_sigs = cand.join(
         sigs.select(F.col(id_col).alias("id_a"), F.col("signature").alias("sig_a")), "id_a"

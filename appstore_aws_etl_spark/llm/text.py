@@ -46,21 +46,62 @@ def word_counts(df: DataFrame, text_col: str = "text") -> DataFrame:
     )
 
 
+def doc_freq_partials(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """Corpus document frequencies WITHOUT a (doc, term) exchange: one
+    document-level Arrow pass emits per-partition df partials with
+    C-level ``str.split`` (vocab-sized rows per task — Heaps'-law
+    sub-linear in corpus size), then a vocab-sized term aggregation.
+    The null-term row carries the document count. Token semantics
+    mirror ``tokenize`` on the pre-normalized corpus (single-space
+    lowercase; see tokenize's docstring). Shared by ``tfidf`` and
+    ``keywords_topk`` — the r11 llm_keywords burn-down shape
+    (AB_KEYWORDS_r11), generalized in r12 because llm_tfidf's df
+    branch was paying a full exploded-corpus exchange for the same
+    vocab-sized answer (4.1x DuckDB at the 100x tier)."""
+
+    def df_partials(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        seen: dict[str, int] = {}
+        n_docs = 0
+        for pdf in batches:
+            for t in pdf[text_col]:
+                n_docs += 1
+                if t is None:
+                    continue
+                for tok in set(t.split()):
+                    seen[tok] = seen.get(tok, 0) + 1
+        if seen or n_docs:
+            yield pd.DataFrame(
+                {"term": list(seen) + [None],
+                 "df_part": list(seen.values()) + [n_docs]}
+            )
+
+    return (
+        df.select(text_col)
+        .mapInPandas(df_partials, schema="term string, df_part long")
+        .groupBy("term")
+        .agg(F.sum("df_part").alias("df"))
+    )
+
+
 def tfidf(df: DataFrame, id_col: str = "doc_id", text_col: str = "text") -> DataFrame:
     """Per-(doc, term) TF-IDF with the pinned smoothed formula
     ``tf * (ln((N+1)/(df+1)) + 1)`` (SURVEY.md §2.11 L7).
 
-    Shuffle shape (reworked round 8 after the 10x bench flagged
-    llm_keywords at 16.5x growth): ONE full-size exchange total. The
-    exploded terms are repartitioned on the doc key, which satisfies
-    the clustering requirement of BOTH the (doc, term) aggregation here
-    AND any downstream per-doc window (llm_keywords' top-k adds only a
-    local sort, no re-shuffle); the doc-frequency branch reuses the
-    same exchange (identical subplan -> ReuseExchange) and its own
-    term exchange carries only partial-aggregated vocab-sized rows,
-    which then come back as a broadcast join instead of re-shuffling
-    the full tf table by term. Old plan: 3 full-size exchanges
-    (explode agg, tf-by-term join, window-by-doc); new plan: 1.
+    Shuffle shape (reworked round 12; the r8 shape repartitioned the
+    exploded corpus on the doc key and reused that full-size exchange
+    for both the tf and df branches — still 4.1x DuckDB at the 100x
+    tier because the df branch dragged the WHOLE corpus through the
+    exchange even when the tf output is a doc slice): the df branch is
+    now ``doc_freq_partials`` — a document-level Arrow pass whose
+    exchange carries vocab-sized rows, never (doc, term) rows — and
+    the tf branch is a plain explode + (doc, term) hash aggregation.
+    Consequences at scale: (a) a downstream doc-slice filter (the
+    llm_tfidf key keeps doc_id < 30) pushes through the tf aggregation
+    to the SCAN, so the sliced query's only full-corpus work is the
+    vocab-sized partials pass; (b) the unsliced query pays one
+    (doc, term) exchange — its own output — plus a second corpus scan
+    for the partials, which replaces the old plan's second full-size
+    exchange consumer.
 
     The docfreq broadcast is vocab-bounded, not corpus-bounded —
     Heaps'-law sub-linear in corpus size, the same driver-side df
@@ -68,14 +109,19 @@ def tfidf(df: DataFrame, id_col: str = "doc_id", text_col: str = "text") -> Data
     vocabulary (billions of junk unique tokens) swap the broadcast for
     a plain shuffle join; the rest of the plan is unchanged.
     """
-    terms = (
+    partials = doc_freq_partials(df, text_col)
+    docfreq = partials.filter(F.col("term").isNotNull())
+    # the null-term partial row IS the document count (doc ids are
+    # unique in the corpus contract, so row count == distinct ids)
+    n_docs = partials.filter(F.col("term").isNull()).select(
+        F.col("df").alias("n_docs")
+    )
+    tf = (
         tokenize(df, text_col)
         .select(id_col, F.explode("tokens").alias("term"))
-        .repartition(F.col(id_col))
+        .groupBy(id_col, "term")
+        .agg(F.count(F.lit(1)).alias("tf"))
     )
-    tf = terms.groupBy(id_col, "term").agg(F.count(F.lit(1)).alias("tf"))
-    docfreq = tf.groupBy("term").agg(F.count(F.lit(1)).alias("df"))
-    n_docs = df.select(F.countDistinct(id_col).alias("n_docs"))
     return (
         # bounded: docfreq is vocab-bounded (Heaps-law; adversarial-vocab fallback documented)
         tf.join(F.broadcast(docfreq), "term")
@@ -128,28 +174,7 @@ def keywords_topk(
     from collections import Counter
     from decimal import ROUND_HALF_UP, Decimal
 
-    def df_partials(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-        seen: dict[str, int] = {}
-        n_docs = 0
-        for pdf in batches:
-            for t in pdf[text_col]:
-                n_docs += 1
-                if t is None:
-                    continue
-                for tok in set(t.split()):
-                    seen[tok] = seen.get(tok, 0) + 1
-        if seen or n_docs:
-            yield pd.DataFrame(
-                {"term": list(seen) + [None],
-                 "df_part": list(seen.values()) + [n_docs]}
-            )
-
-    partials = (
-        df.select(text_col)
-        .mapInPandas(df_partials, schema="term string, df_part long")
-        .groupBy("term")
-        .agg(F.sum("df_part").alias("df"))
-    )
+    partials = doc_freq_partials(df, text_col)
     # bounded: vocab-sized parameter collect (Heaps'-law sub-linear, the
     # same df vector tfidf's docfreq broadcast ships to the driver)
     rows = partials.collect()

@@ -285,22 +285,36 @@ def agg_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
 def tpch_q3(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Q3 shipping priority: unshipped high-value BUILDING orders.
 
-    customer is filtered before the join (broadcastable dim); the only
-    large shuffle keys on l_orderkey for the aggregation; the final
-    top-10 is TakeOrderedAndProject.
-    """
-    c = load(spark, sf_dir, "customer").filter(F.col("c_mktsegment") == "BUILDING")
-    o = load(spark, sf_dir, "orders").filter(
-        F.col("o_orderdate") < F.lit("1998-01-01").cast("timestamp")
-    )
+    Round 12 (100x burn-down, AB_TPCH100X_r12): the group key is
+    per-ORDER (o_orderdate / o_orderpriority are functionally dependent
+    on l_orderkey), so lineitem pre-aggregates revenue per orderkey
+    BEFORE the join — the orderkey exchange then carries one thin
+    (key, double) row per shipped order instead of every line, the
+    sort-merge's 33M-row sort disappears into a hash aggregation, and
+    NO post-join aggregation exists at all. BUILDING prunes orders via
+    a semi join before their exchange, and the final join is
+    shuffled-hash with the pruned order slice as the build side (a
+    3-column date+segment slice of orders, hash-partitioned — per-task
+    build stays bounded under the same partition discipline that sizes
+    the exchange; the r9 OOM class was a 60M-row RAW-fact build). The
+    old shape (full li x o SMJ, then group) measured 5.05 s at the
+    100x tier vs 3.8 s for this plan, interleaved. Top-10 is
+    TakeOrderedAndProject."""
     li = load(spark, sf_dir, "lineitem").filter(
         F.col("l_shipdate") > F.lit("1998-01-01").cast("timestamp")
     )
+    rev = li.groupBy("l_orderkey").agg(F.round(F.sum(_net()), 2).alias("revenue"))
+    c = load(spark, sf_dir, "customer").filter(F.col("c_mktsegment") == "BUILDING")
+    o = (
+        load(spark, sf_dir, "orders")
+        .filter(F.col("o_orderdate") < F.lit("1998-01-01").cast("timestamp"))
+        .join(
+            c.select("c_custkey"), F.col("o_custkey") == F.col("c_custkey"), "left_semi"
+        )
+        .select("o_orderkey", "o_orderdate", "o_orderpriority")
+    )
     return (
-        li.join(o, li.l_orderkey == o.o_orderkey)
-        .join(c, o.o_custkey == c.c_custkey)
-        .groupBy("l_orderkey", "o_orderdate", "o_orderpriority")
-        .agg(F.round(F.sum(_net()), 2).alias("revenue"))
+        rev.join(o.hint("shuffle_hash"), rev.l_orderkey == F.col("o_orderkey"))
         .select("l_orderkey", "revenue", "o_orderdate", "o_orderpriority")
         .orderBy(F.col("revenue").desc(), "o_orderdate", "l_orderkey")
         .limit(10)
@@ -393,16 +407,36 @@ def tpch_q5(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def tpch_q10(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Q10 returned items: customers generating the most returned
-    revenue in a quarter."""
+    revenue in a quarter.
+
+    Round 12 (100x burn-down, AB_TPCH100X_r12): the orderkey join runs
+    shuffled-hash with the 7.6%-selective half-year order slice as the
+    build side — a 2-long-column projection, hash-partitioned, so the
+    per-task hash map stays bounded under partition discipline while
+    the 20M returned lines skip the sort-merge's sort entirely. The
+    order projection also drops o_orderdate before the exchange (the
+    filter consumed it). Interleaved at the 100x tier: 4.94 s (SMJ
+    shape) -> ~3.3 s. The custkey grouping needs no extra exchange:
+    the customer join's partitioning (c_custkey) is a subset of the
+    group key, which Spark's EnsureRequirements accepts. Runtime bloom
+    push-down of the order keys into the lineitem scan was measured
+    and REVERTED: locally the per-row probe costs more than the saved
+    in-memory exchange (3.0-3.6 s -> 4.7-5.0 s); on a network-shuffle
+    cluster the trade reverses, which is why the conf stays a session
+    knob rather than a plan change."""
     c = load(spark, sf_dir, "customer")
-    o = load(spark, sf_dir, "orders").filter(
-        (F.col("o_orderdate") >= F.lit("1997-01-01").cast("timestamp"))
-        & (F.col("o_orderdate") < F.lit("1997-07-01").cast("timestamp"))
+    o = (
+        load(spark, sf_dir, "orders")
+        .filter(
+            (F.col("o_orderdate") >= F.lit("1997-01-01").cast("timestamp"))
+            & (F.col("o_orderdate") < F.lit("1997-07-01").cast("timestamp"))
+        )
+        .select("o_orderkey", "o_custkey")
     )
     li = load(spark, sf_dir, "lineitem").filter(F.col("l_returnflag") == "R")
     n = load(spark, sf_dir, "nation")
     return (
-        li.join(o, li.l_orderkey == o.o_orderkey)
+        li.join(o.hint("shuffle_hash"), li.l_orderkey == o.o_orderkey)
         .join(c, o.o_custkey == c.c_custkey)
         # bounded: nation <= 25 rows
         .join(F.broadcast(n), c.c_nationkey == n.n_nationkey)
@@ -520,25 +554,29 @@ def tpch_q4(spark: SparkSession, sf_dir: str) -> DataFrame:
     dates, so "late" = any line shipped >60 days after the order date;
     TPC-H Q4's correlated EXISTS becomes a left-semi join).
 
-    Scale shape: the EXISTS is one semi join on l_orderkey — lineitem
-    never materializes per-order duplicates, and the tiny priority
-    aggregation follows. r7's static shuffle_hash hint removed in r8:
-    the build side is the raw fact projection (the join_multikey
-    OOM class at the 100x tier); the join stays sort-merge, which
-    spills gracefully at every scale (round 9 established the AQE
-    SMJ->SHJ conversion is disabled repo-wide — session.py) — 10x A/B
-    unhinted 1.10 s vs hinted 1.00 s, inside noise, so the hint bought
-    nothing but the OOM risk."""
-    o = load(spark, sf_dir, "orders")
+    Round 12 (100x burn-down, AB_TPCH100X_r12): the correlated EXISTS
+    over a >-condition is equivalent to a per-order MAX —
+    EXISTS(l_shipdate > o_orderdate + 60) <=> max(l_shipdate) >
+    o_orderdate + 60 — so the 60M-row semi-join side collapses to one
+    (l_orderkey, max_shipdate) row per order via a map-side-combinable
+    max BEFORE any join. Lineitem arrives clustered by orderkey, so
+    the partial max collapses ~4:1 pre-exchange, and the former
+    sort-merge semi over 60M raw lines becomes a thin 15M-vs-15M
+    equi-join + filter. Interleaved at the 100x tier: 6.7-7.6 s (semi
+    shape) -> ~5.0 s; a shuffle_hash hint on the aggregated side was
+    ALSO tried and lost to sort-merge (5.2-5.5 s — both sides are
+    15M rows, so the hash build beats neither sort), consistent with
+    the r8 finding that removed the original hint."""
     li = load(spark, sf_dir, "lineitem")
-    hit = o.join(
-        li,
-        (li.l_orderkey == o.o_orderkey)
-        & (li.l_shipdate > F.date_add(o.o_orderdate, 60)),
-        "left_semi",
+    last_ship = li.groupBy("l_orderkey").agg(F.max("l_shipdate").alias("last_ship"))
+    o = load(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_orderdate", "o_orderpriority"
     )
-    return hit.groupBy("o_orderpriority").agg(
-        F.count(F.lit(1)).alias("order_count")
+    return (
+        o.join(last_ship, o.o_orderkey == last_ship.l_orderkey)
+        .filter(F.col("last_ship") > F.date_add(F.col("o_orderdate"), 60))
+        .groupBy("o_orderpriority")
+        .agg(F.count(F.lit(1)).alias("order_count"))
     )
 
 
@@ -725,18 +763,32 @@ def tpch_q15(spark: SparkSession, sf_dir: str) -> DataFrame:
 def tpch_q18(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Q18 large-volume customers: the HAVING pre-aggregation runs on
     lineitem alone (map-side partials, one shuffle on l_orderkey) and
-    only the surviving order keys join orders/customer."""
+    only the surviving order keys (0.3% at the 100x tier) join
+    orders/customer; orders and customer are column-pruned to exactly
+    the output columns before their joins.
+
+    Round 12 adjudication (AB_TPCH100X_r12): the residual cost IS the
+    pre-aggregation — 60M lines into 14.7M orderkey groups measures
+    2.4-3.4 s alone at the 100x tier (the joins add <1 s; AQE
+    broadcasts the 47k survivors), and no further reduction exists:
+    the HAVING needs every line's quantity, the filter cannot apply to
+    partials, and the obvious knobs were measured (input splits
+    128m->32m: 3.1->2.4 s, the only lever; runtime bloom: n/a — the
+    agg, not a join, dominates). The DuckDB gap on this key is the
+    ORDERKEY_AGG_FLOOR constant (BASELINE.md): a single-process radix
+    hash agg does the same 60M->14.7M collapse with no exchange at
+    all."""
     li = load(spark, sf_dir, "lineitem")
     big = (
         li.groupBy("l_orderkey")
         .agg(F.sum("l_quantity").alias("qty"))
         .filter(F.col("qty") > 300)
     )
-    o = load(spark, sf_dir, "orders")
-    c = load(spark, sf_dir, "customer")
+    o = load(spark, sf_dir, "orders").select("o_orderkey", "o_custkey", "o_totalprice")
+    c = load(spark, sf_dir, "customer").select("c_custkey", "c_name")
     return (
-        o.join(big, o.o_orderkey == big.l_orderkey)
-        .join(c, o.o_custkey == c.c_custkey)
+        big.join(o, o.o_orderkey == big.l_orderkey)
+        .join(c, F.col("o_custkey") == c.c_custkey)
         .select(
             "c_name",
             "c_custkey",
@@ -870,7 +922,17 @@ def tpch_q8(spark: SparkSession, sf_dir: str) -> DataFrame:
     Scale shape: part/supplier/customer/nation/region are broadcast
     dims; the only big shuffle is orders<->lineitem on orderkey, and
     the share is a two-measure conditional aggregate over one pass —
-    never two scans of the fact."""
+    never two scans of the fact.
+
+    Round 12 adjudication (AB_TPCH100X_r12 session): the q5-protocol
+    re-plan (ASIA pushed below the fact-fact join via a customer-keys
+    semi on orders, lineitem slimmed to (orderkey, volume,
+    supp_nation) before the orderkey join) was built and measured
+    interleaved — and LOST: 5.35 s vs 4.75 s for this shape at the
+    100x tier. Unlike q5, the dim filters here (PROMO part) already
+    prune lineitem before the orderkey join, so the re-plan only
+    reordered broadcasts it already gets from AQE while adding a
+    projection barrier. Kept as-is; measured dead end recorded."""
     li = load(spark, sf_dir, "lineitem")
     p = load(spark, sf_dir, "part").filter(F.col("p_type") == "PROMO")
     s = load(spark, sf_dir, "supplier")

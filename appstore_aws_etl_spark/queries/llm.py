@@ -1675,7 +1675,13 @@ def llm_dedup_survivors(spark: SparkSession, sf_dir: str) -> DataFrame:
     extra starred mid-size buckets emit mostly verify-failing pairs).
     What the cap costs is near-dup-but-not-identical pairs inside
     >64-wide mixed buckets — exact dups are cap-immune via the
-    signature-group stars, and planted chain recall is unit-tested."""
+    signature-group stars, and planted chain recall is unit-tested.
+    Round 12 adds ``second_chance=True``: hot-bucket members are
+    re-signed with an independent permutation family and re-banded
+    once, recovering the mixed-bucket near-dup pairs the cap forfeits
+    (the r11-measured 17% removal gap) at a cost linear in hot
+    membership — see minhash_near_dup_pairs' docstring and
+    AB_SURVIVORS_r12.json."""
     from ..operators.labelprop import propagate_min_labels
 
     docs = load(spark, sf_dir, "documents").select("doc_id", "text")
@@ -1687,7 +1693,7 @@ def llm_dedup_survivors(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     )
     pairs = minhash_near_dup_pairs(
-        aug, jaccard_threshold=0.5, max_bucket_docs=64
+        aug, jaccard_threshold=0.5, max_bucket_docs=64, second_chance=True
     ).select(F.col("id_a").alias("src"), F.col("id_b").alias("dst"))
     und = pairs.union(
         pairs.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
