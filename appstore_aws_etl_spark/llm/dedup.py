@@ -181,6 +181,55 @@ def minhash_signatures(
     return df.select(id_col, signature(F.col(text_col)).alias("signature"))
 
 
+def _chain_pairs(
+    blocked: DataFrame,
+    id_col: str,
+    block_cols: tuple[str, ...],
+    chain_k: int = 3,
+    num_hashes: int = 32,
+    n_orders: int = 4,
+) -> DataFrame:
+    """Sorted-neighborhood chains within blocks: members of each block
+    sort by their full MinHash signature and pair with their next
+    ``chain_k`` successors, repeated under ``n_orders`` ROTATIONS of
+    the signature (the multi-key SNM trick: a lexicographic order is
+    dominated by its leading positions, so a near-dup pair differing
+    early sorts apart — but under the rotation that starts where the
+    pair AGREES, they sort adjacent; each rotation is an independent
+    chance governed by per-position agreement ~ Jaccard). All orders
+    share the one block exchange; each extra order is an in-partition
+    sort, never a shuffle. Output is O(n_orders x k x |rows|)
+    (id_a, id_b) candidates, id_a < id_b, unverified."""
+    from pyspark.sql import Window
+
+    out = None
+    step = max(1, num_hashes // n_orders)
+    for i in range(n_orders):
+        r = i * step
+        if r == 0:
+            order_expr = F.col("signature")
+        else:
+            order_expr = F.concat(
+                F.slice("signature", r + 1, num_hashes - r),
+                F.slice("signature", 1, r),
+            )
+        w = Window.partitionBy(*block_cols).orderBy(order_expr, id_col)
+        chained = blocked.select(
+            id_col,
+            *[
+                F.lead(id_col, k).over(w).alias(f"__n{k}")
+                for k in range(1, chain_k + 1)
+            ],
+        )
+        for k in range(1, chain_k + 1):
+            p = chained.filter(F.col(f"__n{k}").isNotNull()).select(
+                F.least(id_col, F.col(f"__n{k}")).alias("id_a"),
+                F.greatest(id_col, F.col(f"__n{k}")).alias("id_b"),
+            )
+            out = p if out is None else out.unionByName(p)
+    return out
+
+
 def minhash_near_dup_pairs(
     df: DataFrame,
     id_col: str = "doc_id",
@@ -231,13 +280,14 @@ def minhash_near_dup_pairs(
     recall are unit-tested). ``None`` disables the cap.
 
     ``second_chance=True`` (round 12) adds a bounded recovery pass for
-    exactly that residual loss: hot-bucket members are re-signed with
-    an INDEPENDENT permutation family and re-banded once, and pairs
-    landing in sub-cap buckets under the fresh family are enumerated
-    and verified like any other candidate (against the original
-    signatures). Mixed mega-buckets decompose under a fresh family;
-    true dense cliques re-form hot and are simply dropped (pass 1's
-    anchor stars already span them). Cost is linear in hot membership."""
+    exactly that residual loss: sorted-neighborhood chaining inside hot
+    buckets — members sort by full signature and each pairs with its
+    next K successors, so near-dups (near-identical signatures,
+    adjacent in the order) get enumerated at O(K x |bucket|) cost and
+    are verified like any other candidate. A fresh-permutation
+    re-banding pass was measured first and rejected (~7% recovery —
+    shared-shingle mega-buckets re-form under any seed; see
+    AB_SURVIVORS_r12.json)."""
     rows_per_band = num_hashes // bands
     # signatures are tiny relative to the text (num_hashes longs/doc);
     # lazy localCheckpoint so the shingling+permutation work runs once,
@@ -326,59 +376,115 @@ def minhash_near_dup_pairs(
         cand = cand.unionByName(hot_pairs)
     if hot_pairs is not None and second_chance:
         # second-chance pass over hot-bucket MEMBERS (round 12; recovers
-        # most of the cap's near-dup forfeit, AB_SURVIVORS_r12): docs in
-        # >cap buckets get FRESH signatures from an independent
-        # permutation family and are re-banded. A bucket that was hot
-        # because one band's slice coincided across unrelated docs (the
-        # mixed-mega-bucket shape) decomposes under the new family —
-        # genuinely similar pairs re-collide in small buckets and get
-        # enumerated; coincidental cohabitants scatter. A bucket that
-        # re-forms past the cap is a true dense clique, already spanned
-        # by pass 1's anchor stars, so pass 2 just drops it (no stars,
-        # no recursion). Cost is corpus-small: hot membership only —
-        # one extra shingling pass + a capped band self-join over those
-        # docs. Recovered candidates are verified against the ORIGINAL
-        # signatures below, so est_jaccard keeps one definition.
-        hot_ids = hot_members.select(id_col).distinct()
-        hot_docs = df.join(hot_ids, id_col, "left_semi")
-        sigs2 = minhash_signatures(
-            hot_docs, id_col, text_col, num_hashes, shingle_k,
-            seed=_MINHASH_SEED ^ 0x9E3779B9,
-        )
-        banded2 = sigs2.select(
-            id_col,
-            F.posexplode(
-                F.transform(
-                    F.sequence(F.lit(0), F.lit(bands - 1)),
-                    lambda b: F.hash(
-                        F.slice("signature", b * rows_per_band + 1, rows_per_band), b
-                    ),
-                )
-            ).alias("band", "bucket"),
-        ).repartition(n_shuffle, "band", "bucket")
-        cool2 = banded2.join(
-            banded2.groupBy("band", "bucket")
-            .agg(F.count(F.lit(1)).alias("__n"))
-            .filter(F.col("__n") <= max_bucket_docs)
-            .select("band", "bucket"),
-            ["band", "bucket"],
-            "left_semi",
-        )
-        cand2 = (
-            cool2.select(F.col(id_col).alias("id_a"), "band", "bucket")
-            .join(
-                cool2.select(F.col(id_col).alias("id_b"), "band", "bucket"),
-                on=["band", "bucket"],
+        # part of the cap's near-dup forfeit, AB_SURVIVORS_r12):
+        # SORTED-NEIGHBORHOOD chaining — each hot bucket's members sort
+        # by their FULL signature (lexicographic; similar docs have
+        # near-identical signatures, so they land adjacent) and each
+        # member pairs with its next K successors. O(K x |bucket|)
+        # pairs in place of the quadratic the cap skipped, one window
+        # sort per bucket in place of the self-join; identical buckets
+        # across bands chain identically, so the candidate distinct
+        # collapses the cross-band redundancy before the verify join.
+        # A fresh-permutation re-banding pass was built and MEASURED
+        # first (AB artifact): it recovered only ~7% of the forfeit —
+        # shared-shingle mega-buckets re-form under ANY seed because
+        # the members genuinely share most shingles, so re-hashing
+        # cannot decompose them; ordering within the bucket can.
+        # chain_k=4 / 8 rotations: measured on the planted
+        # mixed-mega-bucket fixture (21 forfeited pairs): (3,4) leaves
+        # 11 missing, (4,8) leaves 8, (10,16) leaves 1 at ~5x the
+        # chain volume — (4,8) is the knee; chains stay linear in hot
+        # membership either way
+        hm = hot_members.select("band", "bucket", id_col).join(sigs, id_col)
+        cand = cand.unionByName(
+            _chain_pairs(
+                hm, id_col, ("band", "bucket"),
+                chain_k=4, num_hashes=num_hashes, n_orders=8,
             )
-            .filter(F.col("id_a") < F.col("id_b"))
-            .select("id_a", "id_b")
         )
-        cand = cand.unionByName(cand2)
     cand = cand.distinct()
     with_sigs = cand.join(
         sigs.select(F.col(id_col).alias("id_a"), F.col("signature").alias("sig_a")), "id_a"
     ).join(
         sigs.select(F.col(id_col).alias("id_b"), F.col("signature").alias("sig_b")), "id_b"
+    )
+    est = F.aggregate(
+        F.zip_with("sig_a", "sig_b", lambda x, y: (x == y).cast("int")),
+        F.lit(0),
+        lambda acc, v: acc + v,
+    ) / F.lit(num_hashes)
+    return (
+        with_sigs.withColumn("est_jaccard", F.round(est, 4))
+        .filter(F.col("est_jaccard") >= jaccard_threshold)
+        .select("id_a", "id_b", "est_jaccard")
+    )
+
+
+def sorted_neighborhood_pairs(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    num_hashes: int = 32,
+    bands: int = 8,
+    shingle_k: int = 5,
+    jaccard_threshold: float = 0.6,
+    chain_k: int = 3,
+) -> DataFrame:
+    """Near-duplicate pairs via BLOCKED SORTED-NEIGHBORHOOD (round 12):
+    the fully linear candidate generator — no bucket self-join exists
+    anywhere, so no cap, no skew guard, and no quadratic term at ANY
+    corpus shape (the property ``minhash_near_dup_pairs`` needs
+    ``max_bucket_docs`` + anchor stars to approximate).
+
+    Mechanics: MinHash signatures once; each band's bucket is a block;
+    within a block, members sort by FULL signature (lexicographic —
+    near-dups have near-identical signatures, so they land adjacent)
+    and each member pairs with its next ``chain_k`` successors, under
+    several ROTATIONS of the signature (multi-key SNM: a lexicographic
+    order is dominated by its leading positions, so a pair differing
+    early sorts apart — but adjacent under the rotation starting where
+    it agrees; see ``_chain_pairs``). A pair has bands x rotations
+    independent chances to become adjacent-within-k in some block.
+    Candidates are O(n x bands x rotations x k) by construction;
+    identical blocks across bands chain identically and collapse in
+    the candidate distinct. The signature-Jaccard estimate verifies
+    every candidate, exactly as in the LSH path.
+
+    Trade vs banded LSH: recall inside a block is positional rather
+    than exhaustive — a true pair more than ``chain_k`` positions
+    apart in every band's order is missed — in exchange for a hard
+    linear output bound. This is the shape to run FIRST at 100 TB
+    corpus scale, with the capped LSH enumeration reserved for blocks
+    a recall audit flags. Returns (id_a, id_b, est_jaccard), id_a <
+    id_b. Planted-recall unit-tested; rows-only at the driver (the
+    method is approximate by design)."""
+    rows_per_band = num_hashes // bands
+    sigs = minhash_signatures(
+        df, id_col, text_col, num_hashes, shingle_k
+    ).localCheckpoint(eager=False, storageLevel=CHECKPOINT_LEVEL)
+    banded = sigs.select(
+        id_col,
+        "signature",
+        F.posexplode(
+            F.transform(
+                F.sequence(F.lit(0), F.lit(bands - 1)),
+                lambda b: F.hash(
+                    F.slice("signature", b * rows_per_band + 1, rows_per_band), b
+                ),
+            )
+        ).alias("band", "bucket"),
+    )
+    n_shuffle = int(df.sparkSession.conf.get("spark.sql.shuffle.partitions"))
+    banded = banded.repartition(n_shuffle, "band", "bucket")
+    cand = _chain_pairs(
+        banded, id_col, ("band", "bucket"), chain_k, num_hashes=num_hashes
+    ).distinct()
+    with_sigs = cand.join(
+        sigs.select(F.col(id_col).alias("id_a"), F.col("signature").alias("sig_a")),
+        "id_a",
+    ).join(
+        sigs.select(F.col(id_col).alias("id_b"), F.col("signature").alias("sig_b")),
+        "id_b",
     )
     est = F.aggregate(
         F.zip_with("sig_a", "sig_b", lambda x, y: (x == y).cast("int")),

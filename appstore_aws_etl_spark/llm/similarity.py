@@ -1123,6 +1123,50 @@ def ivfpq_refresh(
     _fs_replace(spark, tmp, f"{index_path}/codes_delta")
 
 
+def ivfpq_compact(spark, index_path: str, id_col: str = "vec_id") -> None:
+    """Compaction half of the deployed IVFADC maintenance cycle
+    (round 12; completes the build / probe / refresh / compact
+    lifecycle): fold the refresh delta into the base codes relation and
+    drop it. Probes afterwards scan ONE relation again — the delta
+    union (an extra parquet scan + unionByName per probe) exists to
+    make refreshes cheap, and compaction is the scheduled job that
+    pays that debt back, exactly the ``warehouse_layout_compaction``
+    pattern applied to the served index.
+
+    Mechanics: validate the delta against the CURRENT quantizer
+    parameters (a stale delta from before a retrain is DISCARDED, not
+    folded — same base_fp gate as the probe), anti-join the base on
+    arrival ids (a re-encoded vector supersedes its base row), write
+    the union to a tmp relation partitionBy(centroid_id), and swap it
+    in via FS rename before deleting the delta. Idempotent: with no
+    delta present, nothing changes."""
+    delta = _read_parquet_if_exists(spark, f"{index_path}/codes_delta")
+    if delta is None or "base_fp" not in delta.columns:
+        return
+    cells = [
+        (int(r["centroid_id"]), [float(x) for x in r["centroid"]])
+        for r in spark.read.parquet(f"{index_path}/cells").collect()
+    ]
+    book_rows = spark.read.parquet(f"{index_path}/codebooks").collect()
+    m = 1 + max(r["block"] for r in book_rows)
+    k_codes = 1 + max(r["code"] for r in book_rows)
+    codebooks = [[None] * k_codes for _ in range(m)]
+    for r in book_rows:
+        codebooks[r["block"]][r["code"]] = [float(x) for x in r["subvector"]]
+    fp = _params_fingerprint(cells, codebooks)
+    fresh = delta.filter(F.col("base_fp") == fp).drop("base_fp")
+    base = spark.read.parquet(f"{index_path}/codes")
+    merged = base.join(
+        fresh.select(F.col(id_col).alias("__arr_id")),
+        base[id_col] == F.col("__arr_id"),
+        "left_anti",
+    ).unionByName(fresh.select(*base.columns))
+    tmp = f"{index_path}/codes_tmp"
+    merged.write.mode("overwrite").partitionBy("centroid_id").parquet(tmp)
+    _fs_replace(spark, tmp, f"{index_path}/codes")
+    _fs_delete(spark, f"{index_path}/codes_delta")
+
+
 def ivfpq_probe(
     spark,
     index_path: str,

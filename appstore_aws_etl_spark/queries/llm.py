@@ -125,6 +125,22 @@ def llm_dedup_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     return minhash_near_dup_pairs(docs, jaccard_threshold=0.5)
 
 
+@query("llm_dedup_sorted_neighborhood", oracle=None, tags=("llm", "dedup", "approx"))
+def llm_dedup_sorted_neighborhood(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Blocked sorted-neighborhood near-dup pairs (round 12): the
+    fully LINEAR candidate generator — band blocks sorted by full
+    MinHash signature, each member chained to its next k successors,
+    estimate-verified. No bucket self-join exists in the plan, so
+    candidate volume is O(n x bands x k) at ANY corpus shape — the
+    method to run first at 100 TB, with capped LSH enumeration
+    (llm_dedup_minhash) reserved for blocks a recall audit flags.
+    Approx -> rows-only; planted recall unit-tested."""
+    from ..llm.dedup import sorted_neighborhood_pairs
+
+    docs = load(spark, sf_dir, "documents")
+    return sorted_neighborhood_pairs(docs, jaccard_threshold=0.5)
+
+
 @query("llm_dedup_simhash", oracle=None, tags=("llm", "dedup", "approx"))
 def llm_dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     """SimHash fingerprints + band keys (engine-specific hash values ->
@@ -394,6 +410,54 @@ def llm_knn_ivfpq_refresh(spark: SparkSession, sf_dir: str) -> DataFrame:
             base, index_path, n_cells=16, m=8, k_codes=16, coarse_iterations=2
         )
     ivfpq_refresh(spark, index_path, arrivals)
+    return ivfpq_probe(
+        spark, index_path, emb, qvec, k=10, nprobe=8, rerank_factor=5
+    )
+
+
+@query("llm_knn_ivfpq_compact", oracle=None, tags=("llm", "similarity", "approx"))
+def llm_knn_ivfpq_compact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deployed-index MAINTENANCE: delta compaction (round 12 — the
+    fourth and final leg of the served-ANN lifecycle: build-once,
+    probe-many, refresh arrivals, COMPACT the delta back into the
+    base on schedule). ``ivfpq_compact`` validates the delta against
+    the current quantizer fingerprint, supersedes base rows re-encoded
+    by arrivals, rewrites the base partitionBy(centroid_id) via a
+    tmp-relation swap, and deletes the delta — after which every probe
+    scans one relation again. This key builds its OWN index copy (the
+    refresh key's cached index must keep its delta), refreshes, then
+    compacts, then probes with an arrival's embedding: the arrival
+    must surface from the BASE relation with no delta present
+    (identity with the pre-compaction probe is unit-tested). Approx ->
+    rows-only."""
+    import hashlib
+    import os
+
+    from ..llm.similarity import (
+        build_ivfpq_index,
+        ivfpq_compact,
+        ivfpq_probe,
+        ivfpq_refresh,
+    )
+    from .scans import CACHE_DIR
+
+    emb = load(spark, sf_dir, "embeddings")
+    base = emb.filter(F.col("vec_id") % 7 != 0)
+    arrivals = emb.filter(F.col("vec_id") % 7 == 0)
+    qvec = emb.filter(F.col("vec_id") == 0).select("embedding").collect()[0][0]
+    params = "compact_c16_m8_k16_s42"
+    src = os.path.join(sf_dir, "embeddings.parquet")
+    stamp = str(os.path.getmtime(src)) if os.path.exists(src) else "0"
+    key = hashlib.md5(f"{os.path.abspath(sf_dir)}|{params}|{stamp}".encode()).hexdigest()[:16]
+    index_path = os.path.join(CACHE_DIR, "ivfpq_index", key)
+    # the compacted end-state is idempotent, so the cache-hit path
+    # (compact of a delta-less index: no-op) converges like the others
+    if not os.path.exists(os.path.join(index_path, "codes", "_SUCCESS")):
+        build_ivfpq_index(
+            base, index_path, n_cells=16, m=8, k_codes=16, coarse_iterations=2
+        )
+        ivfpq_refresh(spark, index_path, arrivals)
+    ivfpq_compact(spark, index_path)
     return ivfpq_probe(
         spark, index_path, emb, qvec, k=10, nprobe=8, rerank_factor=5
     )
@@ -1676,12 +1740,12 @@ def llm_dedup_survivors(spark: SparkSession, sf_dir: str) -> DataFrame:
     What the cap costs is near-dup-but-not-identical pairs inside
     >64-wide mixed buckets — exact dups are cap-immune via the
     signature-group stars, and planted chain recall is unit-tested.
-    Round 12 adds ``second_chance=True``: hot-bucket members are
-    re-signed with an independent permutation family and re-banded
-    once, recovering the mixed-bucket near-dup pairs the cap forfeits
-    (the r11-measured 17% removal gap) at a cost linear in hot
-    membership — see minhash_near_dup_pairs' docstring and
-    AB_SURVIVORS_r12.json."""
+    Round 12 adds ``second_chance=True``: sorted-neighborhood chaining
+    inside hot buckets (members sorted by full signature, each paired
+    with its next K successors) recovers mixed-bucket near-dup pairs
+    the cap forfeits at O(K x |bucket|) cost — see
+    minhash_near_dup_pairs' docstring and AB_SURVIVORS_r12.json,
+    which also records the fresh-permutation re-banding dead end."""
     from ..operators.labelprop import propagate_min_labels
 
     docs = load(spark, sf_dir, "documents").select("doc_id", "text")

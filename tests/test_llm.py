@@ -853,3 +853,151 @@ def test_ivfpq_retrain_invalidates_stale_delta(spark, sf_dir, tmp_path):
     assert [(r["vec_id"], r["score"]) for r in guarded] == [
         (r["vec_id"], r["score"]) for r in clean
     ], "probe unioned a delta stamped with pre-retrain parameters"
+
+
+def test_sorted_neighborhood_finds_planted_near_dups(planted_docs):
+    """Blocked sorted-neighborhood (round 12): the linear candidate
+    generator must find the planted near- and exact-dup pairs (near-
+    identical signatures sort adjacent inside every shared band block)
+    and keep unrelated docs out, with estimates matching the LSH
+    path's definition (same signatures, same verify)."""
+    from appstore_aws_etl_spark.llm.dedup import sorted_neighborhood_pairs
+
+    pairs = {
+        (r["id_a"], r["id_b"]): r["est_jaccard"]
+        for r in sorted_neighborhood_pairs(
+            planted_docs, num_hashes=32, bands=8, jaccard_threshold=0.5
+        ).collect()
+    }
+    assert (1, 4) in pairs and pairs[(1, 4)] == 1.0  # exact dup
+    assert (1, 2) in pairs and pairs[(1, 2)] > 0.5  # near dup
+    assert not any(3 in p for p in pairs)  # unrelated doc stays out
+
+
+def test_sorted_neighborhood_output_is_linear_on_megabucket(spark):
+    """The property the operator exists for: a corpus that mega-buckets
+    (every doc shares most shingles) must yield O(n x bands x k)
+    candidates, never the O(n^2) a bucket self-join would enumerate —
+    with NO cap parameter involved. 60 docs in one clique: chained
+    pairs stay under n*bands*k while full enumeration would be 1770."""
+    from appstore_aws_etl_spark.llm.dedup import sorted_neighborhood_pairs
+
+    base = "the quick brown fox jumps over the lazy dog again and again today"
+    df = spark.createDataFrame([Row(doc_id=i, text=base) for i in range(1, 61)])
+    pairs = sorted_neighborhood_pairs(
+        df, num_hashes=32, bands=8, jaccard_threshold=0.5, chain_k=3
+    ).collect()
+    got = {(r["id_a"], r["id_b"]) for r in pairs}
+    # identical docs: every pair in the chain window verifies at 1.0,
+    # chains are identical across bands (same order), so the output is
+    # exactly the k-successor pairs of one sorted order
+    assert len(got) <= 60 * 8 * 3
+    assert len(got) < 1770  # strictly below full enumeration
+    # connectivity for a components consumer: the chain spans the clique
+    ids = set(range(1, 61))
+    parent = {i: i for i in ids}
+    def find(x):
+        while parent[x] != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+    for a, b in got:
+        parent[find(a)] = find(b)
+    assert len({find(i) for i in ids}) == 1, "chain did not span the clique"
+
+
+def test_survivors_second_chance_recovers_mixed_bucket_near_dups(spark):
+    """Round-12 recovery pass: near-dup (NOT identical) pairs inside a
+    >cap mixed mega-bucket are exactly what the cap forfeits (anchor
+    stars verify-fail against the unrelated bucket anchor; signature
+    stars only cover exact dups). With second_chance=True the
+    sig-sorted chain inside the hot bucket must recover them."""
+    words = [f"w{i}" for i in range(13)]
+    rows = []
+    # 40 near-dup PAIRS (member b differs from a by one token) over a
+    # shared 13-token base -> one mixed mega-bucket per band, width 80
+    for pair in range(40):
+        toks = list(words)
+        toks[0] = f"pair{pair}"
+        a = " ".join(toks)
+        toks[1] = "tweaked"
+        b = " ".join(toks)
+        rows.append(Row(doc_id=2 * pair + 1, text=a))
+        rows.append(Row(doc_id=2 * pair + 2, text=b))
+    df = spark.createDataFrame(rows)
+    from appstore_aws_etl_spark.llm.dedup import minhash_near_dup_pairs
+
+    capped = {
+        (r["id_a"], r["id_b"])
+        for r in minhash_near_dup_pairs(
+            df, num_hashes=32, bands=8, shingle_k=5,
+            jaccard_threshold=0.5, max_bucket_docs=10,
+        ).collect()
+    }
+    rescued = {
+        (r["id_a"], r["id_b"])
+        for r in minhash_near_dup_pairs(
+            df, num_hashes=32, bands=8, shingle_k=5,
+            jaccard_threshold=0.5, max_bucket_docs=10, second_chance=True,
+        ).collect()
+    }
+    want = {(2 * p + 1, 2 * p + 2) for p in range(40)}
+    assert rescued >= capped
+    missing_before = want - capped
+    missing_after = want - rescued
+    assert missing_before, "fixture failed to trip the cap forfeit"
+    # measured curve on this fixture (21 forfeited): (chain_k=3,
+    # rotations=4) leaves 11, the shipped (4,8) leaves 8, (10,16)
+    # leaves 1 at ~5x the chain volume — the bar pins the shipped knee
+    assert len(missing_after) <= len(missing_before) * 0.45, (
+        f"second chance recovered too little: {len(missing_before)} -> "
+        f"{len(missing_after)} missing"
+    )
+
+
+def test_ivfpq_compact_folds_delta_into_base(spark, sf_dir, tmp_path):
+    """Compaction (round 12, the lifecycle's fourth leg): after
+    ivfpq_compact the delta is gone, probes scan ONE relation, results
+    are identical to the pre-compaction (base + delta) probe, and a
+    second compact is a no-op. A stale delta (retrain fingerprint
+    mismatch) must be DISCARDED, not folded."""
+    from appstore_aws_etl_spark.llm.similarity import (
+        build_ivfpq_index,
+        ivfpq_compact,
+        ivfpq_probe,
+        ivfpq_refresh,
+    )
+    from appstore_aws_etl_spark.plans import formatted_plan
+    import os as _os
+
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    base = emb.filter(F.col("vec_id") % 7 != 0)
+    arrivals = emb.filter(F.col("vec_id") % 7 == 0)
+    qvec = emb.filter(F.col("vec_id") == 7).select("embedding").collect()[0][0]
+    idx = str(tmp_path / "ivfpq_idx")
+    build_ivfpq_index(base, idx, n_cells=16, m=8, k_codes=16)
+    ivfpq_refresh(spark, idx, arrivals)
+    before = ivfpq_probe(spark, idx, emb, qvec, k=10, nprobe=8).collect()
+    ivfpq_compact(spark, idx)
+    assert not _os.path.exists(f"{idx}/codes_delta"), "compact left the delta"
+    after_df = ivfpq_probe(spark, idx, emb, qvec, k=10, nprobe=8)
+    after = after_df.collect()
+    assert [(r["vec_id"], r["score"]) for r in after] == [
+        (r["vec_id"], r["score"]) for r in before
+    ], "compaction changed probe results"
+    assert after[0]["vec_id"] == 7 and after[0]["score"] == 1.0
+    plan = formatted_plan(after_df)
+    assert "codes_delta" not in plan, "post-compact probe still scans a delta"
+    codes_chunks = [
+        c for c in plan.split("\n\n") if "Scan parquet" in c and "/codes" in c
+    ]
+    assert any(
+        "PartitionFilters" in c
+        and "centroid_id" in c.split("PartitionFilters", 1)[1].split("]", 1)[0]
+        for c in codes_chunks
+    ), "compacted base lost centroid_id partition pruning"
+    ivfpq_compact(spark, idx)  # idempotent: no delta -> no-op
+    again = ivfpq_probe(spark, idx, emb, qvec, k=10, nprobe=8).collect()
+    assert [(r["vec_id"], r["score"]) for r in again] == [
+        (r["vec_id"], r["score"]) for r in after
+    ]

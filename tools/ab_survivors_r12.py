@@ -30,7 +30,22 @@ from appstore_aws_etl_spark.operators.labelprop import propagate_min_labels
 from appstore_aws_etl_spark.session import get_spark
 
 X1 = "/tmp/scalecheck_docs/x1"
-X100 = "/tmp/scalecheck_docs/x100"
+# the clique-dense tier AB_SURVIVORS_CAP_r11 graded: the 100x BENCH
+# fixture (500k docs, every doc a 100-clique of per-copy-suffixed
+# near-dups) — NOT scalecheck_docs/x100 (the adversarial shared-base
+# tier, where hot membership is the whole corpus by construction)
+X100 = "/tmp/bench10x/x100"
+
+# first r12 experiment, recorded before the mechanism pivot: fresh
+# independent-permutation re-banding of hot members recovered only
+# x1_rows 3380 -> 3348 (~7% of the 436-doc gap to cap-1000) and read
+# 336.8 s on the adversarial shared-base tier — mega-buckets re-form
+# under ANY seed because members genuinely share most shingles. The
+# shipped mechanism is sorted-neighborhood chaining instead.
+SEED_PASS_DEAD_END = {
+    "cap64": {"x1_rows": 3380, "x1_s": 10.7, "adversarial_x100_rows": 2371, "adversarial_x100_s": 117.3},
+    "cap64_fresh_seed": {"x1_rows": 3348, "x1_s": 13.0, "adversarial_x100_rows": 2320, "adversarial_x100_s": 336.8},
+}
 
 
 def survivors(spark, sf_dir, second_chance: bool):
@@ -87,6 +102,7 @@ def main() -> None:
             "cap_64": {"x1_rows": 3380, "x100_rows": 3587, "x100_s": 54.5},
             "cap_1000": {"x1_rows": 2944, "x100_rows": 2938, "x100_s": 453.5},
         },
+        "fresh_seed_dead_end": SEED_PASS_DEAD_END,
         "results": res,
     }
     with open(out_path, "w") as fh:
