@@ -1255,7 +1255,16 @@ def analytics_dau_wau(spark: SparkSession, sf_dir: str) -> DataFrame:
     (interval union already dedups coverage). The final running sum is
     a single-partition window at DAY grain — bounded (~365 rows/year
     at any corpus size; a 10-year 100 TB event store is ~3.7k rows),
-    the same bounded-spine argument as the old broadcast."""
+    the same bounded-spine argument as the old broadcast.
+
+    Round-12 re-adjudication (AB_READJUD_r12): 2.84 s vs DuckDB 1.14 =
+    2.49x same-box. The obvious single-exchange re-plan was probed and
+    LOST (repartition(user_id) before the distinct reads 3.4-5.1 s vs
+    3.0-3.3 s): the current shape's first exchange runs on PARTIALLY
+    DEDUPED data (map-side distinct combine), while pre-partitioning
+    ships the raw event stream — the two cheap exchanges on reduced
+    data beat one full-size exchange. Residual is the dual-aggregation
+    exchange floor (distinct + window) over the activity stream."""
     ev = load(spark, sf_dir, "events")
     daily = ev.select(
         F.date_trunc("day", F.col("ts")).alias("day"), "user_id"
@@ -2237,27 +2246,31 @@ def ts_seasonal_baseline(spark: SparkSession, sf_dir: str) -> DataFrame:
     residual — the de-seasoning step before thresholding residuals
     (ts_anomaly_zscore scores raw values; scoring residuals is what
     catches a 3 a.m. spike that is normal at 3 p.m.). The baseline is
-    one grouped mean over a bounded key (|users| x 24) joined back.
-    The join-back is shuffle_hash-hinted: the profile grows with
-    |users|, so past the broadcast threshold an unhinted plan falls to
-    sort-merge and SORTS the whole fact side — measured 11.8 s vs
-    1.9 s at 100x events (SCALECHECK_r06) — while a shuffled hash join
-    builds on the small per-partition profile slice and streams the
-    fact with no sort at any scale. The 4-dp round pins the baseline
-    before the subtraction so the residual is engine-exact."""
+    one grouped mean over a bounded key (|users| x 24) attached back
+    at event grain. Round 12 (AB_READJUD_r12 + probe): the attach is a
+    WINDOW aggregate (avg over partition by (user_id, hr)) instead of
+    the r6 groupBy + shuffle_hash join-back — the grouped mean and the
+    join-back both needed the fact clustered on the same key, so the
+    window collapses them into ONE exchange and no join at all;
+    forced-evaluation A/B at 100x events: 2.6-2.8 s (agg + SHJ) ->
+    1.9-2.2 s (window). The window's in-partition sort replaces the
+    join build, and the r6 warning still stands one level up: an
+    UNHINTED join-back plan sort-merge-sorted the whole fact side
+    (11.8 s at 100x, SCALECHECK_r06) — the window shape cannot regress
+    that way because there is no join left. The 4-dp round pins the
+    baseline before the subtraction so the residual is engine-exact."""
     ev = load(spark, sf_dir, "events")
     base = ev.select(
         "event_id", "user_id", "ts", "value", F.hour("ts").cast("long").alias("hr")
     )
-    season = base.groupBy("user_id", "hr").agg(
-        F.round(F.avg("value"), 4).alias("seasonal")
-    )
-    return base.join(season.hint("shuffle_hash"), ["user_id", "hr"]).select(
+    w = Window.partitionBy("user_id", "hr")
+    seasonal = F.round(F.avg("value").over(w), 4)
+    return base.select(
         "event_id",
         "user_id",
         "hr",
-        "seasonal",
-        F.round(F.col("value") - F.col("seasonal"), 4).alias("residual"),
+        seasonal.alias("seasonal"),
+        F.round(F.col("value") - seasonal, 4).alias("residual"),
     )
 
 
@@ -2502,7 +2515,17 @@ def join_role_playing_dates(spark: SparkSession, sf_dir: str) -> DataFrame:
     (key, timestamp) and the dates never cross the wire. Same rows —
     the calendar covers the full date domain, and an inner calendar
     join commutes with the orderkey join. Interleaved 100x A/B:
-    AB_100X_r10.json (pre-exchange) vs the r9 post-exchange reading."""
+    AB_100X_r10.json (pre-exchange) vs the r9 post-exchange reading.
+
+    Round-12 re-adjudication (AB_READJUD_r12, same-box interleaved
+    Spark-vs-DuckDB): 10.7 s vs 4.9 s = 2.17x (the r11 14.4 s / 2.83x
+    reading was part box). The SHJ alternative was re-probed at 100x
+    and read flat-within-noise (9.1-13.1 s both ways), consistent with
+    the 10x A/B above. Residual is the ROLE_PLAY_FACT_FACT constant
+    (BASELINE.md): one 60M-vs-15M orderkey exchange + a 60M-row join
+    output, against a single-process hash join with no exchange at
+    all; both calendar roles already resolve map-side and only one
+    fact-fact exchange exists to remove."""
     li = load(spark, sf_dir, "lineitem").select(
         "l_orderkey", "l_linenumber", "l_shipdate"
     )
