@@ -2214,3 +2214,161 @@ def llm_dedup_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("dup_marker").isNotNull().alias("dup_of_corpus"),
         )
     )
+
+
+# --------------------------------------------------------------------------
+# Retrieval scoring / tokenizer-training primitives (round 12)
+# --------------------------------------------------------------------------
+
+
+@query(
+    "llm_bm25_score",
+    oracle="""
+    WITH toks AS (
+        SELECT doc_id, unnest(string_split(lower(text), ' ')) AS token
+        FROM documents
+    ), dl AS (
+        SELECT doc_id, count(*) AS dl FROM toks GROUP BY doc_id
+    ), stats AS (
+        SELECT count(*) AS n_docs, avg(dl) AS avgdl FROM dl
+    ), tf AS (
+        SELECT doc_id, token AS term, count(*) AS tf
+        FROM toks WHERE token IN ('spark', 'join', 'window', 'hash')
+        GROUP BY doc_id, token
+    ), df AS (
+        SELECT term, count(DISTINCT doc_id) AS df FROM tf GROUP BY term
+    )
+    SELECT tf.doc_id,
+           round(sum(
+               ln((stats.n_docs - df.df + 0.5) / (df.df + 0.5) + 1.0)
+               * tf.tf * 2.2
+               / (tf.tf + 1.2 * (0.25 + 0.75 * dl.dl / stats.avgdl))
+           ), 4) + 0 AS bm25
+    FROM tf JOIN df USING (term) JOIN dl USING (doc_id) CROSS JOIN stats
+    GROUP BY tf.doc_id
+    ORDER BY bm25 DESC, tf.doc_id
+    LIMIT 20
+    """,
+    tags=("llm", "text"),
+)
+def llm_bm25_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BM25 retrieval scoring (Robertson k1=1.2, b=0.75) of every
+    document against a fixed query-term set — the lexical-retrieval
+    primitive a training pipeline uses for quality-targeted sampling
+    and eval-set mining.
+
+    Scale shape: ONE corpus exchange total. The exploded token stream
+    aggregates once per doc_id carrying dl AND the per-query-term
+    conditional tf counts in the same aggregate (the term list is a
+    fixed literal, so tf-per-term is a handful of map-side-combinable
+    conditional sums, never a (doc, term) shuffle over the whole
+    vocabulary). The per-(doc, term) relation is then unpivoted from
+    that per-doc frame; df (<= |terms| rows) and the (N, avgdl) scalar
+    broadcast back. Everything downstream of the one aggregate is
+    broadcast-joined, and the top-20 is TakeOrderedAndProject."""
+    docs = load(spark, sf_dir, "documents")
+    terms = ["spark", "join", "window", "hash"]
+    toks = docs.select(
+        "doc_id", F.explode(F.split(F.lower(F.col("text")), " ")).alias("token")
+    )
+    per_doc = toks.groupBy("doc_id").agg(
+        F.count(F.lit(1)).alias("dl"),
+        *[
+            F.sum(F.when(F.col("token") == t, 1).otherwise(0)).alias(f"tf_{i}")
+            for i, t in enumerate(terms)
+        ],
+    )
+    stats = per_doc.agg(
+        F.count(F.lit(1)).alias("n_docs"), F.avg("dl").alias("avgdl")
+    )
+    stack_args = ", ".join(f"'{t}', tf_{i}" for i, t in enumerate(terms))
+    tfl = per_doc.selectExpr(
+        "doc_id", "dl", f"stack({len(terms)}, {stack_args}) AS (term, tf)"
+    ).filter(F.col("tf") > 0)
+    df_ = tfl.groupBy("term").agg(F.count(F.lit(1)).alias("df"))
+    idf = F.log(
+        (F.col("n_docs") - F.col("df") + 0.5) / (F.col("df") + 0.5) + 1.0
+    )
+    return (
+        # bounded: df_ has <= |terms| (4) rows; stats is a 1-row aggregate
+        tfl.join(F.broadcast(df_), "term")
+        .crossJoin(F.broadcast(stats))
+        .groupBy("doc_id")
+        .agg(
+            (
+                F.round(
+                    F.sum(
+                        idf
+                        * F.col("tf")
+                        * 2.2
+                        / (
+                            F.col("tf")
+                            + 1.2 * (0.25 + 0.75 * F.col("dl") / F.col("avgdl"))
+                        )
+                    ),
+                    4,
+                )
+                + F.lit(0.0)
+            ).alias("bm25")
+        )
+        .orderBy(F.col("bm25").desc(), "doc_id")
+        .limit(20)
+    )
+
+
+@query(
+    "llm_bpe_pair_merge",
+    oracle="""
+    WITH vocab AS (
+        SELECT token, count(*) AS freq
+        FROM (SELECT unnest(string_split(lower(text), ' ')) AS token
+              FROM documents)
+        WHERE token <> '' GROUP BY token
+    ), pairs AS (
+        SELECT substr(token, CAST(i AS INT), 2) AS pair, freq
+        FROM vocab, unnest(range(1, len(token))) AS t(i)
+    )
+    SELECT pair, CAST(sum(freq) AS BIGINT) AS n
+    FROM pairs GROUP BY pair ORDER BY n DESC, pair LIMIT 20
+    """,
+    tags=("llm", "text"),
+)
+def llm_bpe_pair_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The first byte-pair-encoding merge step: corpus-weighted
+    adjacent-symbol pair frequencies over the word vocabulary, top
+    candidates first — the inner loop of tokenizer training, run at
+    corpus scale.
+
+    Scale shape: the corpus collapses to its VOCABULARY before any
+    per-character work (one token exchange with map-side partials;
+    vocabulary growth is Heaps-law sublinear), then pair enumeration
+    is transform(sequence(...)) over vocab-sized input — JVM
+    whole-stage codegen, no Python — and the pair aggregate's key
+    space is bounded by the alphabet squared, so the final exchange
+    is KBs at any corpus size. An iterated BPE trainer would loop
+    this key's plan with the learned merge applied; one step is the
+    registered, oracle-checked unit."""
+    docs = load(spark, sf_dir, "documents")
+    vocab = (
+        docs.select(
+            F.explode(F.split(F.lower(F.col("text")), " ")).alias("token")
+        )
+        .filter(F.col("token") != "")
+        .groupBy("token")
+        .agg(F.count(F.lit(1)).alias("freq"))
+    )
+    pairs = vocab.filter(F.length("token") >= 2).select(
+        F.explode(
+            F.expr(
+                "transform(sequence(1, length(token) - 1),"
+                " i -> substring(token, i, 2))"
+            )
+        ).alias("pair"),
+        "freq",
+    )
+    return (
+        pairs.groupBy("pair")
+        .agg(F.sum("freq").cast("long").alias("n"))
+        .orderBy(F.col("n").desc(), "pair")
+        .limit(20)
+    )

@@ -1001,3 +1001,42 @@ def test_ivfpq_compact_folds_delta_into_base(spark, sf_dir, tmp_path):
     assert [(r["vec_id"], r["score"]) for r in again] == [
         (r["vec_id"], r["score"]) for r in after
     ]
+
+
+def test_bm25_ranks_term_dense_doc_first(spark, tmp_path):
+    import appstore_aws_etl_spark.queries  # noqa: F401 — populates REGISTRY
+    from appstore_aws_etl_spark.registry import REGISTRY
+
+    # hand-planted corpus: doc 1 saturates the query terms, doc 2 has a
+    # single hit diluted by length, doc 3 has none (must be absent)
+    docs = spark.createDataFrame(
+        [
+            Row(doc_id=1, text="spark join window hash spark join"),
+            Row(doc_id=2, text="spark " + " ".join(["filler"] * 40)),
+            Row(doc_id=3, text="no query terms here at all"),
+        ]
+    )
+    docs.write.parquet(f"{tmp_path}/documents.parquet")
+    rows = REGISTRY["llm_bm25_score"].fn(spark, str(tmp_path)).collect()
+    by_id = {r["doc_id"]: r["bm25"] for r in rows}
+    assert set(by_id) == {1, 2}
+    assert by_id[1] > by_id[2] > 0
+    # output arrives ranked (score desc)
+    assert [r["doc_id"] for r in rows] == [1, 2]
+
+
+def test_bpe_pair_merge_counts_weighted_pairs(spark, tmp_path):
+    import appstore_aws_etl_spark.queries  # noqa: F401 — populates REGISTRY
+    from appstore_aws_etl_spark.registry import REGISTRY
+
+    # vocab: 'aa' freq 2, 'ab' freq 1, 'a' freq 1 (no pair)
+    docs = spark.createDataFrame(
+        [Row(doc_id=1, text="aa ab aa"), Row(doc_id=2, text="a")]
+    )
+    docs.write.parquet(f"{tmp_path}/documents.parquet")
+    rows = REGISTRY["llm_bpe_pair_merge"].fn(spark, str(tmp_path)).collect()
+    got = {r["pair"]: r["n"] for r in rows}
+    # 'aa' contributes its one internal pair x freq 2; 'ab' x freq 1
+    assert got == {"aa": 2, "ab": 1}
+    # ordered by weighted count desc
+    assert [r["pair"] for r in rows] == ["aa", "ab"]
