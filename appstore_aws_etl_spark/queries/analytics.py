@@ -415,16 +415,23 @@ def tpch_q10(spark: SparkSession, sf_dir: str) -> DataFrame:
     per-task hash map stays bounded under partition discipline while
     the 20M returned lines skip the sort-merge's sort entirely. The
     order projection also drops o_orderdate before the exchange (the
-    filter consumed it). Interleaved at the 100x tier: 4.94 s (SMJ
-    shape) -> ~3.3 s. The custkey grouping needs no extra exchange:
-    the customer join's partitioning (c_custkey) is a subset of the
-    group key, which Spark's EnsureRequirements accepts. Runtime bloom
-    push-down of the order keys into the lineitem scan was measured
-    and REVERTED: locally the per-row probe costs more than the saved
-    in-memory exchange (3.0-3.6 s -> 4.7-5.0 s); on a network-shuffle
-    cluster the trade reverses, which is why the conf stays a session
-    knob rather than a plan change."""
-    c = load(spark, sf_dir, "customer")
+    filter consumed it). Runtime bloom push-down of the order keys
+    into the lineitem scan was measured and REVERTED: locally the
+    per-row probe costs more than the saved in-memory exchange
+    (3.0-3.6 s -> 4.7-5.0 s); on a network-shuffle cluster the trade
+    reverses, which is why the conf stays a session knob rather than
+    a plan change.
+
+    Round 12 second pass (AB_R12B_100X): TOP-K BEFORE THE CUSTOMER
+    JOIN. Revenue per customer is complete at the o_custkey aggregate
+    (c_name/n_name are functionally dependent on the key) and the
+    ORDER BY keys (revenue DESC, custkey) all exist there, so the
+    LIMIT 20 commutes below the join — the old shape sort-merged the
+    FULL customer table on c_custkey just to decorate 20 survivors.
+    Now the per-customer aggregate takes top-20 via
+    TakeOrderedAndProject (no exchange) and those 20 rows broadcast
+    into the customer scan. Interleaved 5-run medians at 100x:
+    5.28 -> 3.91 s."""
     o = (
         load(spark, sf_dir, "orders")
         .filter(
@@ -434,17 +441,22 @@ def tpch_q10(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("o_orderkey", "o_custkey")
     )
     li = load(spark, sf_dir, "lineitem").filter(F.col("l_returnflag") == "R")
+    top = (
+        li.join(o.hint("shuffle_hash"), li.l_orderkey == o.o_orderkey)
+        .groupBy("o_custkey")
+        .agg(F.round(F.sum(_net()), 2).alias("revenue"))
+        .orderBy(F.col("revenue").desc(), "o_custkey")
+        .limit(20)
+    )
+    c = load(spark, sf_dir, "customer").select("c_custkey", "c_name", "c_nationkey")
     n = load(spark, sf_dir, "nation")
     return (
-        li.join(o.hint("shuffle_hash"), li.l_orderkey == o.o_orderkey)
-        .join(c, o.o_custkey == c.c_custkey)
+        # bounded: top is LIMIT 20
+        c.join(F.broadcast(top), c.c_custkey == F.col("o_custkey"))
         # bounded: nation <= 25 rows
         .join(F.broadcast(n), c.c_nationkey == n.n_nationkey)
-        .groupBy("c_custkey", "c_name", "n_name")
-        .agg(F.round(F.sum(_net()), 2).alias("revenue"))
         .select("c_custkey", "c_name", "revenue", "n_name")
         .orderBy(F.col("revenue").desc(), "c_custkey")
-        .limit(20)
     )
 
 

@@ -251,7 +251,17 @@ def tpch_q12(spark: SparkSession, sf_dir: str) -> DataFrame:
     the +60d lateness cutoff is folded into the projected timestamp —
     Catalyst keeps post-join expressions post-join, so without the
     explicit projection the exchange carries the raw string (100×
-    interleaved A/B at shuffle=64: 5.9 → 5.4 s, identical output)."""
+    interleaved A/B at shuffle=64: 5.9 → 5.4 s, identical output).
+
+    Round 12 second pass (AB_R12B_100X): the orderkey join runs
+    shuffled-hash with the thin (key, ts, bool) order projection as
+    the build side — the 60M lines skip the SMJ sort, same as the
+    rest of the orders x lineitem family got in r12. Interleaved
+    5-run medians at 100x: 7.54 -> 6.16 s. The per-orderkey
+    collect_list pre-aggregation (the q3/q4 trick adapted to carry
+    the shipdate multiset) was built, measured, and LOST (12.5 s
+    median): unlike q3's one-double revenue, the array buffers cost
+    more than the key-repetition they remove."""
     o = load(spark, sf_dir, "orders").select(
         "o_orderkey",
         (F.col("o_orderdate") + F.expr("INTERVAL 60 DAYS")).alias("late_after"),
@@ -259,7 +269,7 @@ def tpch_q12(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     li = load(spark, sf_dir, "lineitem").select("l_orderkey", "l_shipdate")
     return (
-        li.join(o, li.l_orderkey == o.o_orderkey)
+        li.join(o.hint("shuffle_hash"), li.l_orderkey == o.o_orderkey)
         .withColumn(
             "ship_bucket",
             F.when(F.col("l_shipdate") > F.col("late_after"), "late").otherwise(
