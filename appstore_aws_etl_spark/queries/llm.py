@@ -2372,3 +2372,88 @@ def llm_bpe_pair_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.col("n").desc(), "pair")
         .limit(20)
     )
+
+
+@query(
+    "llm_bpe_apply_merge",
+    oracle="""
+    WITH vocab AS (
+        SELECT token, count(*) AS freq
+        FROM (SELECT unnest(string_split(lower(text), ' ')) AS token
+              FROM documents)
+        WHERE token <> '' GROUP BY token
+    ), pc AS (
+        SELECT substr(token, CAST(i AS INT), 2) AS pair, sum(freq) AS n
+        FROM vocab, unnest(range(1, len(token))) AS t(i)
+        GROUP BY pair
+    ), top1 AS (
+        SELECT pair FROM pc ORDER BY n DESC, pair LIMIT 1
+    )
+    SELECT top1.pair AS merged_pair,
+           CAST(sum(freq * (len(token) - len(replace(token, top1.pair, 'X'))))
+                AS BIGINT) AS n_merges,
+           CAST(sum(freq * len(token)) AS BIGINT) AS symbols_before,
+           CAST(sum(freq * len(replace(token, top1.pair, 'X'))) AS BIGINT)
+               AS symbols_after
+    FROM vocab CROSS JOIN top1
+    GROUP BY top1.pair
+    """,
+    tags=("llm", "text"),
+)
+def llm_bpe_apply_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The second half of a BPE training step: APPLY the winning merge
+    from llm_bpe_pair_merge back to the vocabulary and report the
+    corpus compression it buys (merge count, symbols before/after) —
+    the accept/measure loop of tokenizer training.
+
+    A single character-level merge is exactly non-overlapping
+    left-to-right pair replacement, so the application is JVM
+    replace()/length() algebra — no Python, no per-symbol explode.
+    Scale shape: same Heaps-law vocabulary aggregate as the pair-count
+    key, the winning pair stays in-plan as a 1-row broadcast (never a
+    driver collect), and the report is a global aggregate over
+    vocab-sized input. An iterated trainer would loop exactly this
+    plan with the merged symbol re-entering the alphabet; the
+    full-corpus tokenization applies the learned table to DISTINCT
+    words once and broadcast-joins the result back to the corpus."""
+    docs = load(spark, sf_dir, "documents")
+    vocab = (
+        docs.select(
+            F.explode(F.split(F.lower(F.col("text")), " ")).alias("token")
+        )
+        .filter(F.col("token") != "")
+        .groupBy("token")
+        .agg(F.count(F.lit(1)).alias("freq"))
+    )
+    top1 = (
+        vocab.filter(F.length("token") >= 2)
+        .select(
+            F.explode(
+                F.expr(
+                    "transform(sequence(1, length(token) - 1),"
+                    " i -> substring(token, i, 2))"
+                )
+            ).alias("pair"),
+            "freq",
+        )
+        .groupBy("pair")
+        .agg(F.sum("freq").alias("n"))
+        .orderBy(F.col("n").desc(), "pair")
+        .limit(1)
+        .select("pair")
+    )
+    after_len = F.length(F.replace(F.col("token"), F.col("pair"), F.lit("X")))
+    return (
+        # bounded: top1 is LIMIT 1
+        vocab.crossJoin(F.broadcast(top1))
+        .groupBy(F.col("pair").alias("merged_pair"))
+        .agg(
+            F.sum(F.col("freq") * (F.length("token") - after_len))
+            .cast("long")
+            .alias("n_merges"),
+            F.sum(F.col("freq") * F.length("token"))
+            .cast("long")
+            .alias("symbols_before"),
+            F.sum(F.col("freq") * after_len).cast("long").alias("symbols_after"),
+        )
+    )

@@ -1040,3 +1040,24 @@ def test_bpe_pair_merge_counts_weighted_pairs(spark, tmp_path):
     assert got == {"aa": 2, "ab": 1}
     # ordered by weighted count desc
     assert [r["pair"] for r in rows] == ["aa", "ab"]
+
+
+def test_bpe_apply_merge_reports_exact_compression(spark, tmp_path):
+    import appstore_aws_etl_spark.queries  # noqa: F401 — populates REGISTRY
+    from appstore_aws_etl_spark.registry import REGISTRY
+
+    # winning pair is 'aa' (freq-weighted count 4: 'aaa' has two
+    # non-overlap... no — replace is non-overlapping: 'aaa' yields ONE
+    # merge; counts below are hand-walked on replace() semantics)
+    docs = spark.createDataFrame(
+        [Row(doc_id=1, text="aaa aaa ab"), Row(doc_id=2, text="aa")]
+    )
+    docs.write.parquet(f"{tmp_path}/documents.parquet")
+    [r] = REGISTRY["llm_bpe_apply_merge"].fn(spark, str(tmp_path)).collect()
+    # vocab: aaa x2 (pairs aa,aa), ab x1, aa x1 -> 'aa' wins (n=5 > ab 1)
+    assert r["merged_pair"] == "aa"
+    # merges: aaa -> one non-overlapping 'aa' each (x2), aa -> one (x1)
+    assert r["n_merges"] == 3
+    # symbols: before = 2*3 + 2 + 2 = 10; each merge removes one symbol
+    assert r["symbols_before"] == 10
+    assert r["symbols_after"] == 7
