@@ -37,6 +37,8 @@ NESTED_LOOP_OK = {
     "llm_unigram_logprob",         # crossJoin(broadcast(total)) — 1-row corpus stat
     "tpch_q11_important_stock",    # crossJoin(broadcast(thresh)) — 1-row scalar
     "graph_triangle_count",        # crossJoin(broadcast(edge/node counts)) — 1-row scalars
+    "llm_bm25_score",              # crossJoin(broadcast(N, avgdl)) — 1-row corpus stat
+    "llm_bpe_apply_merge",         # crossJoin(broadcast(top1 pair)) — 1-row winner
 }
 ROW_UDF_OK = {"udf_scalar"}
 # construction triggers Spark jobs (model fitting / parameter fetch);
