@@ -174,3 +174,27 @@ def test_rank_selection_quantiles_avoid_global_sort(spark, sf_dir):
         agg_lines = [i for i, ln in enumerate(tree) if "HashAggregate" in ln]
         for s in sort_lines:
             assert any(a > s for a in agg_lines), f"{key}: raw-row Sort at tree line {s}"
+
+
+def test_tpch_q10_topk_below_customer_join(spark, sf_dir):
+    """Round-12 re-plan pin: revenue per customer completes at the
+    o_custkey aggregate, so the LIMIT 20 must run as
+    TakeOrderedAndProject on that aggregate and the 20 survivors
+    broadcast into the customer scan — never a full-customer
+    c_custkey sort-merge exchange just to decorate 20 rows."""
+    plan = formatted_plan(REGISTRY["tpch_q10_returned_items"].fn(spark, sf_dir))
+    assert "TakeOrderedAndProject" in plan
+    # the customer decoration join is broadcast, not sort-merge
+    assert "SortMergeJoin" not in plan
+    # the orderkey join stays shuffled-hash (hinted)
+    assert "ShuffledHashJoin" in plan
+
+
+def test_bpe_keys_stay_jvm_side(spark, sf_dir):
+    """The tokenizer-training keys never leave the JVM: pair
+    enumeration is transform(sequence(...)), merge application is
+    replace()/length() algebra — no Python evaluation anywhere."""
+    for key in ("llm_bpe_pair_merge", "llm_bpe_apply_merge", "llm_bm25_score"):
+        plan = formatted_plan(REGISTRY[key].fn(spark, sf_dir))
+        assert "ArrowEvalPython" not in plan, key
+        assert "BatchEvalPython" not in plan, key
