@@ -431,7 +431,13 @@ def tpch_q10(spark: SparkSession, sf_dir: str) -> DataFrame:
     Now the per-customer aggregate takes top-20 via
     TakeOrderedAndProject (no exchange) and those 20 rows broadcast
     into the customer scan. Interleaved 5-run medians at 100x:
-    5.28 -> 3.91 s."""
+    5.28 -> 3.91 s. The commute assumes orders.o_custkey ⊆
+    customer.c_custkey (the TPC-H FK): under a violation the oracle's
+    post-join LIMIT would backfill the freed slot while the pre-join
+    top-k would not — on FK-clean data the results are identical, and
+    the per-orderkey revenue pre-aggregation variant (which would
+    dodge the assumption) measured SLOWER (AB_R12D_100X: 3.51 vs
+    3.25 s)."""
     o = (
         load(spark, sf_dir, "orders")
         .filter(
