@@ -1015,7 +1015,12 @@ def tpch_q13(spark: SparkSession, sf_dir: str) -> DataFrame:
     customer grain with COALESCE(cnt, 0) restoring order-less
     customers. Equivalent to counting after a left join because
     o_orderkey is never null in matched rows; the join's right side
-    shrinks from every order row to one row per ordering customer."""
+    shrinks from every order row to one row per ordering customer.
+    A shuffle_hash hint on the count build side was probed at the
+    100x tier and is a WASH (AB_R12D_100X: 1.27 vs 1.32 s — the SMJ
+    sort it avoids runs over a single-long-column relation), so the
+    unhinted shape ships; the residual vs DuckDB is the two-exchange
+    floor of any Spark plan against a single-process radix join."""
     c = load(spark, sf_dir, "customer").select("c_custkey")
     counts = (
         load(spark, sf_dir, "orders")
