@@ -130,3 +130,32 @@ def scan_csv_malformed(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.when(F.col("n_nationkey").isNotNull(), 1)).alias("n_good"),
         F.count(F.when(F.col("n_nationkey").isNull(), 1)).alias("n_corrupt"),
     )
+
+
+@query(
+    "scan_xml",
+    oracle="SELECT n_nationkey, n_name, n_regionkey FROM nation",
+    tags=("scan",),
+)
+def scan_xml(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """XML ingest round-trip (the remaining third-party export format
+    warehouses still receive — feeds, invoices, legacy B2B payloads),
+    via Spark 4's NATIVE XML source (built-in since 4.0; no external
+    package): explicit rowTag on both sides, explicit schema on read —
+    the same no-inference production contract as the CSV/JSON scans.
+    Oracled against the original parquet, proving losslessness."""
+    path = os.path.join(CACHE_DIR, "scan_xml", os.path.basename(sf_dir.rstrip("/")))
+    (
+        load(spark, sf_dir, "nation")
+        .coalesce(1)
+        .write.mode("overwrite")
+        .option("rootTag", "nations")
+        .option("rowTag", "nation")
+        .xml(path)
+    )
+    return (
+        spark.read.schema(schemas.NATION)
+        .option("rowTag", "nation")
+        .xml(path)
+        .select("n_nationkey", "n_name", "n_regionkey")
+    )
