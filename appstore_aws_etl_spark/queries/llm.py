@@ -2461,3 +2461,91 @@ def llm_bpe_apply_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum(F.col("freq") * after_len).cast("long").alias("symbols_after"),
         )
     )
+
+
+@query(
+    "llm_bpe_train",
+    oracle=None,
+    tags=("llm", "text", "iterative", "custom-operator"),
+)
+def llm_bpe_train(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Full byte-pair-encoding training loop: 6 greedy merge rounds
+    over the corpus vocabulary, returning the learned merge table
+    (step, pair, merged, weighted count) — the artifact a tokenizer
+    ships. Rows-only by design, exactly like graph_kcore: each round's
+    winner is an aggregate over the PREVIOUS round's merged state,
+    which recursive SQL cannot express (GROUP BY inside the
+    recursion); correctness is property-tested against a sequential
+    reference BPE (tests/test_llm.py::test_bpe_train_matches_sequential_reference).
+
+    Scale shape: the corpus is exchanged ONCE (the initial token
+    aggregate); every round after that is vocabulary-sized — pair
+    counts via zip_with over the symbol arrays, the winner via a
+    1-row parameter-only collect (the same bounded pattern as the
+    kNN query vectors), and the merge applied as a JVM
+    F.aggregate left fold (greedy leftmost non-overlapping, the BPE
+    contract). Lineage is cut per round with a lazy localCheckpoint
+    (the winner collect materializes it), so round k never replays
+    rounds 1..k-1 — the labelprop/kcore loop discipline."""
+    from ..ckpt import CHECKPOINT_LEVEL
+
+    docs = load(spark, sf_dir, "documents")
+    vocab = (
+        docs.select(
+            F.explode(F.split(F.lower(F.col("text")), " ")).alias("token")
+        )
+        .filter(F.col("token") != "")
+        .groupBy("token")
+        .agg(F.count(F.lit(1)).alias("freq"))
+        .select(
+            F.expr(
+                "transform(sequence(1, length(token)), i -> substring(token, i, 1))"
+            ).alias("symbols"),
+            "freq",
+        )
+    ).localCheckpoint(eager=False, storageLevel=CHECKPOINT_LEVEL)
+    merges = []
+    for step in range(1, 7):
+        pairs = vocab.select(
+            F.explode(
+                F.zip_with(
+                    F.expr("slice(symbols, 1, size(symbols) - 1)"),
+                    F.expr("slice(symbols, 2, size(symbols) - 1)"),
+                    lambda a, b: F.struct(a.alias("a"), b.alias("b")),
+                )
+            ).alias("p"),
+            "freq",
+        )
+        top = (
+            pairs.groupBy("p.a", "p.b")
+            .agg(F.sum("freq").alias("n"))
+            .orderBy(F.col("n").desc(), "a", "b")
+            .limit(1)
+            .collect()  # parameter-only: exactly one row per round
+        )
+        if not top:
+            break
+        a, b, n = top[0]["a"], top[0]["b"], top[0]["n"]
+        merged = a + b
+        merges.append((step, a, b, merged, int(n)))
+        la, lb, lm = F.lit(a), F.lit(b), F.lit(merged)
+        vocab = vocab.select(
+            F.aggregate(
+                "symbols",
+                F.expr("CAST(array() AS array<string>)"),
+                # greedy leftmost fold: merge x into the accumulator's
+                # tail iff (tail, x) == the winning pair
+                lambda acc, x: F.when(
+                    (F.size(acc) > 0)
+                    & (F.element_at(acc, -1) == la)
+                    & (x == lb),
+                    F.concat(
+                        F.slice(acc, 1, F.size(acc) - 1), F.array(lm)
+                    ),
+                ).otherwise(F.concat(acc, F.array(x))),
+            ).alias("symbols"),
+            "freq",
+        ).localCheckpoint(eager=False, storageLevel=CHECKPOINT_LEVEL)
+    return spark.createDataFrame(
+        merges, "step int, pair_a string, pair_b string, merged string, n long"
+    ).orderBy("step")

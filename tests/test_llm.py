@@ -1061,3 +1061,52 @@ def test_bpe_apply_merge_reports_exact_compression(spark, tmp_path):
     # symbols: before = 2*3 + 2 + 2 = 10; each merge removes one symbol
     assert r["symbols_before"] == 10
     assert r["symbols_after"] == 7
+
+
+def test_bpe_train_matches_sequential_reference(spark, tmp_path):
+    import collections
+
+    import appstore_aws_etl_spark.queries  # noqa: F401 — populates REGISTRY
+    from appstore_aws_etl_spark.registry import REGISTRY
+
+    texts = [
+        "banana bandana ban",
+        "banana banana cabana",
+        "abracadabra banana",
+    ]
+    docs = spark.createDataFrame(
+        [Row(doc_id=i, text=t) for i, t in enumerate(texts)]
+    )
+    docs.write.parquet(f"{tmp_path}/documents.parquet")
+    got = [
+        (r["step"], r["pair_a"], r["pair_b"], r["merged"], r["n"])
+        for r in REGISTRY["llm_bpe_train"].fn(spark, str(tmp_path)).collect()
+    ]
+
+    # sequential reference: textbook greedy BPE over the word vocab
+    vocab = collections.Counter(
+        w for t in texts for w in t.lower().split(" ") if w
+    )
+    state = {w: list(w) for w in vocab}
+    expect = []
+    for step in range(1, 7):
+        counts = collections.Counter()
+        for w, syms in state.items():
+            for i in range(len(syms) - 1):
+                counts[(syms[i], syms[i + 1])] += vocab[w]
+        if not counts:
+            break
+        # max count, ties broken by (a, b) ascending — the query's order
+        (a, b), n = min(counts.items(), key=lambda kv: (-kv[1], kv[0]))
+        expect.append((step, a, b, a + b, n))
+        for w, syms in state.items():
+            out, i = [], 0
+            while i < len(syms):
+                if i + 1 < len(syms) and syms[i] == a and syms[i + 1] == b:
+                    out.append(a + b)
+                    i += 2
+                else:
+                    out.append(syms[i])
+                    i += 1
+            state[w] = out
+    assert got == expect
