@@ -1038,6 +1038,12 @@ def build_ivfpq_index(
     # defense where this delete's visibility lags (r11 advice, medium)
     _fs_delete(spark, f"{index_path}/codes_delta")
     _fs_delete(spark, f"{index_path}/codes_delta_tmp")
+    # tombstones describe ids deleted from the PREVIOUS index build;
+    # the rebuilt index reflects the corpus it was handed (callers
+    # delete from the source of truth), so stale tombstones are
+    # cleared rather than silently suppressing re-ingested ids
+    _fs_delete(spark, f"{index_path}/tombstones")
+    _fs_delete(spark, f"{index_path}/tombstones_tmp")
 
 
 def ivfpq_refresh(
@@ -1139,9 +1145,28 @@ def ivfpq_compact(spark, index_path: str, id_col: str = "vec_id") -> None:
     arrival ids (a re-encoded vector supersedes its base row), write
     the union to a tmp relation partitionBy(centroid_id), and swap it
     in via FS rename before deleting the delta. Idempotent: with no
-    delta present, nothing changes."""
+    delta present, nothing changes.
+
+    Round-12 addition: compaction also applies any ``ivfpq_delete``
+    tombstones PHYSICALLY — tombstoned rows are dropped from the
+    rewritten base and the tombstone relation is cleared, so probes
+    stop paying the per-probe anti-join. With tombstones but no delta,
+    the rewrite still runs (deletion alone is a valid compaction)."""
     delta = _read_parquet_if_exists(spark, f"{index_path}/codes_delta")
-    if delta is None or "base_fp" not in delta.columns:
+    tombstones = _read_parquet_if_exists(spark, f"{index_path}/tombstones")
+    if delta is not None and "base_fp" not in delta.columns:
+        delta = None
+    if delta is None and tombstones is None:
+        return
+    if delta is None:
+        base = spark.read.parquet(f"{index_path}/codes")
+        merged = base.join(
+            tombstones.select(id_col), id_col, "left_anti"
+        )
+        tmp = f"{index_path}/codes_tmp"
+        merged.write.mode("overwrite").partitionBy("centroid_id").parquet(tmp)
+        _fs_replace(spark, tmp, f"{index_path}/codes")
+        _fs_delete(spark, f"{index_path}/tombstones")
         return
     cells = [
         (int(r["centroid_id"]), [float(x) for x in r["centroid"]])
@@ -1161,10 +1186,41 @@ def ivfpq_compact(spark, index_path: str, id_col: str = "vec_id") -> None:
         base[id_col] == F.col("__arr_id"),
         "left_anti",
     ).unionByName(fresh.select(*base.columns))
+    if tombstones is not None:
+        merged = merged.join(tombstones.select(id_col), id_col, "left_anti")
     tmp = f"{index_path}/codes_tmp"
     merged.write.mode("overwrite").partitionBy("centroid_id").parquet(tmp)
     _fs_replace(spark, tmp, f"{index_path}/codes")
     _fs_delete(spark, f"{index_path}/codes_delta")
+    if tombstones is not None:
+        _fs_delete(spark, f"{index_path}/tombstones")
+
+
+def ivfpq_delete(spark, index_path: str, ids: DataFrame, id_col: str = "vec_id") -> None:
+    """Deletion half of the deployed IVFADC maintenance cycle (round
+    12 — the right-to-be-forgotten path a served training-data index
+    must support): mark vector ids deleted WITHOUT rewriting the
+    encoded corpus. Deletes land as a tombstone relation; every probe
+    anti-joins it (base and delta alike) so a deleted vector can never
+    be returned, and the next ``ivfpq_compact`` applies the tombstones
+    physically and clears them — deletion is O(|deletes|) at delete
+    time, amortized into the scheduled rewrite like every other
+    maintenance op.
+
+    Successive delete batches ACCUMULATE (union + distinct via the
+    same tmp-swap discipline as the refresh delta); re-deleting the
+    same ids is idempotent. A retrain (``build_ivfpq_index``) clears
+    tombstones along with the delta: the rebuilt index reflects the
+    corpus it was given, so callers must remove deleted vectors from
+    the SOURCE corpus too — the index-level tombstone covers the
+    window between deletion and the next retrain/compaction."""
+    new_ts = ids.select(id_col).distinct()
+    existing = _read_parquet_if_exists(spark, f"{index_path}/tombstones")
+    if existing is not None:
+        new_ts = new_ts.unionByName(existing.select(id_col)).distinct()
+    tmp = f"{index_path}/tombstones_tmp"
+    new_ts.write.mode("overwrite").parquet(tmp)
+    _fs_replace(spark, tmp, f"{index_path}/tombstones")
 
 
 def ivfpq_probe(
@@ -1245,6 +1301,13 @@ def ivfpq_probe(
     codes = codes.filter(
         F.col("centroid_id").isin([int(c) for c in probe_ids])
     )
+    # honor ivfpq_delete tombstones: a deleted id must never surface,
+    # whether it lives in the base or the refresh delta. The anti-join
+    # runs AFTER partition pruning (tiny probe-side relation) and
+    # disappears entirely once a compaction applies the tombstones.
+    tombstones = _read_parquet_if_exists(spark, f"{index_path}/tombstones")
+    if tombstones is not None:
+        codes = codes.join(tombstones.select(id_col), id_col, "left_anti")
     adc = F.aggregate(
         F.zip_with(F.col("pq_codes"), lut_case, lambda c, row: F.get(row, c)),
         F.lit(0.0),

@@ -463,6 +463,48 @@ def llm_knn_ivfpq_compact(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@query("llm_knn_ivfpq_delete", oracle=None, tags=("llm", "similarity", "approx"))
+def llm_knn_ivfpq_delete(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deployed-index MAINTENANCE: deletion (round 12 — the fifth leg
+    of the served-ANN lifecycle: build, probe, refresh, compact,
+    DELETE). A served training-data index must honor removal requests
+    (right-to-be-forgotten, licensing takedowns) without rewriting the
+    encoded corpus: ``ivfpq_delete`` lands the ids as an accumulating
+    tombstone relation, every probe anti-joins it after partition
+    pruning (a deleted vector can never surface from base OR delta),
+    and the next ``ivfpq_compact`` applies the tombstones physically
+    and clears them. This key builds its own index copy, deletes the
+    query vector's own id plus two neighbors, then probes with that
+    vector's embedding — the exact match and the deleted neighbors
+    must be absent while the remaining top-k still returns (probed
+    semantics unit-tested, including post-compaction identity and
+    delete idempotence). Approx -> rows-only."""
+    import hashlib
+    import os
+
+    from ..llm.similarity import build_ivfpq_index, ivfpq_delete, ivfpq_probe
+    from .scans import CACHE_DIR
+
+    emb = load(spark, sf_dir, "embeddings")
+    qvec = emb.filter(F.col("vec_id") == 0).select("embedding").collect()[0][0]
+    params = "delete_c16_m8_k16_s42"
+    src = os.path.join(sf_dir, "embeddings.parquet")
+    stamp = str(os.path.getmtime(src)) if os.path.exists(src) else "0"
+    key = hashlib.md5(f"{os.path.abspath(sf_dir)}|{params}|{stamp}".encode()).hexdigest()[:16]
+    index_path = os.path.join(CACHE_DIR, "ivfpq_index", key)
+    if not os.path.exists(os.path.join(index_path, "codes", "_SUCCESS")):
+        build_ivfpq_index(
+            emb, index_path, n_cells=16, m=8, k_codes=16, coarse_iterations=2
+        )
+    # deleting the same ids every run keeps the cached index convergent
+    ivfpq_delete(spark, index_path, emb.filter(F.col("vec_id").isin(0, 7, 14)))
+    # returned AS-IS: the tombstone anti-join inside the probe is what
+    # excludes the deleted ids — filtering here would mask a bug
+    return ivfpq_probe(
+        spark, index_path, emb, qvec, k=10, nprobe=8, rerank_factor=5
+    )
+
+
 @query(
     "llm_sim_join",
     oracle="""

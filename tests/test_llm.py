@@ -1110,3 +1110,55 @@ def test_bpe_train_matches_sequential_reference(spark, tmp_path):
                     i += 1
             state[w] = out
     assert got == expect
+
+
+def test_ivfpq_delete_tombstones_and_compaction(spark, sf_dir, tmp_path):
+    """Deletion (round 12, the lifecycle's fifth leg): a deleted id —
+    base-resident or delta-resident — never surfaces from a probe;
+    re-deleting is idempotent and batches accumulate; compaction
+    applies tombstones physically (relation gone, probe results
+    unchanged); a retrain clears stale tombstones."""
+    import os as _os
+
+    from appstore_aws_etl_spark.llm.similarity import (
+        build_ivfpq_index,
+        ivfpq_compact,
+        ivfpq_delete,
+        ivfpq_probe,
+        ivfpq_refresh,
+    )
+
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    base = emb.filter(F.col("vec_id") % 7 != 0)
+    arrivals = emb.filter(F.col("vec_id") % 7 == 0)
+    idx = str(tmp_path / "ivfpq_idx")
+    build_ivfpq_index(base, idx, n_cells=16, m=8, k_codes=16)
+    ivfpq_refresh(spark, idx, arrivals)
+    # base-resident victim: its own embedding is the strongest probe
+    qvec1 = emb.filter(F.col("vec_id") == 1).select("embedding").collect()[0][0]
+    assert ivfpq_probe(spark, idx, emb, qvec1, k=5, nprobe=8).collect()[0]["vec_id"] == 1
+    ivfpq_delete(spark, idx, emb.filter(F.col("vec_id") == 1))
+    got = [r["vec_id"] for r in ivfpq_probe(spark, idx, emb, qvec1, k=5, nprobe=8).collect()]
+    assert 1 not in got and len(got) == 5
+    # delta-resident victim + batch accumulation (second delete keeps the first)
+    qvec7 = emb.filter(F.col("vec_id") == 7).select("embedding").collect()[0][0]
+    ivfpq_delete(spark, idx, emb.filter(F.col("vec_id") == 7))
+    got7 = [r["vec_id"] for r in ivfpq_probe(spark, idx, emb, qvec7, k=5, nprobe=8).collect()]
+    got1 = [r["vec_id"] for r in ivfpq_probe(spark, idx, emb, qvec1, k=5, nprobe=8).collect()]
+    assert 7 not in got7 and 1 not in got1
+    # idempotent re-delete
+    ivfpq_delete(spark, idx, emb.filter(F.col("vec_id") == 7))
+    assert [r["vec_id"] for r in ivfpq_probe(spark, idx, emb, qvec7, k=5, nprobe=8).collect()] == got7
+    # compaction applies tombstones physically and clears them
+    before = ivfpq_probe(spark, idx, emb, qvec7, k=10, nprobe=8).collect()
+    ivfpq_compact(spark, idx)
+    assert not _os.path.exists(f"{idx}/tombstones"), "compact left tombstones"
+    after = ivfpq_probe(spark, idx, emb, qvec7, k=10, nprobe=8).collect()
+    assert [(r["vec_id"], r["score"]) for r in after] == [
+        (r["vec_id"], r["score"]) for r in before
+    ], "applying tombstones changed probe results"
+    # a retrain clears tombstones: deleted-then-rebuilt ids resurface
+    ivfpq_delete(spark, idx, emb.filter(F.col("vec_id") == 1))
+    build_ivfpq_index(emb, idx, n_cells=16, m=8, k_codes=16)
+    assert not _os.path.exists(f"{idx}/tombstones"), "retrain kept stale tombstones"
+    assert ivfpq_probe(spark, idx, emb, qvec1, k=5, nprobe=8).collect()[0]["vec_id"] == 1
