@@ -43,7 +43,7 @@ NESTED_LOOP_OK = {
 ROW_UDF_OK = {"udf_scalar"}
 # construction triggers Spark jobs (model fitting / parameter fetch);
 # plans are still linted but these run slower
-SLOW_CONSTRUCT = {"llm_knn", "llm_knn_ivf", "llm_bpe_train"}
+SLOW_CONSTRUCT = {"llm_knn", "llm_knn_ivf", "llm_bpe_train", "llm_knn_ivfpq_delete"}
 
 
 @pytest.fixture(scope="module")
