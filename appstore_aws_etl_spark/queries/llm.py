@@ -2591,3 +2591,62 @@ def llm_bpe_train(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.createDataFrame(
         merges, "step int, pair_a string, pair_b string, merged string, n long"
     ).orderBy("step")
+
+
+@query(
+    "llm_weighted_sample",
+    oracle="""
+    WITH keyed AS (
+        SELECT doc_id, n_chars AS w,
+               ((doc_id * 2654435761 + 1013904223) % 4294967296)
+                   / 4294967296.0 AS u
+        FROM documents WHERE n_chars > 0
+    )
+    SELECT doc_id, w, round(pow(u, 1.0 / w), 6) + 0 AS es_key
+    FROM keyed
+    ORDER BY es_key DESC, doc_id
+    LIMIT 20
+    """,
+    tags=("llm", "sampling"),
+)
+def llm_weighted_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Weighted sampling WITHOUT replacement via exponential keys
+    (Efraimidis & Spirakis 2006): each item draws key = u^(1/w) and
+    the sample is the top-k by key — the one-pass distributed answer
+    to "sample 20 documents proportional to quality weight, no
+    repeats" that sequential reservoir algorithms can't give a
+    cluster. Weight here is n_chars (a stand-in for any quality
+    score).
+
+    Scale shape: keys are a pure projection, the top-k is
+    TakeOrderedAndProject — NO shuffle at any corpus size; a
+    per-stratum variant composes with the stratified-sample key's
+    window. The uniform draw is a deterministic Knuth/LCG modular hash
+    of doc_id (the countmin/bloom engine-portable-hashing trick), so
+    the DuckDB oracle reproduces the draw exactly and the sample is
+    hash-checkable; production swaps in a salted hash per epoch —
+    same plan, different constant."""
+    keyed = (
+        load(spark, sf_dir, "documents")
+        .filter(F.col("n_chars") > 0)
+        .select(
+            "doc_id",
+            F.col("n_chars").alias("w"),
+            (
+                ((F.col("doc_id") * F.lit(2654435761) + F.lit(1013904223))
+                 % F.lit(4294967296))
+                / F.lit(4294967296.0)
+            ).alias("u"),
+        )
+    )
+    return (
+        keyed.select(
+            "doc_id",
+            "w",
+            (F.round(F.pow("u", F.lit(1.0) / F.col("w")), 6) + F.lit(0.0)).alias(
+                "es_key"
+            ),
+        )
+        .orderBy(F.col("es_key").desc(), "doc_id")
+        .limit(20)
+    )

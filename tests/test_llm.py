@@ -1162,3 +1162,28 @@ def test_ivfpq_delete_tombstones_and_compaction(spark, sf_dir, tmp_path):
     build_ivfpq_index(emb, idx, n_cells=16, m=8, k_codes=16)
     assert not _os.path.exists(f"{idx}/tombstones"), "retrain kept stale tombstones"
     assert ivfpq_probe(spark, idx, emb, qvec1, k=5, nprobe=8).collect()[0]["vec_id"] == 1
+
+
+def test_weighted_sample_prefers_heavy_weights(spark, tmp_path):
+    """Statistical sanity for the ES sampler: across many disjoint
+    id-offset draws (each a different pseudo-uniform), an item with
+    9x the weight is selected into the top-1 far more often than its
+    light competitor — the defining property of weighted sampling."""
+    import appstore_aws_etl_spark.queries  # noqa: F401 — populates REGISTRY
+    from appstore_aws_etl_spark.registry import REGISTRY
+
+    rows = []
+    # 200 independent pairs: even id = heavy (w=900), odd id = light
+    # (w=100); ids spread out so the LCG draws decorrelate
+    for trial in range(200):
+        rows.append(Row(doc_id=trial * 1000 + 2, text="h", lang="en",
+                        source="s", n_chars=900))
+        rows.append(Row(doc_id=trial * 1000 + 3, text="l", lang="en",
+                        source="s", n_chars=100))
+    spark.createDataFrame(rows).write.parquet(f"{tmp_path}/documents.parquet")
+    got = REGISTRY["llm_weighted_sample"].fn(spark, str(tmp_path)).collect()
+    # the global top-20 of 400 candidates: heavy items (expected
+    # selection weight 9:1) must dominate the sample
+    heavy = sum(1 for r in got if r["w"] == 900)
+    assert len(got) == 20
+    assert heavy >= 14, f"heavy-weight items underrepresented: {heavy}/20"
