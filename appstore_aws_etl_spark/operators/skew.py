@@ -38,6 +38,7 @@ def salted_join(
     how: str = "inner",
     hot_keys: Sequence | None = None,
     hot_key_threshold: int = 1_000_000,
+    max_hot_keys: int = 1024,
 ) -> DataFrame:
     """Equi-join on ``on`` with hot-key-only salting. Result equals a
     plain ``left.join(right, on, how)`` for the supported join types
@@ -45,9 +46,14 @@ def salted_join(
 
     ``hot_keys``: the skew tail to salt. If None, detected with one
     aggregation over the left keys (count >= hot_key_threshold); only
-    the hot keys themselves come back to the driver — a bounded
-    parameter list, not data. Right/full outer joins raise: replicated
-    unmatched right rows would appear once per salt bucket.
+    the hot keys themselves come back to the driver — and only the
+    ``max_hot_keys`` HEAVIEST of them (round-13 hardening: a
+    pathological threshold choice — say 1 on a high-cardinality key —
+    otherwise returns the whole key domain to the driver). Keys beyond
+    the cap take the cold path, where AQE's skew splitting still
+    applies; salting only ever needs the extreme tail. Right/full
+    outer joins raise: replicated unmatched right rows would appear
+    once per salt bucket.
     """
     if how not in _SUPPORTED_HOW:
         raise ValueError(
@@ -62,6 +68,10 @@ def salted_join(
                 left.groupBy(on)
                 .agg(F.count(F.lit(1)).alias("__n"))
                 .filter(F.col("__n") >= hot_key_threshold)
+                # bounded driver collect: heaviest keys first, capped
+                # (TakeOrderedAndProject, not a full sort)
+                .orderBy(F.col("__n").desc())
+                .limit(max_hot_keys)
                 .collect()
             )
         ]

@@ -2598,11 +2598,11 @@ def llm_bpe_train(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle="""
     WITH keyed AS (
         SELECT doc_id, n_chars AS w,
-               ((doc_id * 2654435761 + 1013904223) % 4294967296)
-                   / 4294967296.0 AS u
+               ((((doc_id % 2147483648) * 2654435761 + 1013904223)
+                   % 4294967296) + 0.5) / 4294967296.0 AS u
         FROM documents WHERE n_chars > 0
     )
-    SELECT doc_id, w, round(pow(u, 1.0 / w), 6) + 0 AS es_key
+    SELECT doc_id, w, round(ln(u) / w, 9) + 0 AS es_key
     FROM keyed
     ORDER BY es_key DESC, doc_id
     LIMIT 20
@@ -2617,6 +2617,19 @@ def llm_weighted_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     repeats" that sequential reservoir algorithms can't give a
     cluster. Weight here is n_chars (a stand-in for any quality
     score).
+
+    Round-13 advice fixes: (a) the key lives in the LOG domain —
+    ln(u)/w, order-equivalent to u^(1/w) since x -> e^x is monotone —
+    because the direct key saturates toward 1.0 for large weights and
+    a 6-decimal rounding then degenerated top-k into the doc_id
+    tie-break; ln(u)/w stays separated at any realistic weight scale
+    (9-decimal rounding resolves distinct keys up to w ~ 1e6 — the
+    granularity exists only to absorb sub-ulp libm differences between
+    the JVM and DuckDB). (b) doc_id reduces mod 2^31 BEFORE the LCG
+    multiply, so the product peaks at 5.7e18 < 2^63-1 on both engines —
+    previously doc_id > ~3.47e9 silently wrapped in Spark while DuckDB
+    raised. (c) u gets a +0.5/2^32 half-step so it is strictly inside
+    (0,1): ln(0) is NULL in Spark but an error in DuckDB.
 
     Scale shape: keys are a pure projection, the top-k is
     TakeOrderedAndProject — NO shuffle at any corpus size; a
@@ -2633,8 +2646,14 @@ def llm_weighted_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
             "doc_id",
             F.col("n_chars").alias("w"),
             (
-                ((F.col("doc_id") * F.lit(2654435761) + F.lit(1013904223))
-                 % F.lit(4294967296))
+                (
+                    (
+                        ((F.col("doc_id") % F.lit(2147483648)) * F.lit(2654435761)
+                         + F.lit(1013904223))
+                        % F.lit(4294967296)
+                    ).cast("double")
+                    + F.lit(0.5)
+                )
                 / F.lit(4294967296.0)
             ).alias("u"),
         )
@@ -2643,9 +2662,7 @@ def llm_weighted_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
         keyed.select(
             "doc_id",
             "w",
-            (F.round(F.pow("u", F.lit(1.0) / F.col("w")), 6) + F.lit(0.0)).alias(
-                "es_key"
-            ),
+            (F.round(F.log("u") / F.col("w"), 9) + F.lit(0.0)).alias("es_key"),
         )
         .orderBy(F.col("es_key").desc(), "doc_id")
         .limit(20)

@@ -1164,6 +1164,45 @@ def test_ivfpq_delete_tombstones_and_compaction(spark, sf_dir, tmp_path):
     assert ivfpq_probe(spark, idx, emb, qvec1, k=5, nprobe=8).collect()[0]["vec_id"] == 1
 
 
+def test_ivfpq_delete_survives_interrupted_swap(spark, sf_dir, tmp_path):
+    """Round-13 advice hardening: ivfpq_delete's tmp-swap has a window
+    (tombstones deleted, tmp not yet renamed in) where a crash leaves
+    the accumulated set only in ``tombstones_tmp``. Simulate exactly
+    that state and assert (a) probes still honor the deletes via the
+    tmp fallback, (b) the next delete RESUMES accumulation from the
+    tmp instead of losing history, and (c) the recovery leaves a clean
+    main relation with no stray tmp."""
+    import shutil
+    import os as _os
+
+    from appstore_aws_etl_spark.llm.similarity import (
+        build_ivfpq_index,
+        ivfpq_delete,
+        ivfpq_probe,
+    )
+
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    idx = str(tmp_path / "ivfpq_idx_crash")
+    build_ivfpq_index(emb, idx, n_cells=16, m=8, k_codes=16)
+    qvec1 = emb.filter(F.col("vec_id") == 1).select("embedding").collect()[0][0]
+    ivfpq_delete(spark, idx, emb.filter(F.col("vec_id") == 1))
+    # simulate the crash window: main relation gone, committed tmp holds
+    # the accumulated set (the exact on-disk state between _fs_replace's
+    # delete and rename)
+    shutil.move(f"{idx}/tombstones", f"{idx}/tombstones_tmp")
+    got = [r["vec_id"] for r in ivfpq_probe(spark, idx, emb, qvec1, k=5, nprobe=8).collect()]
+    assert 1 not in got, "probe lost tombstones during the swap window"
+    # next delete recovers: completes the swap, then accumulates
+    qvec2 = emb.filter(F.col("vec_id") == 2).select("embedding").collect()[0][0]
+    ivfpq_delete(spark, idx, emb.filter(F.col("vec_id") == 2))
+    got1 = [r["vec_id"] for r in ivfpq_probe(spark, idx, emb, qvec1, k=5, nprobe=8).collect()]
+    got2 = [r["vec_id"] for r in ivfpq_probe(spark, idx, emb, qvec2, k=5, nprobe=8).collect()]
+    assert 1 not in got1, "recovery lost the pre-crash tombstone"
+    assert 2 not in got2, "recovery dropped the new delete"
+    assert _os.path.exists(f"{idx}/tombstones")
+    assert not _os.path.exists(f"{idx}/tombstones_tmp"), "recovery left a stray tmp"
+
+
 def test_weighted_sample_prefers_heavy_weights(spark, tmp_path):
     """Statistical sanity for the ES sampler: across many disjoint
     id-offset draws (each a different pseudo-uniform), an item with
@@ -1187,3 +1226,61 @@ def test_weighted_sample_prefers_heavy_weights(spark, tmp_path):
     heavy = sum(1 for r in got if r["w"] == 900)
     assert len(got) == 20
     assert heavy >= 14, f"heavy-weight items underrepresented: {heavy}/20"
+
+
+def test_hapax_guard_exact_on_hapax_heavy_corpus(spark):
+    """Round-13 vocab-cap guard: on a corpus where most of the
+    vocabulary is hapax (unique junk tokens — the adversarial 100 TB
+    shape), (a) the df>=2 driver/broadcast relation excludes the hapax
+    tail, and (b) tfidf and keywords_topk results are EXACT anyway,
+    because a term absent from the map has df exactly 1 (its own
+    document is the only contributor). Hapax terms carry the MAXIMUM
+    idf, so they must still win top-k — the guard must not drop them
+    from the results, only from the map."""
+    import math
+
+    from appstore_aws_etl_spark.llm.text import (
+        doc_freq_partials,
+        keywords_topk,
+        tfidf,
+    )
+
+    # 40 docs: 3 shared common words + 5 unique junk tokens each ->
+    # vocabulary = 3 recurring + 200 hapax
+    rows = [
+        Row(
+            doc_id=i,
+            text="the quick fox " + " ".join(f"junk{i}x{j}" for j in range(5)),
+        )
+        for i in range(40)
+    ]
+    docs = spark.createDataFrame(rows)
+    # the guard engages: df>=2 relation is exactly the 3 recurring terms
+    kept = (
+        doc_freq_partials(docs)
+        .filter(F.col("term").isNotNull() & (F.col("df") >= 2))
+        .collect()
+    )
+    assert sorted(r["term"] for r in kept) == ["fox", "quick", "the"]
+    assert all(r["df"] == 40 for r in kept)
+
+    # tfidf: hapax rows surface with df=1 and the max idf, exactly
+    got = {(r["doc_id"], r["term"]): (r["df"], r["tfidf"]) for r in tfidf(docs).collect()}
+    assert len(got) == 40 * 8
+    n = 40
+    idf_hapax = math.log((n + 1) / 2) + 1
+    idf_common = math.log((n + 1) / (n + 1)) + 1
+    assert got[(7, "junk7x3")] == (1, idf_hapax)
+    assert got[(7, "quick")] == (40, idf_common)
+
+    # keywords: top-3 per doc must be hapax terms (max idf), ranked by
+    # term asc among equal scores
+    kw = keywords_topk(docs, k=3).collect()
+    by_doc = {}
+    for r in kw:
+        by_doc.setdefault(r["doc_id"], []).append((r["rnk"], r["term"], r["tfidf"]))
+    assert len(by_doc) == 40
+    for i in range(40):
+        picks = sorted(by_doc[i])
+        assert [t for _, t, _ in picks] == [f"junk{i}x0", f"junk{i}x1", f"junk{i}x2"]
+        assert all(abs(s - round(idf_hapax, 4)) < 1e-9 for _, _, s in picks)

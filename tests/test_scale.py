@@ -118,6 +118,29 @@ def test_salted_join_matches_plain_join(spark, sf_dir):
     assert s == p
 
 
+def test_salted_join_caps_hot_key_detection(spark):
+    """Round-13 hardening: a degenerate threshold (1 on a
+    high-cardinality key) must NOT return the whole key domain to the
+    driver — detection keeps only the max_hot_keys heaviest keys and
+    the rest take the cold path, with the join result unchanged."""
+    from pyspark.sql import Row
+
+    # 500 distinct keys, all "hot" at threshold 1; keys 7 and 13 are
+    # genuinely heavy so the capped detection must pick exactly those
+    rows = [Row(k=i, v=i) for i in range(500)]
+    rows += [Row(k=7, v=-1)] * 50 + [Row(k=13, v=-2)] * 40
+    left = spark.createDataFrame(rows)
+    right = spark.createDataFrame([Row(k=i, w=i * 10) for i in range(0, 500, 3)])
+    got = salted_join(
+        left, right, on="k", salt_buckets=3, hot_key_threshold=1, max_hot_keys=2
+    )
+    want = left.join(right, on="k")
+    assert got.count() == want.count()
+    g = got.agg(F.sum(F.col("v") * F.col("w")).alias("s")).collect()[0]["s"]
+    w = want.agg(F.sum(F.col("v") * F.col("w")).alias("s")).collect()[0]["s"]
+    assert g == w
+
+
 def test_salted_join_left_outer_nulls_and_guard(spark):
     from pyspark.sql import Row
 
