@@ -462,15 +462,19 @@ def sorted_neighborhood_pairs(
     sigs = minhash_signatures(
         df, id_col, text_col, num_hashes, shingle_k
     ).localCheckpoint(eager=False, storageLevel=CHECKPOINT_LEVEL)
+    # the block key is the band SLICE ITSELF, not a hash of it (round
+    # 13): block identity is what matters, hashing it only introduced
+    # an engine-specific murmur3 value (and a theoretical cross-slice
+    # collision) — with the raw slice the whole operator is exact
+    # integer math an ANSI oracle can replay, so the key graduates
+    # from rows-only to hash-checked.
     banded = sigs.select(
         id_col,
         "signature",
         F.posexplode(
             F.transform(
                 F.sequence(F.lit(0), F.lit(bands - 1)),
-                lambda b: F.hash(
-                    F.slice("signature", b * rows_per_band + 1, rows_per_band), b
-                ),
+                lambda b: F.slice("signature", b * rows_per_band + 1, rows_per_band),
             )
         ).alias("band", "bucket"),
     )
