@@ -53,22 +53,22 @@ KEYS = [
     "tpch_q12_late_lines",
     "tpch_q18_large_orders",
 ]
-OVERRIDES = {"orders": "orders_b", "lineitem": "lineitem_b"}
-N_BUCKETS = 32
+N_BUCKETS = int(os.environ.get("AB_BUCKETS", "32"))
+OVERRIDES = {"orders": f"orders_b{N_BUCKETS}", "lineitem": f"lineitem_b{N_BUCKETS}"}
 
 
 def build_bucketed(spark) -> float:
-    """Write orders_b / lineitem_b once; returns build seconds (0.0 if
+    """Write the bucketed tables once; returns build seconds (0.0 if
     the catalog already has them from this process)."""
     existing = {t.name for t in spark.catalog.listTables()}
-    if {"orders_b", "lineitem_b"} <= existing:
+    if set(OVERRIDES.values()) <= existing:
         return 0.0
     # the metastore is in-memory per process but the warehouse dir is
     # not: a prior process's managed-table files orphan the location
     # and saveAsTable refuses (LOCATION_ALREADY_EXISTS) — clear them.
     import shutil
 
-    for t in ("orders_b", "lineitem_b"):
+    for t in OVERRIDES.values():
         shutil.rmtree(os.path.join(WAREHOUSE, t), ignore_errors=True)
     t0 = time.perf_counter()
     for name, key in (("orders", "o_orderkey"), ("lineitem", "l_orderkey")):
@@ -81,7 +81,7 @@ def build_bucketed(spark) -> float:
 
         write_bucketed(
             df.repartition(N_BUCKETS, F.col(key)),
-            f"{name}_b",
+            OVERRIDES[name],
             bucket_by=key,
             num_buckets=N_BUCKETS,
             sort_by=[key],
