@@ -247,8 +247,10 @@ def _protobuf_available() -> bool:
 @pytest.mark.skipif(
     not _protobuf_available(),
     reason="transformWithStateInPandas requires google.protobuf "
-    "(state-server protocol); not installed in this container. "
-    "Equivalence is still covered: "
+    "(state-server protocol); conftest vendors a pure-Python runtime "
+    "(vendor/README.md) so this normally runs — the gate remains for "
+    "environments where neither an install nor the vendor resolves. "
+    "Equivalence is also covered runtime-free: "
     "test_tws_processor_equivalent_to_apply_in_pandas_without_runtime "
     "replays both APIs' state machines without the runtime.",
 )
@@ -265,6 +267,16 @@ def test_transform_with_state_funnel_matches_apply_in_pandas(
         stream_events,
     )
 
+    # transformWithState keeps each state variable in its own column
+    # family — supported by the RocksDB provider (bundled rocksdbjni),
+    # not the default HDFS-backed one. Per-query conf, restored after.
+    provider_key = "spark.sql.streaming.stateStore.providerClass"
+    prior = spark.conf.get(provider_key, None)
+    spark.conf.set(
+        provider_key,
+        "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider",
+    )
+
     def final_counts(transform, name, chk):
         out = run_to_memory(
             transform(stream_events(spark, event_stream_dir)),
@@ -279,8 +291,14 @@ def test_transform_with_state_funnel_matches_apply_in_pandas(
             ).collect()
         }
 
-    got_apply = final_counts(funnel_counts, "t_f_apply", str(tmp_path / "c1"))
-    got_tws = final_counts(funnel_counts_tws, "t_f_tws", str(tmp_path / "c2"))
+    try:
+        got_apply = final_counts(funnel_counts, "t_f_apply", str(tmp_path / "c1"))
+        got_tws = final_counts(funnel_counts_tws, "t_f_tws", str(tmp_path / "c2"))
+    finally:
+        if prior is None:
+            spark.conf.unset(provider_key)
+        else:
+            spark.conf.set(provider_key, prior)
     assert got_apply and got_apply == got_tws
 
 
