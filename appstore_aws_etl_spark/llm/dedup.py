@@ -502,6 +502,118 @@ def sorted_neighborhood_pairs(
     )
 
 
+def minhash_incremental_pairs(
+    corpus: DataFrame,
+    batch: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    num_hashes: int = 32,
+    bands: int = 8,
+    shingle_k: int = 5,
+    jaccard_threshold: float = 0.6,
+    max_bucket_docs: int = 1000,
+) -> DataFrame:
+    """Steady-state NEAR-dup ingestion (round 13, verdict item 8): a
+    new batch's MinHash bands probe the banded signature index of the
+    existing corpus — the fuzzy twin of the exact fingerprint probe
+    (queries/llm.llm_dedup_incremental) and the last leg of the
+    production dedup lifecycle. History is NEVER re-paired against
+    itself: the plan touches the corpus only to (re)build the banded
+    index (in a deployment that relation is a PERSISTED table the
+    ingest maintains — its cost is per-index-refresh, not per-batch)
+    and the candidate join is batch-driven, so candidate volume is
+    O(|batch| x bands x cap) + O(|batch|), linear in the batch at any
+    corpus size (tested).
+
+    Two channels, both deterministic:
+
+    * EXACT-signature channel: batch joins the corpus on full
+      signature equality and keeps the min corpus id per batch doc —
+      one linear hash join that catches identical/near-identical
+      documents with probability 1 REGARDLESS of bucket heat, so the
+      bucket cap below can be a plain truncation instead of the
+      anchor-star machinery ``minhash_near_dup_pairs`` needs (there
+      the hot bucket must self-enumerate; here every batch doc still
+      gets its exact match from this channel).
+    * banded-probe channel: corpus band buckets keyed by the band
+      SLICE itself (portable, like sorted_neighborhood_pairs), capped
+      at the ``max_bucket_docs`` LOWEST ids per bucket (deterministic
+      truncation; a mega-bucket contributes at most cap candidates
+      per probing batch doc). Batch bands join the capped index on
+      (band, block).
+
+    Union -> distinct -> signature-Jaccard verify >= threshold.
+    Returns (batch_id, corpus_id, est_jaccard). Every step is integer
+    math on the pinned permutation family, so an ANSI oracle replays
+    it exactly (the registry key is hash-checked)."""
+    rows_per_band = num_hashes // bands
+    corpus_sigs = minhash_signatures(
+        corpus, id_col, text_col, num_hashes, shingle_k
+    ).localCheckpoint(eager=False, storageLevel=CHECKPOINT_LEVEL)
+    batch_sigs = minhash_signatures(
+        batch, id_col, text_col, num_hashes, shingle_k
+    ).localCheckpoint(eager=False, storageLevel=CHECKPOINT_LEVEL)
+
+    def banded(sigs: DataFrame) -> DataFrame:
+        return sigs.select(
+            id_col,
+            F.posexplode(
+                F.transform(
+                    F.sequence(F.lit(0), F.lit(bands - 1)),
+                    lambda b: F.slice(
+                        "signature", b * rows_per_band + 1, rows_per_band
+                    ),
+                )
+            ).alias("band", "bucket"),
+        )
+
+    # exact-signature channel: linear, heat-proof
+    exact = (
+        batch_sigs.select(F.col(id_col).alias("batch_id"), "signature")
+        .join(
+            corpus_sigs.select(F.col(id_col).alias("corpus_id"), "signature"),
+            "signature",
+        )
+        .groupBy("batch_id")
+        .agg(F.min("corpus_id").alias("corpus_id"))
+        .select("batch_id", "corpus_id")
+    )
+    # banded probe against the capped index (the window sort is the
+    # index-BUILD cost — per refresh, not per batch; an incremental
+    # maintainer inserts into existing buckets instead)
+    wb = Window.partitionBy("band", "bucket").orderBy(id_col)
+    index = (
+        banded(corpus_sigs)
+        .withColumn("__rn", F.row_number().over(wb))
+        .filter(F.col("__rn") <= max_bucket_docs)
+        .select("band", "bucket", F.col(id_col).alias("corpus_id"))
+    )
+    probed = (
+        banded(batch_sigs)
+        .select("band", "bucket", F.col(id_col).alias("batch_id"))
+        .join(index, ["band", "bucket"])
+        .select("batch_id", "corpus_id")
+    )
+    cand = probed.unionByName(exact).distinct()
+    with_sigs = cand.join(
+        batch_sigs.select(F.col(id_col).alias("batch_id"), F.col("signature").alias("sig_a")),
+        "batch_id",
+    ).join(
+        corpus_sigs.select(F.col(id_col).alias("corpus_id"), F.col("signature").alias("sig_b")),
+        "corpus_id",
+    )
+    est = F.aggregate(
+        F.zip_with("sig_a", "sig_b", lambda x, y: (x == y).cast("int")),
+        F.lit(0),
+        lambda acc, v: acc + v,
+    ) / F.lit(num_hashes)
+    return (
+        with_sigs.withColumn("est_jaccard", F.round(est, 4))
+        .filter(F.col("est_jaccard") >= jaccard_threshold)
+        .select("batch_id", "corpus_id", "est_jaccard")
+    )
+
+
 def simhash_buckets(
     df: DataFrame,
     id_col: str = "doc_id",

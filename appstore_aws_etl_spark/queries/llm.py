@@ -2333,6 +2333,96 @@ def llm_dedup_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@query(
+    "llm_dedup_minhash_incremental",
+    oracle="""
+WITH canon AS (
+    SELECT doc_id, trim(regexp_replace(lower(text), '\s+', ' ', 'g')) AS c
+    FROM documents
+),
+sh AS (
+    SELECT DISTINCT doc_id,
+           (ascii(substr(c, i::INT, 1))::BIGINT * 67503107
+          + ascii(substr(c, i::INT + 1, 1)) * 16974593
+          + ascii(substr(c, i::INT + 2, 1)) * 66049
+          + ascii(substr(c, i::INT + 3, 1)) * 257
+          + ascii(substr(c, i::INT + 4, 1))) % 2147483647 AS h
+    FROM canon, LATERAL unnest(range(1, greatest(length(c) - 3, 2))) t(i)
+),
+perm AS (
+    SELECT i AS pi,
+           2 * ((874321::BIGINT * (i + 1)) % 2147483647) + 1 AS a,
+           (874321::BIGINT * 7919 * (i + 1)) % 2147483647 AS b
+    FROM range(32) t(i)
+),
+sigv AS (
+    SELECT doc_id, pi, min((a * h + b) % 2147483647) AS v
+    FROM sh CROSS JOIN perm
+    GROUP BY doc_id, pi
+),
+sig AS (
+    SELECT doc_id, list(v ORDER BY pi) AS s
+    FROM sigv GROUP BY doc_id
+),
+batch AS (SELECT * FROM sig WHERE doc_id % 5 = 0),
+corp  AS (SELECT * FROM sig WHERE doc_id % 5 <> 0),
+exact AS (
+    SELECT b.doc_id AS batch_id, min(c.doc_id) AS corpus_id
+    FROM batch b JOIN corp c ON b.s = c.s
+    GROUP BY b.doc_id
+),
+cbands AS (
+    SELECT doc_id, band, s[band::INT * 4 + 1 : band::INT * 4 + 4] AS blk
+    FROM corp CROSS JOIN range(8) t(band)
+),
+capped AS (
+    SELECT band, blk, doc_id AS corpus_id FROM (
+        SELECT *, row_number() OVER (PARTITION BY band, blk ORDER BY doc_id) AS rn
+        FROM cbands
+    ) WHERE rn <= 1000
+),
+bbands AS (
+    SELECT doc_id AS batch_id, band,
+           s[band::INT * 4 + 1 : band::INT * 4 + 4] AS blk
+    FROM batch CROSS JOIN range(8) t(band)
+),
+cand AS (
+    SELECT DISTINCT b.batch_id, c.corpus_id
+    FROM bbands b JOIN capped c ON b.band = c.band AND b.blk = c.blk
+    UNION
+    SELECT batch_id, corpus_id FROM exact
+)
+SELECT c.batch_id, c.corpus_id,
+       round(list_sum(list_transform(range(1, 33),
+             i -> CASE WHEN sa.s[i] = sb.s[i] THEN 1 ELSE 0 END)) / 32.0, 4)
+           + 0 AS est_jaccard
+FROM cand c
+JOIN sig sa ON sa.doc_id = c.batch_id
+JOIN sig sb ON sb.doc_id = c.corpus_id
+WHERE list_sum(list_transform(range(1, 33),
+      i -> CASE WHEN sa.s[i] = sb.s[i] THEN 1 ELSE 0 END)) / 32.0 >= 0.5
+    """,
+    tags=("llm", "dedup"),
+)
+def llm_dedup_minhash_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Steady-state NEAR-dup ingestion (round 13): the new batch
+    (every fifth doc, mirroring llm_dedup_incremental's split) probes
+    the banded MinHash index of the existing corpus — history is never
+    re-paired against itself, candidates are linear in the batch.
+    Exact-signature channel + capped banded probe; see
+    llm/dedup.minhash_incremental_pairs for the full scale design.
+    Hash-checked: block keys are the band slices themselves and the
+    whole pipeline is integer math on the pinned permutation family,
+    so the ANSI oracle replays it exactly (same portability argument
+    as llm_dedup_sorted_neighborhood)."""
+    from ..llm.dedup import minhash_incremental_pairs
+
+    docs = load(spark, sf_dir, "documents")
+    batch = docs.filter(F.col("doc_id") % 5 == 0)
+    corpus = docs.filter(F.col("doc_id") % 5 != 0)
+    return minhash_incremental_pairs(corpus, batch, jaccard_threshold=0.5)
+
+
 # --------------------------------------------------------------------------
 # Retrieval scoring / tokenizer-training primitives (round 12)
 # --------------------------------------------------------------------------

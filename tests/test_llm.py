@@ -1284,3 +1284,66 @@ def test_hapax_guard_exact_on_hapax_heavy_corpus(spark):
         picks = sorted(by_doc[i])
         assert [t for _, t, _ in picks] == [f"junk{i}x0", f"junk{i}x1", f"junk{i}x2"]
         assert all(abs(s - round(idf_hapax, 4)) < 1e-9 for _, _, s in picks)
+
+
+def test_minhash_incremental_finds_planted_corpus_dups(spark):
+    """Round-13 steady-state near-dup ingestion: a new batch's docs
+    must be matched against the existing corpus — exact dups via the
+    signature channel, near-dups via the banded probe — while pairs
+    never form between corpus docs (history is not re-paired) or
+    between batch docs."""
+    from appstore_aws_etl_spark.llm.dedup import minhash_incremental_pairs
+
+    base = "the quick brown fox jumps over the lazy dog again and again today"
+    near = base.replace("today", "tomorrow")
+    far = "completely different words about spark engines and parquet files"
+    corpus = spark.createDataFrame(
+        [Row(doc_id=1, text=base), Row(doc_id=2, text=far)]
+    )
+    batch = spark.createDataFrame(
+        [
+            Row(doc_id=101, text=base),   # exact dup of corpus 1
+            Row(doc_id=102, text=near),   # near dup of corpus 1
+            Row(doc_id=103, text="fresh unseen content nothing matches here"),
+        ]
+    )
+    pairs = {
+        (r["batch_id"], r["corpus_id"]): r["est_jaccard"]
+        for r in minhash_incremental_pairs(
+            corpus, batch, jaccard_threshold=0.5
+        ).collect()
+    }
+    assert pairs[(101, 1)] == 1.0
+    assert (102, 1) in pairs and pairs[(102, 1)] > 0.5
+    assert not any(b == 103 for b, _ in pairs), "unseen doc matched"
+    assert all(b >= 100 and c < 100 for b, c in pairs), "non-probe pair leaked"
+
+
+def test_minhash_incremental_linear_in_batch_against_hot_corpus(spark):
+    """The operator's defining bound: against a corpus that
+    mega-buckets (all docs near-identical), candidate/output volume
+    stays O(|batch| x bands x cap) — doubling the batch at most
+    doubles the output, and a one-doc batch emits at most bands x cap
+    + 1 pairs no matter how hot the corpus bucket is."""
+    from appstore_aws_etl_spark.llm.dedup import minhash_incremental_pairs
+
+    base = "the quick brown fox jumps over the lazy dog again and again today"
+    corpus = spark.createDataFrame(
+        [Row(doc_id=i, text=base) for i in range(1, 81)]
+    )  # one 80-wide clique bucket per band
+    cap = 5
+
+    def n_pairs(batch_rows):
+        batch = spark.createDataFrame(batch_rows)
+        return minhash_incremental_pairs(
+            corpus, batch, jaccard_threshold=0.5, max_bucket_docs=cap
+        ).count()
+
+    one = n_pairs([Row(doc_id=1001, text=base)])
+    two = n_pairs([Row(doc_id=1001, text=base), Row(doc_id=1002, text=base)])
+    # per batch doc: <= bands*cap banded candidates + 1 exact-channel rep
+    assert one <= 8 * cap + 1
+    assert two <= 2 * (8 * cap + 1)
+    assert two <= 2 * one  # linearity in the batch
+    # and the exact channel still guarantees a hit despite the cap
+    assert one >= 1 and two >= 2
