@@ -107,6 +107,15 @@ def build_fixture(spark) -> str:
 
 ONLY: list[str] = []  # --only k1 k2 ... restricts both sweeps (smoke)
 
+# keys whose count() action PRUNES the interesting work (round 13,
+# verdict item 7): a pure window/projection key's row count needs no
+# window evaluation, so `count()` read 0.14 s on ts_seasonal_baseline
+# while the honest forced number was 1.9-2.2 s (r12 adjudication).
+# These keys force full materialization on BOTH engines — Spark via
+# the noop sink (every column computed, nothing collected), DuckDB via
+# max(hash(row)) over the subquery — and the artifact flags them.
+FORCED_EVAL = {"ts_seasonal_baseline", "ts_ewma"}
+
 # set when a key's failure killed the shared JVM mid-sweep: the name of
 # the key whose failure orphaned the session (keys after it in registry
 # order are unmeasured, not failed). Surfaced in the artifact.
@@ -154,7 +163,11 @@ def bench_spark(skip: dict[str, float] | None = None) -> dict[str, float]:
             )
             timer.start()
         try:
-            REGISTRY[name].fn(spark, FIXTURE_DIR).count()
+            df = REGISTRY[name].fn(spark, FIXTURE_DIR)
+            if name in FORCED_EVAL:
+                df.write.format("noop").mode("overwrite").save()
+            else:
+                df.count()
         finally:
             if timer is not None:
                 timer.cancel()
@@ -261,9 +274,10 @@ def bench_duckdb(skip: dict[str, float] | None = None) -> tuple[dict[str, float]
         timer = threading.Timer(DUCK_TIMEOUT_S, con.interrupt)
         timer.start()
         t0 = time.perf_counter()
+        agg = "max(hash(t))" if name in FORCED_EVAL else "count(*)"
         try:
             con.execute(
-                f"SELECT count(*) FROM ({REGISTRY[name].oracle})"
+                f"SELECT {agg} FROM ({REGISTRY[name].oracle}) t"
             ).fetchone()
         except duckdb.Error:
             return None
