@@ -198,3 +198,29 @@ def test_bpe_keys_stay_jvm_side(spark, sf_dir):
         plan = formatted_plan(REGISTRY[key].fn(spark, sf_dir))
         assert "ArrowEvalPython" not in plan, key
         assert "BatchEvalPython" not in plan, key
+
+
+def test_fixture_fk_pk_preconditions_for_topk_commutes(spark, sf_dir):
+    """Round-13 advice: tpch_q10's LIMIT-20-below-the-customer-join
+    commute assumes (a) c_custkey is unique (no duplicate decoration
+    rows inflating the output) and (b) every o_custkey has a customer
+    row (no silent top-20 dropout). The commute's docstring argues
+    both from the TPC-H data contract; this test enforces the contract
+    on the fixture so the precondition is verified rather than
+    assumed — if a future fixture regeneration breaks it, this fails
+    before the oracle comparison silently diverges."""
+    from pyspark.sql import functions as F
+
+    c = spark.read.parquet(f"{sf_dir}/customer.parquet")
+    o = spark.read.parquet(f"{sf_dir}/orders.parquet")
+    dup_pk = (
+        c.groupBy("c_custkey").count().filter(F.col("count") > 1).count()
+    )
+    assert dup_pk == 0, "customer PK not unique — q10's commute is unsound"
+    orphans = (
+        o.select("o_custkey")
+        .distinct()
+        .join(c.select("c_custkey"), F.col("o_custkey") == F.col("c_custkey"), "left_anti")
+        .count()
+    )
+    assert orphans == 0, "orders FK not covered — q10's top-20 could drop rows"
