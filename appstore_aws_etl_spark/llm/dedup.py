@@ -456,8 +456,9 @@ def sorted_neighborhood_pairs(
     linear output bound. This is the shape to run FIRST at 100 TB
     corpus scale, with the capped LSH enumeration reserved for blocks
     a recall audit flags. Returns (id_a, id_b, est_jaccard), id_a <
-    id_b. Planted-recall unit-tested; rows-only at the driver (the
-    method is approximate by design)."""
+    id_b. Planted-recall unit-tested; hash-checked at the driver since
+    round 13 (deterministic integer math end to end — see the registry
+    key's docstring for the oracle argument)."""
     rows_per_band = num_hashes // bands
     sigs = minhash_signatures(
         df, id_col, text_col, num_hashes, shingle_k
@@ -612,6 +613,277 @@ def minhash_incremental_pairs(
         .filter(F.col("est_jaccard") >= jaccard_threshold)
         .select("batch_id", "corpus_id", "est_jaccard")
     )
+
+
+def build_minhash_index(
+    corpus: DataFrame,
+    index_path: str,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    num_hashes: int = 32,
+    bands: int = 8,
+    shingle_k: int = 5,
+    max_bucket_docs: int = 1000,
+) -> None:
+    """Materialize the deployed dedup index (round 13 — the
+    build-once half of the production near-dup lifecycle, mirroring
+    the served-ANN ``build_ivfpq_index`` pattern): per-batch ingestion
+    then probes this relation instead of re-signaturing history.
+
+    Layout under ``index_path``:
+
+    * ``signatures`` — (id, signature): the exact-match channel and
+      the verify source.
+    * ``bands`` — (band, bucket, id), partitionBy(band), each (band,
+      bucket) truncated to the ``max_bucket_docs`` LOWEST ids (the
+      same deterministic cap the ad-hoc probe applies, so a probe
+      against the index returns byte-identical pairs).
+    * ``params`` — one row pinning the signature family; probes
+      validate against it and refuse a mismatched index rather than
+      compare signatures position-wise across families.
+    """
+    spark = corpus.sparkSession
+    sigs = minhash_signatures(corpus, id_col, text_col, num_hashes, shingle_k)
+    sigs.write.mode("overwrite").parquet(f"{index_path}/signatures")
+    sigs = spark.read.parquet(f"{index_path}/signatures")
+    rows_per_band = num_hashes // bands
+    banded = sigs.select(
+        id_col,
+        F.posexplode(
+            F.transform(
+                F.sequence(F.lit(0), F.lit(bands - 1)),
+                lambda b: F.slice("signature", b * rows_per_band + 1, rows_per_band),
+            )
+        ).alias("band", "bucket"),
+    )
+    wb = Window.partitionBy("band", "bucket").orderBy(id_col)
+    capped = (
+        banded.withColumn("__rn", F.row_number().over(wb))
+        .filter(F.col("__rn") <= max_bucket_docs)
+        .select("band", "bucket", id_col)
+    )
+    capped.write.mode("overwrite").partitionBy("band").parquet(f"{index_path}/bands")
+    params = spark.createDataFrame(
+        [(num_hashes, bands, shingle_k, max_bucket_docs, _MINHASH_SEED)],
+        "num_hashes int, bands int, shingle_k int, max_bucket_docs int, seed long",
+    )
+    params.write.mode("overwrite").parquet(f"{index_path}/params")
+
+
+def _minhash_index_params(spark, index_path: str) -> dict:
+    row = spark.read.parquet(f"{index_path}/params").collect()[0]
+    if row["seed"] != _MINHASH_SEED:
+        raise ValueError(
+            f"minhash index at {index_path} was built with a different "
+            "permutation family (seed mismatch) — rebuild, do not probe"
+        )
+    return row.asDict()
+
+
+def _read_delta(spark, index_path: str, name: str) -> DataFrame | None:
+    from pyspark.errors import AnalysisException
+
+    try:
+        return spark.read.parquet(f"{index_path}/{name}")
+    except AnalysisException:
+        return None
+
+
+def minhash_index_probe(
+    spark,
+    index_path: str,
+    batch: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    jaccard_threshold: float = 0.6,
+) -> DataFrame:
+    """Probe a new batch against the DEPLOYED index: the same two
+    channels as ``minhash_incremental_pairs`` (exact-signature join +
+    capped banded probe) but the corpus side is the persisted
+    relations — history is never re-signatured, the probe's corpus
+    cost is a scan of the index, and candidates stay
+    O(|batch| x bands x cap). Signature params come from the index's
+    own params row, so a probe can never silently mix permutation
+    families. Unions any refresh delta (``minhash_index_refresh``)
+    so newly ingested documents are immediately matchable. Returns
+    (batch_id, corpus_id, est_jaccard); with the shipped cap
+    discipline the output is byte-identical to the ad-hoc
+    ``minhash_incremental_pairs`` over the same split (tested), so
+    the registry key shares its exact oracle."""
+    p = _minhash_index_params(spark, index_path)
+    num_hashes, bands = p["num_hashes"], p["bands"]
+    rows_per_band = num_hashes // bands
+    corpus_sigs = spark.read.parquet(f"{index_path}/signatures")
+    index_bands = spark.read.parquet(f"{index_path}/bands").select(
+        "band", "bucket", id_col
+    )
+    d_sigs = _read_delta(spark, index_path, "signatures_delta")
+    d_bands = _read_delta(spark, index_path, "bands_delta")
+    if d_sigs is not None:
+        corpus_sigs = corpus_sigs.unionByName(d_sigs)
+    if d_bands is not None:
+        index_bands = index_bands.unionByName(d_bands.select("band", "bucket", id_col))
+    batch_sigs = minhash_signatures(
+        batch, id_col, text_col, num_hashes, p["shingle_k"]
+    ).localCheckpoint(eager=False, storageLevel=CHECKPOINT_LEVEL)
+    exact = (
+        batch_sigs.select(F.col(id_col).alias("batch_id"), "signature")
+        .join(
+            corpus_sigs.select(F.col(id_col).alias("corpus_id"), "signature"),
+            "signature",
+        )
+        .groupBy("batch_id")
+        .agg(F.min("corpus_id").alias("corpus_id"))
+    )
+    probed = (
+        batch_sigs.select(
+            F.col(id_col).alias("batch_id"),
+            F.posexplode(
+                F.transform(
+                    F.sequence(F.lit(0), F.lit(bands - 1)),
+                    lambda b: F.slice(
+                        "signature", b * rows_per_band + 1, rows_per_band
+                    ),
+                )
+            ).alias("band", "bucket"),
+        )
+        .join(
+            index_bands.select("band", "bucket", F.col(id_col).alias("corpus_id")),
+            ["band", "bucket"],
+        )
+        .select("batch_id", "corpus_id")
+    )
+    cand = probed.unionByName(exact.select("batch_id", "corpus_id")).distinct()
+    with_sigs = cand.join(
+        batch_sigs.select(F.col(id_col).alias("batch_id"), F.col("signature").alias("sig_a")),
+        "batch_id",
+    ).join(
+        corpus_sigs.select(F.col(id_col).alias("corpus_id"), F.col("signature").alias("sig_b")),
+        "corpus_id",
+    )
+    est = F.aggregate(
+        F.zip_with("sig_a", "sig_b", lambda x, y: (x == y).cast("int")),
+        F.lit(0),
+        lambda acc, v: acc + v,
+    ) / F.lit(num_hashes)
+    return (
+        with_sigs.withColumn("est_jaccard", F.round(est, 4))
+        .filter(F.col("est_jaccard") >= jaccard_threshold)
+        .select("batch_id", "corpus_id", "est_jaccard")
+    )
+
+
+def minhash_index_refresh(
+    spark,
+    index_path: str,
+    batch: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> None:
+    """Fold newly ingested documents into the deployed index WITHOUT
+    rewriting it: signatures and band rows land in accumulating delta
+    relations (``signatures_delta`` / ``bands_delta``) via the same
+    read-union-tmp-swap discipline as the ivfpq tombstones, anti-joined
+    on id so re-ingesting a batch is idempotent. Probes union the
+    deltas; ``minhash_index_compact`` folds them into the base with
+    the bucket cap re-applied. Between refresh and compact a (band,
+    bucket) can hold up to cap base rows + delta rows — the probe
+    bound degrades at worst to base-cap + delta size, restored at
+    compaction (documented trade, same as the ivfpq delta)."""
+    p = _minhash_index_params(spark, index_path)
+    num_hashes, bands = p["num_hashes"], p["bands"]
+    rows_per_band = num_hashes // bands
+    new_sigs = minhash_signatures(
+        batch, id_col, text_col, num_hashes, p["shingle_k"]
+    )
+    existing = _read_delta(spark, index_path, "signatures_delta")
+    if existing is not None:
+        new_sigs = new_sigs.unionByName(existing)
+    # drop ids already indexed (idempotence), keep one row per id
+    merged = (
+        new_sigs.join(
+            spark.read.parquet(f"{index_path}/signatures").select(
+                F.col(id_col).alias("__b")
+            ),
+            F.col(id_col) == F.col("__b"),
+            "left_anti",
+        )
+        .groupBy(id_col)
+        .agg(F.min_by("signature", F.col(id_col)).alias("signature"))
+    )
+    tmp = f"{index_path}/signatures_delta_tmp"
+    merged.write.mode("overwrite").parquet(tmp)
+    _fs_replace_dedup(spark, tmp, f"{index_path}/signatures_delta")
+    d_sigs = spark.read.parquet(f"{index_path}/signatures_delta")
+    d_bands = d_sigs.select(
+        id_col,
+        F.posexplode(
+            F.transform(
+                F.sequence(F.lit(0), F.lit(bands - 1)),
+                lambda b: F.slice("signature", b * rows_per_band + 1, rows_per_band),
+            )
+        ).alias("band", "bucket"),
+    ).select("band", "bucket", id_col)
+    tmpb = f"{index_path}/bands_delta_tmp"
+    d_bands.write.mode("overwrite").parquet(tmpb)
+    _fs_replace_dedup(spark, tmpb, f"{index_path}/bands_delta")
+
+
+def minhash_index_compact(spark, index_path: str) -> None:
+    """Fold the refresh deltas into the base relations and re-apply
+    the per-bucket cap, then delete the deltas — probes scan single
+    relations again and the cap bound is restored. Idempotent: with
+    no delta present, nothing changes."""
+    d_sigs = _read_delta(spark, index_path, "signatures_delta")
+    if d_sigs is None:
+        return
+    p = _minhash_index_params(spark, index_path)
+    id_col = [c for c in d_sigs.columns if c != "signature"][0]
+    base = spark.read.parquet(f"{index_path}/signatures")
+    merged = base.join(
+        d_sigs.select(F.col(id_col).alias("__d")),
+        F.col(id_col) == F.col("__d"),
+        "left_anti",
+    ).unionByName(d_sigs)
+    tmp = f"{index_path}/signatures_tmp"
+    merged.write.mode("overwrite").parquet(tmp)
+    _fs_replace_dedup(spark, tmp, f"{index_path}/signatures")
+    sigs = spark.read.parquet(f"{index_path}/signatures")
+    rows_per_band = p["num_hashes"] // p["bands"]
+    banded = sigs.select(
+        id_col,
+        F.posexplode(
+            F.transform(
+                F.sequence(F.lit(0), F.lit(p["bands"] - 1)),
+                lambda b: F.slice("signature", b * rows_per_band + 1, rows_per_band),
+            )
+        ).alias("band", "bucket"),
+    )
+    wb = Window.partitionBy("band", "bucket").orderBy(id_col)
+    capped = (
+        banded.withColumn("__rn", F.row_number().over(wb))
+        .filter(F.col("__rn") <= p["max_bucket_docs"])
+        .select("band", "bucket", id_col)
+    )
+    tmpb = f"{index_path}/bands_tmp"
+    capped.write.mode("overwrite").partitionBy("band").parquet(tmpb)
+    _fs_replace_dedup(spark, tmpb, f"{index_path}/bands")
+    _fs_delete_dedup(spark, f"{index_path}/signatures_delta")
+    _fs_delete_dedup(spark, f"{index_path}/bands_delta")
+
+
+def _fs_delete_dedup(spark, path: str) -> None:
+    from .similarity import _fs_delete
+
+    _fs_delete(spark, path)
+
+
+def _fs_replace_dedup(spark, src: str, dst: str) -> None:
+    """Shared tmp-swap discipline — llm/similarity owns the Hadoop FS
+    helpers (portable to object stores); see _fs_replace's rationale."""
+    from .similarity import _fs_replace
+
+    _fs_replace(spark, src, dst)
 
 
 def simhash_buckets(

@@ -2423,6 +2423,148 @@ def llm_dedup_minhash_incremental(spark: SparkSession, sf_dir: str) -> DataFrame
     return minhash_incremental_pairs(corpus, batch, jaccard_threshold=0.5)
 
 
+def _minhash_index_path(sf_dir: str, params: str) -> str:
+    """Cached deployed-index location per (fixture, params, mtime) —
+    the same cache discipline as the ivfpq lifecycle keys."""
+    import hashlib
+    import os
+
+    from .scans import CACHE_DIR
+
+    src = os.path.join(sf_dir, "documents.parquet")
+    stamp = str(os.path.getmtime(src)) if os.path.exists(src) else "0"
+    key = hashlib.md5(
+        f"{os.path.abspath(sf_dir)}|{params}|{stamp}".encode()
+    ).hexdigest()[:16]
+    return os.path.join(CACHE_DIR, "minhash_index", key)
+
+
+@query(
+    "llm_dedup_index_probe",
+    oracle="""
+WITH canon AS (
+    SELECT doc_id, trim(regexp_replace(lower(text), '\s+', ' ', 'g')) AS c
+    FROM documents
+),
+sh AS (
+    SELECT DISTINCT doc_id,
+           (ascii(substr(c, i::INT, 1))::BIGINT * 67503107
+          + ascii(substr(c, i::INT + 1, 1)) * 16974593
+          + ascii(substr(c, i::INT + 2, 1)) * 66049
+          + ascii(substr(c, i::INT + 3, 1)) * 257
+          + ascii(substr(c, i::INT + 4, 1))) % 2147483647 AS h
+    FROM canon, LATERAL unnest(range(1, greatest(length(c) - 3, 2))) t(i)
+),
+perm AS (
+    SELECT i AS pi,
+           2 * ((874321::BIGINT * (i + 1)) % 2147483647) + 1 AS a,
+           (874321::BIGINT * 7919 * (i + 1)) % 2147483647 AS b
+    FROM range(32) t(i)
+),
+sigv AS (
+    SELECT doc_id, pi, min((a * h + b) % 2147483647) AS v
+    FROM sh CROSS JOIN perm
+    GROUP BY doc_id, pi
+),
+sig AS (
+    SELECT doc_id, list(v ORDER BY pi) AS s
+    FROM sigv GROUP BY doc_id
+),
+batch AS (SELECT * FROM sig WHERE doc_id % 5 = 0),
+corp  AS (SELECT * FROM sig WHERE doc_id % 5 <> 0),
+exact AS (
+    SELECT b.doc_id AS batch_id, min(c.doc_id) AS corpus_id
+    FROM batch b JOIN corp c ON b.s = c.s
+    GROUP BY b.doc_id
+),
+cbands AS (
+    SELECT doc_id, band, s[band::INT * 4 + 1 : band::INT * 4 + 4] AS blk
+    FROM corp CROSS JOIN range(8) t(band)
+),
+capped AS (
+    SELECT band, blk, doc_id AS corpus_id FROM (
+        SELECT *, row_number() OVER (PARTITION BY band, blk ORDER BY doc_id) AS rn
+        FROM cbands
+    ) WHERE rn <= 1000
+),
+bbands AS (
+    SELECT doc_id AS batch_id, band,
+           s[band::INT * 4 + 1 : band::INT * 4 + 4] AS blk
+    FROM batch CROSS JOIN range(8) t(band)
+),
+cand AS (
+    SELECT DISTINCT b.batch_id, c.corpus_id
+    FROM bbands b JOIN capped c ON b.band = c.band AND b.blk = c.blk
+    UNION
+    SELECT batch_id, corpus_id FROM exact
+)
+SELECT c.batch_id, c.corpus_id,
+       round(list_sum(list_transform(range(1, 33),
+             i -> CASE WHEN sa.s[i] = sb.s[i] THEN 1 ELSE 0 END)) / 32.0, 4)
+           + 0 AS est_jaccard
+FROM cand c
+JOIN sig sa ON sa.doc_id = c.batch_id
+JOIN sig sb ON sb.doc_id = c.corpus_id
+WHERE list_sum(list_transform(range(1, 33),
+      i -> CASE WHEN sa.s[i] = sb.s[i] THEN 1 ELSE 0 END)) / 32.0 >= 0.5
+    """,
+    tags=("llm", "dedup"),
+)
+def llm_dedup_index_probe(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deployed dedup index: build-once / probe-many (round 13 — the
+    dedup twin of llm_knn_ivfpq_probe). ``build_minhash_index``
+    persists signatures + capped banded blocks once per fixture; this
+    key then pays ONLY the probe: batch signatures, the exact-match
+    join against the stored signature relation, the banded join
+    against the stored (band, bucket) relation, verify. The cap
+    discipline matches the ad-hoc probe exactly, so the output is
+    byte-identical to llm_dedup_minhash_incremental over the same
+    %5 split and the key shares its exact ANSI oracle (equality also
+    unit-tested)."""
+    import os
+
+    from ..llm.dedup import build_minhash_index, minhash_index_probe
+
+    docs = load(spark, sf_dir, "documents")
+    index_path = _minhash_index_path(sf_dir, "mh32_b8_k5_cap1000")
+    if not os.path.exists(os.path.join(index_path, "bands", "_SUCCESS")):
+        build_minhash_index(docs.filter(F.col("doc_id") % 5 != 0), index_path)
+    batch = docs.filter(F.col("doc_id") % 5 == 0)
+    return minhash_index_probe(spark, index_path, batch, jaccard_threshold=0.5)
+
+
+@query("llm_dedup_index_refresh", oracle=None, tags=("llm", "dedup", "approx"))
+def llm_dedup_index_refresh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deployed dedup index MAINTENANCE: fold newly ingested documents
+    into the index as accumulating delta relations without rewriting
+    it (``minhash_index_refresh``; idempotent anti-join on id, so
+    every bench run converges to the same index state), then probe a
+    later batch — matches must now surface against BOTH the original
+    corpus and the refreshed slice, proving ingested documents are
+    immediately matchable. Base = doc_id %5 in {2,3,4}; refreshed
+    slice = %5 == 1; probe batch = %5 == 0. Rows-only like the ivfpq
+    maintenance keys (the delta/base split is an index-state detail
+    recursive SQL has no business replaying); delta visibility +
+    compact identity are unit-tested."""
+    import os
+
+    from ..llm.dedup import (
+        build_minhash_index,
+        minhash_index_probe,
+        minhash_index_refresh,
+    )
+
+    docs = load(spark, sf_dir, "documents")
+    index_path = _minhash_index_path(sf_dir, "refresh_mh32_b8_k5_cap1000")
+    if not os.path.exists(os.path.join(index_path, "bands", "_SUCCESS")):
+        build_minhash_index(
+            docs.filter(~(F.col("doc_id") % 5).isin(0, 1)), index_path
+        )
+    minhash_index_refresh(spark, index_path, docs.filter(F.col("doc_id") % 5 == 1))
+    batch = docs.filter(F.col("doc_id") % 5 == 0)
+    return minhash_index_probe(spark, index_path, batch, jaccard_threshold=0.5)
+
+
 # --------------------------------------------------------------------------
 # Retrieval scoring / tokenizer-training primitives (round 12)
 # --------------------------------------------------------------------------

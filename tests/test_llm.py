@@ -1347,3 +1347,88 @@ def test_minhash_incremental_linear_in_batch_against_hot_corpus(spark):
     assert two <= 2 * one  # linearity in the batch
     # and the exact channel still guarantees a hit despite the cap
     assert one >= 1 and two >= 2
+
+
+def test_minhash_index_probe_equals_adhoc_incremental(spark, sf_dir, tmp_path):
+    """Round-13 deployed dedup index: probing the persisted index must
+    return byte-identical pairs to the ad-hoc minhash_incremental_pairs
+    over the same corpus/batch split — the cap discipline and channels
+    are the same, only the corpus side's representation differs."""
+    from appstore_aws_etl_spark.llm.dedup import (
+        build_minhash_index,
+        minhash_incremental_pairs,
+        minhash_index_probe,
+    )
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    corpus = docs.filter(F.col("doc_id") % 5 != 0)
+    batch = docs.filter(F.col("doc_id") % 5 == 0)
+    idx = str(tmp_path / "mh_idx")
+    build_minhash_index(corpus, idx)
+    got = sorted(
+        (r["batch_id"], r["corpus_id"], r["est_jaccard"])
+        for r in minhash_index_probe(
+            spark, idx, batch, jaccard_threshold=0.5
+        ).collect()
+    )
+    want = sorted(
+        (r["batch_id"], r["corpus_id"], r["est_jaccard"])
+        for r in minhash_incremental_pairs(
+            corpus, batch, jaccard_threshold=0.5
+        ).collect()
+    )
+    assert got == want and len(got) > 0
+
+
+def test_minhash_index_refresh_and_compact_lifecycle(spark, tmp_path):
+    """Refresh makes newly ingested docs immediately matchable through
+    the delta; re-refreshing the same slice is idempotent; compaction
+    folds the delta (relations gone) with probe output unchanged."""
+    import os as _os
+
+    from appstore_aws_etl_spark.llm.dedup import (
+        build_minhash_index,
+        minhash_index_compact,
+        minhash_index_probe,
+        minhash_index_refresh,
+    )
+
+    base_text = "the quick brown fox jumps over the lazy dog again and again today"
+    new_text = "completely different words about spark engines and parquet files"
+    corpus = spark.createDataFrame(
+        [Row(doc_id=1, text=base_text), Row(doc_id=2, text="unrelated filler words here")]
+    )
+    idx = str(tmp_path / "mh_idx_r")
+    build_minhash_index(corpus, idx)
+    ingested = spark.createDataFrame([Row(doc_id=50, text=new_text)])
+    batch = spark.createDataFrame(
+        [
+            Row(doc_id=101, text=base_text),  # dup of original corpus
+            Row(doc_id=102, text=new_text),   # dup of the REFRESHED doc
+        ]
+    )
+
+    def probe():
+        return sorted(
+            (r["batch_id"], r["corpus_id"], r["est_jaccard"])
+            for r in minhash_index_probe(
+                spark, idx, batch, jaccard_threshold=0.5
+            ).collect()
+        )
+
+    # before refresh: only the original-corpus dup matches
+    before = probe()
+    assert (101, 1, 1.0) in before
+    assert not any(b == 102 for b, _, _ in before)
+    minhash_index_refresh(spark, idx, ingested)
+    after = probe()
+    assert (101, 1, 1.0) in after
+    assert (102, 50, 1.0) in after, "refreshed doc not matchable through delta"
+    # idempotent re-refresh
+    minhash_index_refresh(spark, idx, ingested)
+    assert probe() == after
+    # compact: deltas folded, probe identical
+    minhash_index_compact(spark, idx)
+    assert not _os.path.exists(f"{idx}/signatures_delta")
+    assert not _os.path.exists(f"{idx}/bands_delta")
+    assert probe() == after

@@ -43,7 +43,16 @@ NESTED_LOOP_OK = {
 ROW_UDF_OK = {"udf_scalar"}
 # construction triggers Spark jobs (model fitting / parameter fetch);
 # plans are still linted but these run slower
-SLOW_CONSTRUCT = {"llm_knn", "llm_knn_ivf", "llm_bpe_train", "llm_knn_ivfpq_delete"}
+SLOW_CONSTRUCT = {
+    "llm_knn",
+    "llm_knn_ivf",
+    "llm_bpe_train",
+    "llm_knn_ivfpq_delete",
+    # r13 deployed dedup index: construction may build/refresh the
+    # cached index relations (one-time per fixture)
+    "llm_dedup_index_probe",
+    "llm_dedup_index_refresh",
+}
 
 
 @pytest.fixture(scope="module")
