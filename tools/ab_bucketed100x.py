@@ -46,15 +46,33 @@ from appstore_aws_etl_spark.session import get_spark
 
 FIXTURE = os.environ.get("AB_FIXTURE", "/tmp/bench10x/x100")
 WAREHOUSE = os.environ.get("AB_WAREHOUSE", "/tmp/bucketed100x_wh")
-KEYS = [
-    "tpch_q3_shipping_priority",
-    "tpch_q4_priority_exists",
-    "tpch_q10_returned_items",
-    "tpch_q12_late_lines",
-    "tpch_q18_large_orders",
-]
 N_BUCKETS = int(os.environ.get("AB_BUCKETS", "32"))
-OVERRIDES = {"orders": f"orders_b{N_BUCKETS}", "lineitem": f"lineitem_b{N_BUCKETS}"}
+# AB_MODE selects the bucket key family: "orderkey" (the
+# orders x lineitem fact-fact floor keys) or "custkey" (the
+# customer x orders keys — q13's two-exchange floor, q22's anti join)
+MODE = os.environ.get("AB_MODE", "orderkey")
+if MODE == "orderkey":
+    KEYS = [
+        "tpch_q3_shipping_priority",
+        "tpch_q4_priority_exists",
+        "tpch_q10_returned_items",
+        "tpch_q12_late_lines",
+        "tpch_q18_large_orders",
+        # r13 readjud additions — both are orderkey-clustered:
+        # join_multikey self-joins lineitem on (orderkey, linenumber)
+        # and HashPartitioning(orderkey) satisfies the pair clustering
+        # (subset rule); degree_distribution's distinct + pair
+        # self-join cluster on orderkey the same way.
+        "join_multikey",
+        "graph_degree_distribution",
+    ]
+    BUCKET_TABLES = {"orders": "o_orderkey", "lineitem": "l_orderkey"}
+    SUFFIX = "b"
+else:
+    KEYS = ["tpch_q13_customer_distribution", "tpch_q22_dormant_customers"]
+    BUCKET_TABLES = {"orders": "o_custkey", "customer": "c_custkey"}
+    SUFFIX = "bc"
+OVERRIDES = {t: f"{t}_{SUFFIX}{N_BUCKETS}" for t in BUCKET_TABLES}
 
 
 def build_bucketed(spark) -> float:
@@ -71,7 +89,7 @@ def build_bucketed(spark) -> float:
     for t in OVERRIDES.values():
         shutil.rmtree(os.path.join(WAREHOUSE, t), ignore_errors=True)
     t0 = time.perf_counter()
-    for name, key in (("orders", "o_orderkey"), ("lineitem", "l_orderkey")):
+    for name, key in BUCKET_TABLES.items():
         df = catalog.load(spark, FIXTURE, name)
         # pre-repartition on the key with the bucket count: Spark's
         # repartition hash == the bucket hash (murmur3), so each task
