@@ -8,6 +8,22 @@ local merge. The cost is paid once per write instead of once per query.
 
 Spark requires a catalog table (``saveAsTable``) for bucket metadata;
 plain parquet paths can't carry it.
+
+Round-13 deployment knobs, both measured at the 100x tier
+(AB_BUCKETED100X_r13*.json, BASELINE.md round-13 section):
+
+* ``catalog.BUCKETED_OVERRIDES`` maps logical table names to bucketed
+  catalog tables, so every registry query transparently reads the
+  bucketed layout — orderkey-bucketed orders/lineitem remove 30-70% of
+  the floor keys' wall time and ALL orderkey exchanges.
+* ``spark.sql.requireAllClusterKeysForCoPartition=false`` lets a join
+  on a SUPERSET of the bucket key (join_multikey's (orderkey,
+  linenumber)) reuse single-key bucketing — HashPartitioning(orderkey)
+  legitimately satisfies the pair clustering, Spark just refuses by
+  default to avoid subset-key skew. With it, join_multikey runs with
+  zero exchanges (9.85 -> 3.02 s). Set per-session where bucket keys
+  are known non-degenerate; not a repo default (the skew caution is
+  real for ad-hoc data).
 """
 
 from __future__ import annotations
