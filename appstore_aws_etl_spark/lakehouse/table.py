@@ -1,0 +1,498 @@
+"""Lake table operations: the DML surface over the transaction log.
+
+Every operation follows the same copy-on-write shape the Delta paper
+describes: write new immutable parquet files under ``data/``, then make
+them (and only them) visible with one atomic log commit that pairs the
+``add`` actions with ``remove`` actions for the files they supersede.
+Readers replay the log to a snapshot and hand Spark an explicit file
+list — so reads are repeatable (no half-written batch is ever visible),
+time travel is just "replay to an older version", and incremental
+consumers diff two versions' file sets.
+
+Partitioning is Iceberg-style *hidden* partitioning rather than Hive
+directory layout: cluster columns stay ordinary data columns, the
+writer clusters files by them (``repartition`` on the cluster key), and
+the manifest records per-file min/max stats. Scan planning prunes on
+those stats BEFORE Spark ever lists a file — at 100 TB this is the
+difference between planning over a manifest (KBs per thousand files)
+and listing an object store. Files that survive pruning still get
+Spark's own parquet row-group pushdown on top.
+
+Per-file stats are computed with one distributed aggregation over the
+freshly written batch (``groupBy(input_file_name())``) — the collect is
+bounded by the batch's file count, never its row count.
+"""
+
+from __future__ import annotations
+
+import re
+import uuid
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+from .log import (
+    AddFile,
+    CommitConflict,
+    ConcurrentModification,
+    Snapshot,
+    _delete,
+    _fs,
+    _strip_scheme,
+    list_data_files,
+    list_versions,
+    maybe_checkpoint,
+    publish_commit,
+    read_commit,
+    replay,
+)
+
+_MAX_COMMIT_ATTEMPTS = 10
+
+
+class LakeTable:
+    """Handle on one log-backed table rooted at ``root``."""
+
+    def __init__(self, spark: SparkSession, root: str):
+        self.spark = spark
+        self.root = root.rstrip("/")
+
+    # ------------------------------------------------------- create --
+
+    @classmethod
+    def create(
+        cls,
+        spark: SparkSession,
+        root: str,
+        schema: T.StructType,
+        cluster_by: list[str] | None = None,
+    ) -> "LakeTable":
+        """Commit 0: metadata only (empty table). ``cluster_by`` names
+        the stats/pruning columns; it is metadata, not directory layout,
+        so it can change later without rewriting data."""
+        t = cls(spark, root)
+        meta = {
+            "id": uuid.uuid4().hex,
+            "schemaString": schema.json(),
+            "clusterBy": list(cluster_by or []),
+        }
+        publish_commit(spark, t.root, 0, [
+            {"metaData": meta},
+            {"commitInfo": {"operation": "CREATE", "readVersion": None}},
+        ])
+        return t
+
+    # ------------------------------------------------------ queries --
+
+    def snapshot(self, version: int | None = None) -> Snapshot:
+        return replay(self.spark, self.root, version)
+
+    def schema(self, snap: Snapshot | None = None) -> T.StructType:
+        snap = snap or self.snapshot()
+        return T.StructType.fromJson(__import__("json").loads(snap.metadata["schemaString"]))
+
+    def scan(self, version: int | None = None, where: str | None = None) -> DataFrame:
+        """Snapshot read. ``where`` both prunes the manifest (min/max
+        stats on simple conjuncts) and is applied as a normal filter —
+        semantics never depend on pruning quality."""
+        snap = self.snapshot(version)
+        schema = self.schema(snap)
+        files = snap.files
+        if where:
+            files = _prune_files(files, where)
+        if not files:
+            df = self.spark.createDataFrame([], schema)
+        else:
+            df = self.spark.read.schema(schema).parquet(
+                *[f"{self.root}/{f.path}" for f in files]
+            )
+        return df.filter(where) if where else df
+
+    def history(self) -> list[dict]:
+        commits, _ = list_versions(self.spark, self.root)
+        out = []
+        for v in commits:
+            for action in read_commit(self.spark, self.root, v):
+                if "commitInfo" in action:
+                    out.append({"version": v, **action["commitInfo"]})
+        return out
+
+    def added_between(self, since_version: int, until_version: int | None = None) -> DataFrame:
+        """CDF-lite incremental scan: rows in files ADDED in
+        ``(since, until]``. Exact change feed for append-only flows; for
+        copy-on-write commits it returns the rewritten files (file-level
+        granularity — the consumer dedups on its key, same contract as
+        a Delta change feed without per-row tombstones)."""
+        snap = self.snapshot(until_version)
+        commits, _ = list_versions(self.spark, self.root)
+        hi = snap.version
+        added: list[str] = []
+        for v in (c for c in commits if since_version < c <= hi):
+            for action in read_commit(self.spark, self.root, v):
+                if "add" in action:
+                    added.append(action["add"]["path"])
+        live = {f.path for f in snap.files}
+        paths = [p for p in added if p in live]
+        schema = self.schema(snap)
+        if not paths:
+            return self.spark.createDataFrame([], schema)
+        return self.spark.read.schema(schema).parquet(
+            *[f"{self.root}/{p}" for p in sorted(set(paths))]
+        )
+
+    # ---------------------------------------------------------- DML --
+
+    def append(self, df: DataFrame, merge_schema: bool = False) -> int:
+        """Blind append — commutes with concurrent appends, so conflicts
+        rebase and retry instead of failing."""
+        snap = self.snapshot()
+        schema = self.schema(snap)
+        if merge_schema:
+            schema = _merged_schema(schema, df.schema)
+            meta = dict(snap.metadata)
+            meta["schemaString"] = schema.json()
+            extra = [{"metaData": meta}]
+        else:
+            extra = []
+        adds = self._write_batch(_conform(df, schema, allow_missing=merge_schema),
+                                 snap.metadata.get("clusterBy", []))
+        return self._commit(
+            [a.to_action() for a in adds] + extra,
+            op="APPEND", read_version=snap.version, removes=set(),
+        )
+
+    def overwrite(self, df: DataFrame) -> int:
+        snap = self.snapshot()
+        adds = self._write_batch(_conform(df, self.schema(snap)),
+                                 snap.metadata.get("clusterBy", []))
+        removes = {f.path for f in snap.files}
+        actions = [{"remove": {"path": p}} for p in sorted(removes)]
+        actions += [a.to_action() for a in adds]
+        return self._commit(actions, op="OVERWRITE", read_version=snap.version,
+                            removes=removes)
+
+    def delete_where(self, cond: str) -> int:
+        """Copy-on-write delete in two narrowing steps: manifest stats
+        prune the candidate files without touching data, then one scan
+        of the candidates finds the files that actually CONTAIN a
+        matching row — only those are rewritten. Rows where ``cond``
+        evaluates NULL are kept (SQL DELETE semantics)."""
+        snap = self.snapshot()
+        schema = self.schema(snap)
+        candidates = _prune_files(snap.files, cond)
+        touched = self._files_containing(candidates, cond, schema)
+        if not touched:
+            return snap.version
+        survivors = self.spark.read.schema(schema).parquet(
+            *[f"{self.root}/{p}" for p in touched]
+        ).filter(~F.coalesce(F.expr(cond), F.lit(False)))
+        adds = self._write_batch(survivors, snap.metadata.get("clusterBy", []))
+        removes = set(touched)
+        actions = [{"remove": {"path": p}} for p in sorted(removes)]
+        actions += [a.to_action() for a in adds]
+        return self._commit(actions, op="DELETE", read_version=snap.version,
+                            removes=removes)
+
+    def update_set(self, cond: str, assignments: dict[str, str]) -> int:
+        """Copy-on-write UPDATE ... SET: narrowed like delete_where."""
+        snap = self.snapshot()
+        schema = self.schema(snap)
+        candidates = _prune_files(snap.files, cond)
+        touched_paths = self._files_containing(candidates, cond, schema)
+        if not touched_paths:
+            return snap.version
+        touched = self.spark.read.schema(schema).parquet(
+            *[f"{self.root}/{p}" for p in touched_paths]
+        )
+        hit = F.expr(cond)
+        updated = touched.select(*[
+            F.when(hit, F.expr(assignments[c]).cast(touched.schema[c].dataType))
+            .otherwise(F.col(c)).alias(c) if c in assignments else F.col(c)
+            for c in touched.columns
+        ])
+        adds = self._write_batch(updated, snap.metadata.get("clusterBy", []))
+        removes = set(touched_paths)
+        actions = [{"remove": {"path": p}} for p in sorted(removes)]
+        actions += [a.to_action() for a in adds]
+        return self._commit(actions, op="UPDATE", read_version=snap.version,
+                            removes=removes)
+
+    def merge(
+        self,
+        source: DataFrame,
+        keys: list[str],
+        when_matched: str = "update",  # "update" | "delete"
+        insert_not_matched: bool = True,
+    ) -> int:
+        """MERGE: rewrite only the target files that contain a matched
+        key (found by joining ``input_file_name`` against the source key
+        set), append inserts. Files with no matching key keep their
+        bytes — at 100 TB a trickle merge touches a handful of files,
+        not the table."""
+        snap = self.snapshot()
+        schema = self.schema(snap)
+        if not snap.files:
+            touched_paths: list[str] = []
+        else:
+            live = self.spark.read.schema(schema).parquet(
+                *[f"{self.root}/{f.path}" for f in snap.files]
+            )
+            # No forced broadcast: a merge source is not SF-bounded (a
+            # backfill can be table-sized); AQE broadcasts the key set
+            # when it is actually small, which is the trickle-merge case.
+            src_keys = source.select(*keys).distinct()
+            touched_uris = (
+                live.withColumn("__file", F.input_file_name())
+                .join(src_keys, on=keys, how="left_semi")
+                .select("__file").distinct().collect()  # bounded: file count
+            )
+            touched_paths = self._rel_paths(r["__file"] for r in touched_uris)
+        src = _conform(source, schema)
+        parts = []
+        if touched_paths:
+            touched = self.spark.read.schema(schema).parquet(
+                *[f"{self.root}/{p}" for p in touched_paths]
+            )
+            keep = touched.join(src.select(*keys).distinct(), on=keys, how="left_anti")
+            parts.append(keep)
+            if when_matched == "update":
+                matched_src = src.join(
+                    touched.select(*keys).distinct(), on=keys, how="left_semi"
+                )
+                parts.append(matched_src)
+            # when_matched == "delete": matched rows simply not rewritten
+        if insert_not_matched:
+            if snap.files:
+                live_keys = self.spark.read.schema(schema).parquet(
+                    *[f"{self.root}/{f.path}" for f in snap.files]
+                ).select(*keys).distinct()
+                parts.append(src.join(live_keys, on=keys, how="left_anti"))
+            else:
+                parts.append(src)
+        if not parts:
+            return snap.version
+        new_data = parts[0]
+        for p in parts[1:]:
+            new_data = new_data.unionByName(p)
+        adds = self._write_batch(new_data, snap.metadata.get("clusterBy", []))
+        removes = set(touched_paths)
+        actions = [{"remove": {"path": p}} for p in sorted(removes)]
+        actions += [a.to_action() for a in adds]
+        return self._commit(actions, op="MERGE", read_version=snap.version,
+                            removes=removes)
+
+    # -------------------------------------------------- maintenance --
+
+    def compact(self, target_rows_per_file: int) -> int:
+        """Bin-pack small files (OPTIMIZE): pure metadata + rewrite of
+        the small tail; large files are untouched."""
+        snap = self.snapshot()
+        small = [f for f in snap.files if f.num_records < target_rows_per_file]
+        if len(small) < 2:
+            return snap.version
+        total = sum(f.num_records for f in small)
+        n_out = max(1, -(-total // target_rows_per_file))
+        packed = self.spark.read.schema(self.schema(snap)).parquet(
+            *[f"{self.root}/{f.path}" for f in small]
+        ).repartition(n_out)
+        adds = self._write_batch(packed, cluster_by=[])
+        removes = {f.path for f in small}
+        actions = [{"remove": {"path": p}} for p in sorted(removes)]
+        actions += [a.to_action() for a in adds]
+        return self._commit(actions, op="COMPACT", read_version=snap.version,
+                            removes=removes)
+
+    def vacuum(self, retain_versions: int = 2) -> int:
+        """Delete data files unreachable from the ``retain_versions``
+        newest snapshots. Time travel keeps working inside the horizon;
+        older versions lose their bytes (their log entries remain for
+        audit). Returns number of files deleted."""
+        commits, _ = list_versions(self.spark, self.root)
+        keep_from = commits[max(0, len(commits) - retain_versions)]
+        live: set[str] = set()
+        for v in commits:
+            if v >= keep_from:
+                live |= {f.path for f in self.snapshot(v).files}
+        deleted = 0
+        for rel in list_data_files(self.spark, self.root):
+            if rel not in live:
+                _delete(self.spark, f"{self.root}/{rel}")
+                deleted += 1
+        return deleted
+
+    # ----------------------------------------------------- internals --
+
+    def _rel_paths(self, uris) -> list[str]:
+        """file:// URIs from input_file_name -> sorted root-relative paths."""
+        prefix = _strip_scheme(self.root).rstrip("/") + "/"
+        stripped = (_strip_scheme(u) for u in uris)
+        return sorted(p[len(prefix):] if p.startswith(prefix) else p for p in stripped)
+
+    def _files_containing(self, files: list[AddFile], cond: str,
+                          schema: T.StructType) -> list[str]:
+        """The subset of ``files`` that actually contain a row matching
+        ``cond`` — one scan of the stats candidates, collect bounded by
+        file count."""
+        if not files:
+            return []
+        df = self.spark.read.schema(schema).parquet(
+            *[f"{self.root}/{f.path}" for f in files]
+        )
+        rows = (df.filter(F.expr(cond))
+                .select(F.input_file_name().alias("__file"))
+                .distinct().collect())
+        return self._rel_paths(r["__file"] for r in rows)
+
+    def _write_batch(self, df: DataFrame, cluster_by: list[str]) -> list[AddFile]:
+        """Write immutable files for one commit and return their adds
+        with per-file min/max stats on the cluster columns."""
+        batch = f"data/{uuid.uuid4().hex[:12]}"
+        abs_batch = f"{self.root}/{batch}"
+        out = df
+        if cluster_by:
+            out = out.repartition(*[F.col(c) for c in cluster_by])
+        out.write.mode("errorifexists").parquet(abs_batch)
+
+        written = self.spark.read.parquet(abs_batch)
+        aggs = [F.count(F.lit(1)).alias("__n")]
+        for c in cluster_by:
+            aggs += [F.min(c).alias(f"__min_{c}"), F.max(c).alias(f"__max_{c}")]
+        rows = written.groupBy(F.input_file_name().alias("__f")).agg(*aggs).collect()
+        prefix = _strip_scheme(abs_batch).rstrip("/") + "/"
+        fs, _ = _fs(self.spark, abs_batch)
+        adds = []
+        for r in rows:
+            p = _strip_scheme(r["__f"])
+            name = p[len(prefix):] if p.startswith(prefix) else p.rsplit("/", 1)[-1]
+            jp = self.spark._jvm.org.apache.hadoop.fs.Path(f"{abs_batch}/{name}")
+            size = int(fs.getFileStatus(jp).getLen())
+            stats = {
+                c: {"min": _json_safe(r[f"__min_{c}"]), "max": _json_safe(r[f"__max_{c}"])}
+                for c in cluster_by
+            }
+            adds.append(AddFile(path=f"{batch}/{name}", size=size,
+                                num_records=int(r["__n"]), stats=stats))
+        return sorted(adds, key=lambda a: a.path)
+
+    def _commit(self, actions: list[dict], op: str, read_version: int,
+                removes: set[str]) -> int:
+        """Optimistic publish at ``read_version + 1`` — NEVER at
+        "latest + 1 from a fresh listing", which would let a stale
+        copy-on-write writer slide past every winner without a physical
+        collision and silently resurrect rows a concurrent commit
+        deleted. On collision, examine the winners: blind appends
+        rebase unconditionally (they commute); copy-on-write ops rebase
+        only while every file they are removing (= every file they
+        read) is still live, else :class:`ConcurrentModification`.
+        This is Delta's WriteSerializable level: appends may interleave
+        with a delete's predicate window; file-level write-write
+        conflicts are always detected."""
+        info = {"commitInfo": {"operation": op, "readVersion": read_version}}
+        attempt_read = read_version
+        for _ in range(_MAX_COMMIT_ATTEMPTS):
+            target = attempt_read + 1
+            try:
+                publish_commit(self.spark, self.root, target, actions + [info])
+            except CommitConflict:
+                winner = self.snapshot()
+                if removes:
+                    still_live = {f.path for f in winner.files}
+                    if not removes <= still_live:
+                        raise ConcurrentModification(
+                            f"{op} at read-version {read_version} lost files "
+                            f"{sorted(removes - still_live)[:3]} to a concurrent commit"
+                        ) from None
+                if winner.version < target:
+                    raise ConcurrentModification(
+                        f"{op}: version {target} exists but log replays to "
+                        f"{winner.version} (corrupt or mid-publish log)"
+                    ) from None
+                attempt_read = winner.version
+                continue
+            maybe_checkpoint(self.spark, self.root, self.snapshot(target))
+            return target
+        raise ConcurrentModification(
+            f"{op}: gave up after {_MAX_COMMIT_ATTEMPTS} contended attempts "
+            f"(last rebase saw version {attempt_read})"
+        )
+
+
+# ------------------------------------------------------------ helpers --
+
+
+def _json_safe(v):
+    import datetime
+    import decimal
+
+    if isinstance(v, (datetime.date, datetime.datetime, decimal.Decimal)):
+        return str(v)
+    return v
+
+
+def _merged_schema(base: T.StructType, incoming: T.StructType) -> T.StructType:
+    """Append-time schema evolution: new columns join as nullable; a
+    type conflict on an existing column is an error (no silent widening)."""
+    fields = list(base.fields)
+    names = {f.name for f in fields}
+    for f in incoming.fields:
+        if f.name in names:
+            cur = base[f.name].dataType
+            if cur != f.dataType:
+                raise TypeError(f"schema evolution type conflict on {f.name}: "
+                                f"{cur.simpleString()} vs {f.dataType.simpleString()}")
+        else:
+            fields.append(T.StructField(f.name, f.dataType, nullable=True))
+    return T.StructType(fields)
+
+
+def _conform(df: DataFrame, schema: T.StructType, allow_missing: bool = False) -> DataFrame:
+    """Project/cast ``df`` to the table schema (column order + types)."""
+    cols = []
+    have = set(df.columns)
+    for f in schema.fields:
+        if f.name in have:
+            cols.append(F.col(f.name).cast(f.dataType).alias(f.name))
+        elif allow_missing or f.nullable:
+            cols.append(F.lit(None).cast(f.dataType).alias(f.name))
+        else:
+            raise ValueError(f"append missing non-nullable column {f.name}")
+    return df.select(*cols)
+
+
+_CONJUNCT = re.compile(
+    r"^\s*(\w+)\s*(<=|>=|=|<|>)\s*('(?:[^']*)'|-?\d+(?:\.\d+)?)\s*$"
+)
+
+
+def _prune_files(files: list[AddFile], where: str) -> list[AddFile]:
+    """Manifest pruning on simple AND-ed range conjuncts over stats
+    columns. Anything unparseable keeps every file — pruning is an
+    optimization, never a semantic filter (scan re-applies ``where``)."""
+    conjuncts = []
+    for part in where.split(" AND "):
+        m = _CONJUNCT.match(part)
+        if m:
+            col, op, lit = m.groups()
+            lit = lit[1:-1] if lit.startswith("'") else float(lit)
+            conjuncts.append((col, op, lit))
+    if not conjuncts:
+        return files
+
+    def may_match(f: AddFile) -> bool:
+        for col, op, lit in conjuncts:
+            st = f.stats.get(col)
+            if not st or st["min"] is None or st["max"] is None:
+                continue  # no stats -> cannot prune on this conjunct
+            lo, hi = st["min"], st["max"]
+            if isinstance(lit, float) and isinstance(lo, str):
+                continue  # type mismatch -> keep
+            if op == "=" and not (lo <= lit <= hi):
+                return False
+            if op in ("<", "<=") and not (lo < lit or (op == "<=" and lo <= lit)):
+                return False
+            if op in (">", ">=") and not (hi > lit or (op == ">=" and hi >= lit)):
+                return False
+        return True
+
+    return [f for f in files if may_match(f)]
