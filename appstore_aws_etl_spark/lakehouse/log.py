@@ -51,6 +51,7 @@ deployed-index key in this repo documents.
 from __future__ import annotations
 
 import json
+import re
 from dataclasses import dataclass, field
 
 from pyspark.sql import Row, SparkSession
@@ -165,14 +166,17 @@ def list_data_files(spark: SparkSession, root: str) -> list[str]:
     return out
 
 
+_URI = re.compile(r"^[A-Za-z][A-Za-z0-9+.\-]*:(?://[^/]*)?(/.*)$")
+
+
 def _strip_scheme(uri: str) -> str:
-    if "://" in uri:
-        uri = uri.split("://", 1)[1]
-        # file:///x -> /x ; host-less authority already merged
-        if not uri.startswith("/"):
-            slash = uri.find("/")
-            uri = uri[slash:] if slash >= 0 else uri
-    return uri
+    """URI -> absolute path, tolerant of BOTH forms this stack emits:
+    ``input_file_name()`` gives ``file:///x`` (empty authority) while
+    Hadoop ``Path.toString()`` gives ``file:/x`` (no authority at all).
+    Only ever used to compare two paths under the same table root, so
+    dropping scheme+authority from both sides is safe."""
+    m = _URI.match(uri)
+    return m.group(1) if m else uri
 
 
 # --------------------------------------------------------------- log --

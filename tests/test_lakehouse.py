@@ -1,0 +1,257 @@
+"""Lakehouse table-format tests (lakehouse/log.py, lakehouse/table.py):
+ACID commit protocol, snapshot isolation, time travel, checkpoint
+replay equivalence, manifest stats pruning, copy-on-write DML
+correctness, concurrency conflict rules, vacuum safety."""
+
+from __future__ import annotations
+
+import json
+import os
+
+import pytest
+
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+from appstore_aws_etl_spark.lakehouse import (
+    CommitConflict,
+    ConcurrentModification,
+    LakeTable,
+)
+from appstore_aws_etl_spark.lakehouse import log as lakelog
+from appstore_aws_etl_spark.lakehouse import table as laketable
+
+SCHEMA = T.StructType([
+    T.StructField("k", T.LongType()),
+    T.StructField("v", T.StringType()),
+    T.StructField("grp", T.LongType()),
+])
+
+
+def _rows(spark, lo, hi, tag="v"):
+    return spark.range(lo, hi).select(
+        F.col("id").alias("k"),
+        F.concat(F.lit(tag), F.col("id")).alias("v"),
+        (F.col("id") % 4).alias("grp"),
+    )
+
+
+@pytest.fixture()
+def table(spark, tmp_path):
+    return LakeTable.create(spark, str(tmp_path / "tbl"), SCHEMA, cluster_by=["grp"])
+
+
+def test_append_read_and_time_travel(spark, table):
+    table.append(_rows(spark, 0, 100))
+    table.append(_rows(spark, 100, 150))
+    assert table.scan().count() == 150
+    assert table.scan(version=1).count() == 100
+    assert table.scan(version=0).count() == 0  # empty at CREATE
+    # snapshot reads are explicit file lists: a new un-committed batch
+    # dir on disk must not leak into any snapshot
+    stray = f"{table.root}/data/stray"
+    _rows(spark, 900, 910).write.parquet(stray)
+    assert table.scan().count() == 150
+
+
+def test_overwrite_replaces_and_history_records_ops(spark, table):
+    table.append(_rows(spark, 0, 50))
+    table.overwrite(_rows(spark, 0, 10, tag="ow"))
+    assert table.scan().count() == 10
+    assert [h["operation"] for h in table.history()] == ["CREATE", "APPEND", "OVERWRITE"]
+    # old version still readable until vacuum
+    assert table.scan(version=1).count() == 50
+
+
+def test_delete_where_rewrites_only_matching_files(spark, table):
+    # separate appends -> files from append 1 provably contain no k>=100
+    table.append(_rows(spark, 0, 100))
+    table.append(_rows(spark, 100, 200))
+    before = {f.path for f in table.snapshot().files}
+    table.delete_where("k >= 100 AND k < 108")
+    after = table.snapshot()
+    assert table.scan().count() == 192
+    assert table.scan().filter("k >= 100 AND k < 108").count() == 0
+    # append-1 files contained no matching row and must not be rewritten
+    untouched = before & {f.path for f in after.files}
+    assert untouched, "delete rewrote every file including non-matching ones"
+
+
+def test_delete_where_null_predicate_rows_survive(spark, table):
+    df = spark.createDataFrame(
+        [(1, "a", 1), (2, None, 1), (3, "b", 1)], schema=SCHEMA
+    )
+    table.append(df)
+    table.delete_where("v = 'a'")
+    got = {r.k for r in table.scan().collect()}
+    assert got == {2, 3}  # NULL-evaluating row kept, SQL DELETE semantics
+
+
+def test_update_set_casts_and_preserves_other_rows(spark, table):
+    table.append(_rows(spark, 0, 20))
+    table.update_set("k >= 15", {"v": "'bumped'", "grp": "grp + 10"})
+    out = table.scan().orderBy("k").collect()
+    assert [r.v for r in out[15:]] == ["bumped"] * 5
+    assert [r.grp for r in out[15:]] == [(k % 4) + 10 for k in range(15, 20)]
+    assert [r.v for r in out[:15]] == [f"v{k}" for k in range(15)]
+
+
+def test_merge_upsert_matches_full_join_semantics(spark, table):
+    table.append(_rows(spark, 0, 30))
+    src = spark.range(20, 40).select(
+        F.col("id").alias("k"), F.lit("m").alias("v"), F.lit(9).alias("grp")
+    )
+    table.merge(src, keys=["k"])
+    out = table.scan()
+    assert out.count() == 40
+    assert out.filter("v = 'm'").count() == 20
+    assert out.filter("k < 20 AND v like 'v%'").count() == 20
+
+
+def test_merge_when_matched_delete(spark, table):
+    table.append(_rows(spark, 0, 30))
+    src = spark.range(10, 20).select(
+        F.col("id").alias("k"), F.lit("x").alias("v"), F.lit(0).alias("grp")
+    )
+    table.merge(src, keys=["k"], when_matched="delete", insert_not_matched=False)
+    assert {r.k for r in table.scan().collect()} == set(range(10)) | set(range(20, 30))
+
+
+def test_checkpoint_replay_equivalence(spark, table):
+    # drive past CHECKPOINT_INTERVAL commits, then verify a snapshot
+    # built from checkpoint+tail equals one built from pure JSON replay
+    for i in range(lakelog.CHECKPOINT_INTERVAL + 3):
+        table.append(_rows(spark, i * 10, i * 10 + 10))
+    _, checkpoints = lakelog.list_versions(spark, table.root)
+    assert checkpoints, "no checkpoint written past the interval"
+    snap = table.snapshot()
+    # pure replay: temporarily hide checkpoints by replaying to a
+    # version below the first checkpoint, then rebuild incrementally
+    pure = {}
+    for v in range(1, snap.version + 1):
+        for action in lakelog.read_commit(spark, table.root, v):
+            if "add" in action:
+                pure[action["add"]["path"]] = action["add"]["numRecords"]
+            elif "remove" in action:
+                pure.pop(action["remove"]["path"], None)
+    assert {f.path: f.num_records for f in snap.files} == pure
+    assert table.scan().count() == (lakelog.CHECKPOINT_INTERVAL + 3) * 10
+
+
+def test_stats_pruning_skips_files_and_keeps_semantics(spark, table):
+    # three appends with disjoint grp values -> per-file stats disjoint
+    for g in (0, 1, 2):
+        df = spark.range(0, 50).select(
+            (F.col("id") + g * 1000).alias("k"),
+            F.lit(f"g{g}").alias("v"),
+            F.lit(g).alias("grp"),
+        )
+        table.append(df)
+    files = table.snapshot().files
+    pruned = laketable._prune_files(files, "grp = 1")
+    assert 0 < len(pruned) < len(files)
+    # and the scan with the same predicate returns exactly the right rows
+    assert table.scan(where="grp = 1").count() == 50
+    # unparseable predicate -> no pruning, still correct
+    assert table.scan(where="grp in (0, 2)").count() == 100
+
+
+def test_commit_put_if_absent_is_atomic(spark, table):
+    v1 = table.append(_rows(spark, 0, 10))
+    with pytest.raises(CommitConflict):
+        lakelog.publish_commit(spark, table.root, v1, [{"commitInfo": {"operation": "X"}}])
+
+
+def test_concurrent_appends_rebase_and_both_land(spark, table, monkeypatch):
+    table.append(_rows(spark, 0, 10))
+    # writer A reads v1; writer B commits v2; A's publish at v2 collides
+    # and must rebase to v3 (appends commute)
+    real_publish = laketable.publish_commit
+    state = {"injected": False}
+
+    def racy_publish(sp, root, version, actions):
+        if not state["injected"]:
+            state["injected"] = True
+            other = LakeTable(sp, root)
+            other.append(_rows(sp, 100, 110, tag="b"))
+        return real_publish(sp, root, version, actions)
+
+    monkeypatch.setattr(laketable, "publish_commit", racy_publish)
+    v = table.append(_rows(spark, 200, 210, tag="a"))
+    assert v == 3
+    assert table.scan().count() == 30  # nothing lost
+
+
+def test_concurrent_delete_vs_overwrite_conflicts(spark, table, monkeypatch):
+    table.append(_rows(spark, 0, 40))
+    real_publish = laketable.publish_commit
+    state = {"injected": False}
+
+    def racy_publish(sp, root, version, actions):
+        if not state["injected"]:
+            state["injected"] = True
+            LakeTable(sp, root).overwrite(_rows(sp, 0, 5, tag="ow"))
+        return real_publish(sp, root, version, actions)
+
+    monkeypatch.setattr(laketable, "publish_commit", racy_publish)
+    with pytest.raises(ConcurrentModification):
+        table.delete_where("grp = 1")
+    # the winner's state is intact
+    assert table.scan().count() == 5
+
+
+def test_compact_binpacks_small_files_only(spark, table):
+    for i in range(4):
+        table.append(_rows(spark, i * 10, i * 10 + 10))
+    n_before = len(table.snapshot().files)
+    table.compact(target_rows_per_file=1000)
+    snap = table.snapshot()
+    assert len(snap.files) < n_before
+    assert table.scan().count() == 40
+    assert [h["operation"] for h in table.history()][-1] == "COMPACT"
+
+
+def test_vacuum_keeps_retained_versions_deletes_rest(spark, table):
+    table.append(_rows(spark, 0, 20))     # v1
+    table.overwrite(_rows(spark, 0, 5))   # v2 — v1's files now dead
+    table.append(_rows(spark, 5, 8))      # v3
+    deleted = table.vacuum(retain_versions=2)  # keep v2, v3
+    assert deleted > 0
+    assert table.scan().count() == 8
+    assert table.scan(version=2).count() == 5  # inside horizon: still readable
+    with pytest.raises(Exception):
+        table.scan(version=1).collect()  # outside horizon: bytes gone
+
+
+def test_schema_evolution_append_new_column(spark, table):
+    table.append(_rows(spark, 0, 10))
+    wide = _rows(spark, 10, 20).withColumn("score", F.col("k") * 1.5)
+    table.append(wide, merge_schema=True)
+    out = table.scan()
+    assert "score" in out.columns
+    assert out.filter("score IS NULL").count() == 10  # old files null-filled
+    assert out.filter("score IS NOT NULL").count() == 10
+    # type conflict refuses rather than widening silently
+    bad = _rows(spark, 30, 35).withColumn("score", F.lit("not-a-double"))
+    with pytest.raises(Exception):
+        table.append(bad, merge_schema=True)
+
+
+def test_added_between_is_an_incremental_feed_for_appends(spark, table):
+    table.append(_rows(spark, 0, 10))    # v1
+    table.append(_rows(spark, 10, 25))   # v2
+    table.append(_rows(spark, 25, 30))   # v3
+    inc = table.added_between(1, 3)
+    assert {r.k for r in inc.collect()} == set(range(10, 30))
+
+
+def test_log_relocatable_after_move(spark, table, tmp_path):
+    """add paths are root-relative: moving the whole table directory
+    must not break snapshot reads (object-store rename / mount moves)."""
+    table.append(_rows(spark, 0, 15))
+    import shutil
+
+    new_root = str(tmp_path / "moved")
+    shutil.move(table.root, new_root)
+    moved = LakeTable(spark, new_root)
+    assert moved.scan().count() == 15
