@@ -12,6 +12,7 @@ from . import (  # noqa: F401
     functions,
     graph,
     joins,
+    lakehouse,
     llm,
     projection,
     scans,

@@ -1,0 +1,214 @@
+"""Lakehouse DML query keys (SURVEY.md §2.12 L-rows).
+
+Each key builds a real log-backed table (lakehouse/table.py) from the
+fixture, runs a DML lifecycle against it — every mutation an atomic
+log commit — and returns the resulting snapshot scan, so the DuckDB
+oracle checks the END STATE of an ACID sequence, not a single query.
+This upgrades the round-12 gap list's #1 item ("MERGE over plain
+parquet with tmp-swap atomicity") to real table semantics: concurrent
+writers serialize through put-if-absent commits, readers never see a
+half-applied operation, and old versions stay readable until vacuum.
+
+Table roots live under the cache dir keyed by (key, fixture) and are
+rebuilt from scratch on every call — the lifecycle IS the operator
+under test, so stale state from a previous run must never leak in.
+
+Scale: all DML here is copy-on-write over file-granular manifests —
+commit cost is O(files touched), never O(table). The merge key's
+touched-file discovery and the delete key's stats pruning are the
+100 TB story (see lakehouse/table.py docstrings); correctness is
+end-state-hashed at every tier.
+"""
+
+from __future__ import annotations
+
+import os
+import shutil
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..catalog import load
+from ..lakehouse import LakeTable
+from ..registry import query
+from .scans import CACHE_DIR
+
+_CUST_COLS = ["c_custkey", "c_name", "c_nationkey", "c_acctbal", "c_mktsegment"]
+
+
+def _fresh_root(sf_dir: str, key: str) -> str:
+    slug = os.path.basename(os.path.normpath(sf_dir)) or "sf"
+    root = os.path.join(CACHE_DIR, "lake", slug, key)
+    shutil.rmtree(root, ignore_errors=True)
+    os.makedirs(os.path.dirname(root), exist_ok=True)
+    return root
+
+
+def _customer(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return load(spark, sf_dir, "customer").select(*_CUST_COLS)
+
+
+@query(
+    "lake_merge_upsert",
+    oracle="""
+    WITH source AS (
+        SELECT c_custkey, 'upd-' || c_name AS c_name, c_nationkey,
+               round(c_acctbal * 1.1, 4) AS c_acctbal, c_mktsegment
+        FROM customer WHERE c_custkey % 3 = 0
+        UNION ALL
+        SELECT -c_custkey, 'new-' || c_name, c_nationkey, 0.0, c_mktsegment
+        FROM customer WHERE c_custkey % 1000 = 1
+    )
+    SELECT coalesce(s.c_custkey, t.c_custkey) AS c_custkey,
+           coalesce(s.c_name, t.c_name)       AS c_name,
+           coalesce(s.c_nationkey, t.c_nationkey) AS c_nationkey,
+           CASE WHEN s.c_custkey IS NOT NULL THEN s.c_acctbal ELSE t.c_acctbal END AS c_acctbal,
+           coalesce(s.c_mktsegment, t.c_mktsegment) AS c_mktsegment
+    FROM customer t FULL JOIN source s ON t.c_custkey = s.c_custkey
+    """,
+    tags=("lakehouse", "etl", "custom-operator"),
+)
+def lake_merge_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ACID MERGE into a log-backed table: updates hit every third
+    customer, inserts arrive with negative keys; only target files
+    containing a matched key are rewritten, the commit is atomic."""
+    cust = _customer(spark, sf_dir)
+    t = LakeTable.create(spark, _fresh_root(sf_dir, "merge"), cust.schema)
+    t.append(cust)
+    updates = cust.filter(F.col("c_custkey") % 3 == 0).withColumn(
+        "c_acctbal", F.round(F.col("c_acctbal") * 1.1, 4)
+    ).withColumn("c_name", F.concat(F.lit("upd-"), F.col("c_name")))
+    inserts = cust.filter(F.col("c_custkey") % 1000 == 1).select(
+        (-F.col("c_custkey")).alias("c_custkey"),
+        F.concat(F.lit("new-"), F.col("c_name")).alias("c_name"),
+        "c_nationkey",
+        F.lit(0.0).alias("c_acctbal"),
+        "c_mktsegment",
+    )
+    t.merge(updates.unionByName(inserts), keys=["c_custkey"])
+    return t.scan()
+
+
+@query(
+    "lake_delete_where",
+    oracle="""
+    SELECT c_custkey, c_name, c_nationkey, c_acctbal, c_mktsegment
+    FROM customer
+    WHERE NOT (c_mktsegment = 'BUILDING' AND c_acctbal < 0)
+    """,
+    tags=("lakehouse", "etl"),
+)
+def lake_delete_where(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Copy-on-write DELETE: manifest stats (clustered on c_nationkey)
+    prune candidate files, a containment scan narrows to files with
+    matching rows, only those are rewritten."""
+    cust = _customer(spark, sf_dir)
+    t = LakeTable.create(spark, _fresh_root(sf_dir, "delete"), cust.schema,
+                         cluster_by=["c_nationkey"])
+    t.append(cust)
+    t.delete_where("c_mktsegment = 'BUILDING' AND c_acctbal < 0")
+    return t.scan()
+
+
+@query(
+    "lake_update_where",
+    oracle="""
+    SELECT c_custkey, c_name, c_nationkey,
+           CASE WHEN c_acctbal < 0 THEN 0.0 ELSE c_acctbal END AS c_acctbal,
+           CASE WHEN c_acctbal < 0 THEN 'RECOVERED' ELSE c_mktsegment END AS c_mktsegment
+    FROM customer
+    """,
+    tags=("lakehouse", "etl"),
+)
+def lake_update_where(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Copy-on-write UPDATE ... SET over the debtor rows only."""
+    cust = _customer(spark, sf_dir)
+    t = LakeTable.create(spark, _fresh_root(sf_dir, "update"), cust.schema)
+    t.append(cust)
+    t.update_set("c_acctbal < 0",
+                 {"c_acctbal": "0.0", "c_mktsegment": "'RECOVERED'"})
+    return t.scan()
+
+
+@query(
+    "lake_time_travel",
+    oracle="""
+    SELECT c_custkey, c_name, c_nationkey, c_acctbal, c_mktsegment
+    FROM customer
+    """,
+    tags=("lakehouse", "etl"),
+)
+def lake_time_travel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Snapshot isolation across DML: after a DELETE commits, version 1
+    must still read the full pre-delete table (removed files keep their
+    bytes until vacuum)."""
+    cust = _customer(spark, sf_dir)
+    t = LakeTable.create(spark, _fresh_root(sf_dir, "timetravel"), cust.schema)
+    t.append(cust)
+    t.delete_where("c_nationkey < 10")
+    return t.scan(version=1)
+
+
+@query(
+    "lake_compact_identity",
+    oracle="""
+    SELECT c_custkey, c_name, c_nationkey, c_acctbal, c_mktsegment
+    FROM customer
+    """,
+    tags=("lakehouse", "etl"),
+)
+def lake_compact_identity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """OPTIMIZE bin-packing: four small appends then a compact; the
+    rewrite must be row-for-row lossless (the oracle checks content,
+    the unit tests check the file count actually dropped)."""
+    cust = _customer(spark, sf_dir)
+    t = LakeTable.create(spark, _fresh_root(sf_dir, "compact"), cust.schema)
+    for part in range(4):
+        t.append(cust.filter(F.col("c_custkey") % 4 == part))
+    t.compact(target_rows_per_file=2_000_000_000)
+    return t.scan()
+
+
+@query(
+    "lake_incremental_feed",
+    oracle="""
+    SELECT c_custkey, c_name, c_nationkey, c_acctbal, c_mktsegment
+    FROM customer WHERE c_custkey % 2 = 1
+    """,
+    tags=("lakehouse", "etl", "custom-operator"),
+)
+def lake_incremental_feed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CDF-lite incremental consumption: after two appends, the changes
+    in (v1, v2] are exactly batch 2 — a downstream job resumes from its
+    last-seen version instead of re-reading the table."""
+    cust = _customer(spark, sf_dir)
+    t = LakeTable.create(spark, _fresh_root(sf_dir, "feed"), cust.schema)
+    t.append(cust.filter(F.col("c_custkey") % 2 == 0))
+    t.append(cust.filter(F.col("c_custkey") % 2 == 1))
+    return t.added_between(1, 2)
+
+
+@query(
+    "lake_schema_evolution",
+    oracle="""
+    SELECT c_custkey, c_acctbal, CAST(NULL AS VARCHAR) AS tier
+    FROM customer WHERE c_nationkey < 13
+    UNION ALL
+    SELECT c_custkey, c_acctbal,
+           CASE WHEN c_acctbal >= 5000 THEN 'gold' ELSE 'std' END AS tier
+    FROM customer WHERE c_nationkey >= 13
+    """,
+    tags=("lakehouse", "etl"),
+)
+def lake_schema_evolution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """mergeSchema append: batch 2 carries a new ``tier`` column; old
+    files read back null-filled under the evolved schema, no rewrite."""
+    cust = load(spark, sf_dir, "customer").select("c_custkey", "c_nationkey", "c_acctbal")
+    base = cust.filter(F.col("c_nationkey") < 13).drop("c_nationkey")
+    t = LakeTable.create(spark, _fresh_root(sf_dir, "evolve"), base.schema)
+    t.append(base)
+    wide = cust.filter(F.col("c_nationkey") >= 13).drop("c_nationkey").withColumn(
+        "tier", F.when(F.col("c_acctbal") >= 5000, "gold").otherwise("std")
+    )
+    t.append(wide, merge_schema=True)
+    return t.scan()
