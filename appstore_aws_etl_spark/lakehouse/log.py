@@ -28,6 +28,9 @@ Action vocabulary (one JSON object per line of a commit file):
 * ``{"remove": {"path"}}`` — a data file leaves the live set (the bytes
   stay until ``vacuum`` so time travel keeps working).
 * ``{"commitInfo": {"operation", "readVersion"}}`` — provenance.
+* ``{"txn": {"appId", "version"}}`` — idempotence watermark for an
+  external writer (the streaming sink's exactly-once handshake: a
+  micro-batch retry sees its batchId already recorded and skips).
 
 Concurrency is optimistic, exactly the paper's recipe: a writer
 serializes its actions, then publishes them as version ``v+1`` with an
@@ -87,6 +90,7 @@ class Snapshot:
     version: int
     metadata: dict
     adds: dict[str, AddFile]  # path -> AddFile, live set
+    txns: dict[str, int] = field(default_factory=dict)  # appId -> last txn version
 
     @property
     def files(self) -> list[AddFile]:
@@ -230,6 +234,7 @@ def replay(spark: SparkSession, root: str, version: int | None = None) -> Snapsh
 
     adds: dict[str, AddFile] = {}
     metadata: dict = {}
+    txns: dict[str, int] = {}
     start = 0
     usable = [c for c in checkpoints if c <= target]
     if usable:
@@ -237,6 +242,9 @@ def replay(spark: SparkSession, root: str, version: int | None = None) -> Snapsh
         for row in spark.read.parquet(checkpoint_path(root, cp)).collect():
             if row.kind == "meta":
                 metadata = json.loads(row.payload)
+            elif row.kind == "txn":
+                t = json.loads(row.payload)
+                txns[t["appId"]] = t["version"]
             else:
                 a = json.loads(row.payload)
                 adds[a["path"]] = AddFile(a["path"], a["size"], a["numRecords"], a["stats"])
@@ -251,7 +259,10 @@ def replay(spark: SparkSession, root: str, version: int | None = None) -> Snapsh
                 adds[a["path"]] = AddFile(a["path"], a["size"], a["numRecords"], a.get("stats", {}))
             elif "remove" in action:
                 adds.pop(action["remove"]["path"], None)
-    return Snapshot(version=target, metadata=metadata, adds=adds)
+            elif "txn" in action:
+                t = action["txn"]
+                txns[t["appId"]] = max(t["version"], txns.get(t["appId"], -1))
+    return Snapshot(version=target, metadata=metadata, adds=adds, txns=txns)
 
 
 def maybe_checkpoint(spark: SparkSession, root: str, snap: Snapshot) -> bool:
@@ -264,6 +275,9 @@ def maybe_checkpoint(spark: SparkSession, root: str, snap: Snapshot) -> bool:
     if snap.version == 0 or snap.version % CHECKPOINT_INTERVAL != 0:
         return False
     rows = [Row(kind="meta", payload=json.dumps(snap.metadata, sort_keys=True))] + [
+        Row(kind="txn", payload=json.dumps({"appId": a, "version": v}, sort_keys=True))
+        for a, v in sorted(snap.txns.items())
+    ] + [
         Row(kind="add", payload=json.dumps(
             {"path": a.path, "size": a.size, "numRecords": a.num_records, "stats": a.stats},
             sort_keys=True))

@@ -143,10 +143,20 @@ class LakeTable:
 
     # ---------------------------------------------------------- DML --
 
-    def append(self, df: DataFrame, merge_schema: bool = False) -> int:
+    def append(self, df: DataFrame, merge_schema: bool = False,
+               txn: tuple[str, int] | None = None) -> int:
         """Blind append — commutes with concurrent appends, so conflicts
-        rebase and retry instead of failing."""
+        rebase and retry instead of failing.
+
+        ``txn=(app_id, version)`` makes the append IDEMPOTENT for that
+        writer: if the log already records ``version`` (or newer) for
+        ``app_id`` the append is skipped — the exactly-once handshake a
+        restarted streaming micro-batch relies on. The check re-runs
+        inside the commit retry loop, so a concurrent attempt of the
+        SAME batch cannot double-apply through a rebase."""
         snap = self.snapshot()
+        if txn is not None and snap.txns.get(txn[0], -1) >= txn[1]:
+            return snap.version
         schema = self.schema(snap)
         if merge_schema:
             schema = _merged_schema(schema, df.schema)
@@ -155,11 +165,13 @@ class LakeTable:
             extra = [{"metaData": meta}]
         else:
             extra = []
+        if txn is not None:
+            extra.append({"txn": {"appId": txn[0], "version": txn[1]}})
         adds = self._write_batch(_conform(df, schema, allow_missing=merge_schema),
                                  snap.metadata.get("clusterBy", []))
         return self._commit(
             [a.to_action() for a in adds] + extra,
-            op="APPEND", read_version=snap.version, removes=set(),
+            op="APPEND", read_version=snap.version, removes=set(), txn=txn,
         )
 
     def overwrite(self, df: DataFrame) -> int:
@@ -376,7 +388,7 @@ class LakeTable:
         return sorted(adds, key=lambda a: a.path)
 
     def _commit(self, actions: list[dict], op: str, read_version: int,
-                removes: set[str]) -> int:
+                removes: set[str], txn: tuple[str, int] | None = None) -> int:
         """Optimistic publish at ``read_version + 1`` — NEVER at
         "latest + 1 from a fresh listing", which would let a stale
         copy-on-write writer slide past every winner without a physical
@@ -396,6 +408,8 @@ class LakeTable:
                 publish_commit(self.spark, self.root, target, actions + [info])
             except CommitConflict:
                 winner = self.snapshot()
+                if txn is not None and winner.txns.get(txn[0], -1) >= txn[1]:
+                    return winner.version  # same batch already landed
                 if removes:
                     still_live = {f.path for f in winner.files}
                     if not removes <= still_live:

@@ -707,7 +707,14 @@ def tpch_q7(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def tpch_q14(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Q14 promotion-revenue share: month-sliced fact, broadcast part
-    dim, one conditional global aggregate."""
+    dim, one conditional global aggregate.
+
+    r13 probe (AB_R13C_100X, measured dead end): pre-aggregating the
+    month slice to partkey grain so AQE broadcasts the agg output and
+    the part side never shuffles LOST 1.52 -> 1.97 s median — the
+    month slice is already small enough that the extra aggregation
+    costs more than the join exchange it removes. Residual vs DuckDB
+    (0.15 s) is the class-4 session floor (BASELINE.md r13)."""
     li = load(spark, sf_dir, "lineitem").filter(
         (F.col("l_shipdate") >= F.lit("1996-03-01").cast("timestamp"))
         & (F.col("l_shipdate") < F.lit("1996-04-01").cast("timestamp"))
@@ -1100,28 +1107,33 @@ def analytics_cohort_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
     first-activity week, counted in each later week they reappear —
     the standard growth-analytics rollup.
 
-    Scale shape: one shuffle on user_id for the first-week aggregate
-    (broadcast back — it is one row per user, small relative to
-    events), a distinct on (user, cohort, offset), then a tiny final
-    aggregate; weeks are Monday-truncated identically on both engines."""
+    Scale shape (r13 re-plan): ONE user-keyed exchange total. The
+    original plan paid three wide shuffles plus a self-join (groupBy
+    user for first week, join back, distinct on (user, cohort,
+    offset)); but the per-user week SET is everything the query needs —
+    ``collect_set(week)`` partial-merges map-side (ObjectHashAggregate
+    dedups per partition before the exchange, so what shuffles is
+    bounded by users x distinct weeks, not events), ``array_min`` gives
+    the cohort week with no join, and explode feeds the tiny final
+    (cohort, offset) aggregate. The set is calendar-bounded (one entry
+    per week the user was active — decades fit in KBs), so the state
+    never becomes a skew risk at any event volume."""
     ev = load(spark, sf_dir, "events")
-    firsts = ev.groupBy("user_id").agg(
-        F.min(F.date_trunc("week", F.col("ts"))).alias("cohort_week")
+    per_user = (
+        ev.select("user_id", F.date_trunc("week", F.col("ts")).alias("week"))
+        .groupBy("user_id")
+        .agg(F.collect_set("week").alias("weeks"))
     )
-    activity = (
-        ev.join(firsts, "user_id")
+    return (
+        per_user.select(F.array_min("weeks").alias("cohort_week"),
+                        F.explode("weeks").alias("week"))
         .select(
-            "user_id",
             "cohort_week",
-            (
-                F.datediff(F.date_trunc("week", F.col("ts")), F.col("cohort_week"))
-                / 7
-            ).cast("long").alias("week_offset"),
+            (F.datediff(F.col("week"), F.col("cohort_week")) / 7)
+            .cast("long").alias("week_offset"),
         )
-        .distinct()
-    )
-    return activity.groupBy("cohort_week", "week_offset").agg(
-        F.count(F.lit(1)).alias("n_users")
+        .groupBy("cohort_week", "week_offset")
+        .agg(F.count(F.lit(1)).alias("n_users"))
     )
 
 
@@ -2281,7 +2293,12 @@ def ts_seasonal_baseline(spark: SparkSession, sf_dir: str) -> DataFrame:
     UNHINTED join-back plan sort-merge-sorted the whole fact side
     (11.8 s at 100x, SCALECHECK_r06) — the window shape cannot regress
     that way because there is no join left. The 4-dp round pins the
-    baseline before the subtraction so the residual is engine-exact."""
+    baseline before the subtraction so the residual is engine-exact.
+    r13 probe (AB_R13C_100X, measured dead end): the unhinted
+    join-back under AQE — grouped baseline runtime-broadcast, zero
+    fact-side exchange — LOST 2.60 -> 3.34 s median: the broadcast
+    build + 6M-row hash probe costs more than the window's single
+    exchange + partition sort at this tier. Window stays."""
     ev = load(spark, sf_dir, "events")
     base = ev.select(
         "event_id", "user_id", "ts", "value", F.hour("ts").cast("long").alias("hr")

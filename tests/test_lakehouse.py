@@ -245,6 +245,57 @@ def test_added_between_is_an_incremental_feed_for_appends(spark, table):
     assert {r.k for r in inc.collect()} == set(range(10, 30))
 
 
+def test_txn_append_idempotent_and_checkpoint_durable(spark, table):
+    df = _rows(spark, 0, 10)
+    v1 = table.append(df, txn=("ingest", 0))
+    v2 = table.append(df, txn=("ingest", 0))  # redelivery: must no-op
+    assert v2 == v1 and table.scan().count() == 10
+    table.append(_rows(spark, 10, 20), txn=("ingest", 1))
+    assert table.scan().count() == 20
+    # watermark must survive a checkpoint: drive past the interval,
+    # then replay through a FRESH handle and redeliver an old batch
+    for i in range(lakelog.CHECKPOINT_INTERVAL + 1):
+        table.append(_rows(spark, 100 + i, 101 + i), txn=("ingest", 2 + i))
+    fresh = LakeTable(spark, table.root)
+    n = fresh.scan().count()
+    fresh.append(df, txn=("ingest", 1))  # old batch replayed after restart
+    assert fresh.scan().count() == n
+
+
+def test_stream_ingest_exactly_once(spark, table, tmp_path):
+    src_dir = str(tmp_path / "src")
+    ckpt = str(tmp_path / "ckpt")
+    _rows(spark, 0, 60).repartition(3).write.parquet(src_dir)
+
+    from appstore_aws_etl_spark.streaming.lake_sink import (
+        lake_batch_writer,
+        start_lake_ingest,
+    )
+
+    stream = (
+        spark.readStream.schema(SCHEMA)
+        .option("maxFilesPerTrigger", 1)  # force several micro-batches
+        .parquet(src_dir)
+    )
+    q = start_lake_ingest(stream, table, ckpt, app_id="ingest-test")
+    q.awaitTermination(120)
+    assert table.scan().count() == 60
+    batches = max(v for v in table.snapshot().txns.values())
+    assert batches >= 1  # multiple micro-batches actually ran
+    # restart with the same checkpoint: no new data -> no new rows
+    q2 = start_lake_ingest(
+        spark.readStream.schema(SCHEMA).parquet(src_dir), table, ckpt,
+        app_id="ingest-test",
+    )
+    q2.awaitTermination(120)
+    assert table.scan().count() == 60
+    # redelivery of an already-committed micro-batch (the crash window
+    # between table commit and checkpoint advance) must be a no-op
+    writer = lake_batch_writer(table, "ingest-test")
+    writer(_rows(spark, 0, 20), 0)
+    assert table.scan().count() == 60
+
+
 def test_log_relocatable_after_move(spark, table, tmp_path):
     """add paths are root-relative: moving the whole table directory
     must not break snapshot reads (object-store rename / mount moves)."""
