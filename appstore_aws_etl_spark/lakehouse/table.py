@@ -315,6 +315,39 @@ class LakeTable:
         return self._commit(actions, op="COMPACT", read_version=snap.version,
                             removes=removes)
 
+    def optimize_zorder(self, col_a: str, col_b: str,
+                        files_per_range: int = 8) -> int:
+        """OPTIMIZE ZORDER BY (col_a, col_b): rewrite the live set
+        range-clustered on the Morton interleave of the two columns
+        (operators/layout.py), and record min/max stats for BOTH
+        columns so later ``scan(where=...)`` prunes on either
+        dimension. One full rewrite — the once-per-layout cost that
+        every subsequent two-predicate scan amortizes at 100 TB."""
+        from ..operators.layout import zvalue
+
+        snap = self.snapshot()
+        if not snap.files:
+            return snap.version
+        schema = self.schema(snap)
+        live = self.spark.read.schema(schema).parquet(
+            *[f"{self.root}/{f.path}" for f in snap.files]
+        )
+        clustered = (
+            live.withColumn("__z", zvalue(F.col(col_a), F.col(col_b)))
+            .repartitionByRange(files_per_range, F.col("__z"))
+            .sortWithinPartitions("__z")
+            .drop("__z")
+        )
+        # stats on the zorder columns, whatever clusterBy says — the
+        # layout exists to serve predicates on exactly these two
+        adds = self._write_batch(clustered, cluster_by=[col_a, col_b],
+                                 repartition=False)
+        removes = {f.path for f in snap.files}
+        actions = [{"remove": {"path": p}} for p in sorted(removes)]
+        actions += [a.to_action() for a in adds]
+        return self._commit(actions, op="ZORDER", read_version=snap.version,
+                            removes=removes)
+
     def vacuum(self, retain_versions: int = 2) -> int:
         """Delete data files unreachable from the ``retain_versions``
         newest snapshots. Time travel keeps working inside the horizon;
@@ -356,13 +389,16 @@ class LakeTable:
                 .distinct().collect())
         return self._rel_paths(r["__file"] for r in rows)
 
-    def _write_batch(self, df: DataFrame, cluster_by: list[str]) -> list[AddFile]:
+    def _write_batch(self, df: DataFrame, cluster_by: list[str],
+                     repartition: bool = True) -> list[AddFile]:
         """Write immutable files for one commit and return their adds
-        with per-file min/max stats on the cluster columns."""
+        with per-file min/max stats on the cluster columns.
+        ``repartition=False`` keeps an upstream layout (Z-order) while
+        still recording stats."""
         batch = f"data/{uuid.uuid4().hex[:12]}"
         abs_batch = f"{self.root}/{batch}"
         out = df
-        if cluster_by:
+        if cluster_by and repartition:
             out = out.repartition(*[F.col(c) for c in cluster_by])
         out.write.mode("errorifexists").parquet(abs_batch)
 

@@ -189,6 +189,30 @@ def lake_incremental_feed(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "lake_zorder_optimize",
+    oracle="""
+    SELECT p_partkey, p_name, p_size, round(p_retailprice, 2) AS p_retailprice
+    FROM part
+    """,
+    tags=("lakehouse", "etl", "custom-operator"),
+)
+def lake_zorder_optimize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """OPTIMIZE ZORDER BY (p_partkey, p_size): rewrite the table
+    range-clustered on the Morton interleave so manifest min/max stats
+    prune on either dimension; the oracle proves the relayout is
+    row-for-row lossless (the pruning effect itself is asserted in
+    tests/test_lakehouse.py::test_zorder_optimize_clusters_both_dimensions)."""
+    part = load(spark, sf_dir, "part").select(
+        "p_partkey", "p_name", "p_size",
+        F.round("p_retailprice", 2).alias("p_retailprice"),
+    )
+    t = LakeTable.create(spark, _fresh_root(sf_dir, "zorder"), part.schema)
+    t.append(part)
+    t.optimize_zorder("p_partkey", "p_size")
+    return t.scan()
+
+
+@query(
     "lake_schema_evolution",
     oracle="""
     SELECT c_custkey, c_acctbal, CAST(NULL AS VARCHAR) AS tier

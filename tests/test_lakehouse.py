@@ -245,6 +245,31 @@ def test_added_between_is_an_incremental_feed_for_appends(spark, table):
     assert {r.k for r in inc.collect()} == set(range(10, 30))
 
 
+def test_zorder_optimize_clusters_both_dimensions(spark, table):
+    # k and grp are independent dimensions; ingest arrives clustered by
+    # NEITHER (interleaved appends), so pre-zorder stats can't prune k
+    df = spark.range(0, 4000).select(
+        (F.col("id") % 64).alias("k"),
+        F.concat(F.lit("v"), F.col("id")).alias("v"),
+        F.floor(F.col("id") / 64).alias("grp"),
+    )
+    table.append(df)
+    before = table.scan().orderBy("k", "grp", "v").collect()
+    table.optimize_zorder("k", "grp", files_per_range=8)
+    snap = table.snapshot()
+    # content identical
+    assert table.scan().orderBy("k", "grp", "v").collect() == before
+    # stats recorded on both zorder columns
+    assert all({"k", "grp"} <= set(f.stats) for f in snap.files)
+    # pruning works on EACH dimension independently
+    files = snap.files
+    for col, val in (("k", "3"), ("grp", "3")):
+        pruned = laketable._prune_files(files, f"{col} = {val}")
+        assert len(pruned) < len(files), f"no pruning on {col}"
+        assert table.scan(where=f"{col} = {val}").count() > 0
+    assert [h["operation"] for h in table.history()][-1] == "ZORDER"
+
+
 def test_txn_append_idempotent_and_checkpoint_durable(spark, table):
     df = _rows(spark, 0, 10)
     v1 = table.append(df, txn=("ingest", 0))
