@@ -294,6 +294,32 @@ class LakeTable:
         return self._commit(actions, op="MERGE", read_version=snap.version,
                             removes=removes)
 
+    def restore(self, version: int) -> int:
+        """Roll the table back to ``version`` as a NEW commit (history
+        is never rewritten): re-add that snapshot's files, remove the
+        current extras. Pure metadata — no data file is read, written,
+        or moved, so restoring a 100 TB table costs one KB-sized
+        commit. Requires the target's files to still exist (i.e. the
+        version is inside the vacuum horizon)."""
+        old = self.snapshot(version)
+        cur = self.snapshot()
+        cur_paths = {f.path for f in cur.files}
+        old_paths = set(old.adds)
+        missing = [p for p in sorted(old_paths) if not _exists_rel(self.spark, self.root, p)]
+        if missing:
+            raise ValueError(
+                f"restore({version}): {len(missing)} files vacuumed away, "
+                f"e.g. {missing[:2]}"
+            )
+        removes = cur_paths - old_paths
+        actions = [{"remove": {"path": p}} for p in sorted(removes)]
+        actions += [old.adds[p].to_action() for p in sorted(old_paths - cur_paths)]
+        meta = old.metadata
+        if meta != cur.metadata:
+            actions.append({"metaData": meta})
+        return self._commit(actions, op="RESTORE", read_version=cur.version,
+                            removes=removes)
+
     # -------------------------------------------------- maintenance --
 
     def compact(self, target_rows_per_file: int) -> int:
@@ -469,6 +495,13 @@ class LakeTable:
 
 
 # ------------------------------------------------------------ helpers --
+
+
+def _exists_rel(spark, root: str, rel: str) -> bool:
+    from .log import _fs
+
+    fs, jpath = _fs(spark, f"{root}/{rel}")
+    return fs.exists(jpath)
 
 
 def _json_safe(v):

@@ -189,6 +189,62 @@ def lake_incremental_feed(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "lake_restore",
+    oracle="""
+    SELECT c_custkey, c_name, c_nationkey, c_acctbal, c_mktsegment
+    FROM customer
+    """,
+    tags=("lakehouse", "etl"),
+)
+def lake_restore(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RESTORE VERSION AS OF: a bad DELETE is rolled back by a pure
+    metadata commit re-pointing the live set at version 1 — no data
+    moves, history is append-only (DELETE then RESTORE both visible)."""
+    cust = _customer(spark, sf_dir)
+    t = LakeTable.create(spark, _fresh_root(sf_dir, "restore"), cust.schema)
+    t.append(cust)
+    t.delete_where("c_custkey % 2 = 0")  # the incident
+    t.restore(1)
+    return t.scan()
+
+
+@query(
+    "lake_stream_ingest",
+    oracle="""
+    SELECT event_id, user_id, event_type, round(value, 4) AS value
+    FROM events
+    """,
+    tags=("lakehouse", "streaming", "etl"),
+)
+def lake_stream_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TRUE streaming execution through the exactly-once lake sink:
+    the events table re-landed as a multi-file stream source, consumed
+    micro-batch by micro-batch (foreachBatch + txn watermarks,
+    streaming/lake_sink.py) into an ACID table whose end state the
+    oracle checks exactly — availableNow drains the source then stops,
+    so the streaming path is deterministic in content (unlike the §2.9
+    batch-equivalents, this key actually runs readStream through the
+    correctness gate)."""
+    from ..streaming.lake_sink import start_lake_ingest
+
+    ev = load(spark, sf_dir, "events").select(
+        "event_id", "user_id", "event_type", F.round("value", 4).alias("value")
+    )
+    src = _fresh_root(sf_dir, "stream_src")
+    ckpt = _fresh_root(sf_dir, "stream_ckpt")
+    ev.repartition(4).write.parquet(src)
+    t = LakeTable.create(spark, _fresh_root(sf_dir, "stream_tbl"), ev.schema)
+    stream = (
+        spark.readStream.schema(ev.schema)
+        .option("maxFilesPerTrigger", 2)
+        .parquet(src)
+    )
+    q = start_lake_ingest(stream, t, ckpt, app_id="lake_stream_ingest")
+    q.awaitTermination()
+    return t.scan()
+
+
+@query(
     "lake_zorder_optimize",
     oracle="""
     SELECT p_partkey, p_name, p_size, round(p_retailprice, 2) AS p_retailprice

@@ -321,6 +321,25 @@ def test_stream_ingest_exactly_once(spark, table, tmp_path):
     assert table.scan().count() == 60
 
 
+def test_restore_is_metadata_only_and_append_only_history(spark, table):
+    table.append(_rows(spark, 0, 30))            # v1
+    table.delete_where("k < 10")                 # v2
+    data_before = sorted(
+        f.path for f in table.snapshot(1).files
+    )
+    v = table.restore(1)                         # v3
+    assert table.scan().count() == 30
+    assert sorted(f.path for f in table.snapshot().files) == data_before
+    assert [h["operation"] for h in table.history()] == [
+        "CREATE", "APPEND", "DELETE", "RESTORE"]
+    assert v == 3
+    # restore target outside the vacuum horizon refuses
+    table.overwrite(_rows(spark, 0, 5))          # v4: v1/v3 files now dead
+    table.vacuum(retain_versions=1)
+    with pytest.raises(ValueError):
+        table.restore(1)
+
+
 def test_log_relocatable_after_move(spark, table, tmp_path):
     """add paths are root-relative: moving the whole table directory
     must not break snapshot reads (object-store rename / mount moves)."""
