@@ -751,7 +751,14 @@ def tpch_q15(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Q15 top supplier: quarter revenue per supplier, scalar-subquery
     max, equality join back — the revenue aggregate is computed once
     and reused for both the max and the final join (Spark reuses the
-    exchange; rounding is pinned before the max so ties are exact)."""
+    exchange; rounding is pinned before the max so ties are exact).
+
+    r13 probe (AB_R13D2_100X, measured dead end): filtering rev to the
+    argmax rows BEFORE the supplier join (so AQE broadcasts the ~1-row
+    side and supplier never shuffles) measured 1.95 vs 1.85 s median —
+    a wash: AQE already runtime-broadcasts the 100k-row rev relation
+    in the shipped shape, so the reorder removes nothing. Residual vs
+    DuckDB (0.33 s) is the quarter-slice agg + session floor."""
     li = load(spark, sf_dir, "lineitem").filter(
         (F.col("l_shipdate") >= F.lit("1996-01-01").cast("timestamp"))
         & (F.col("l_shipdate") < F.lit("1996-04-01").cast("timestamp"))
