@@ -108,6 +108,31 @@ def test_merge_upsert_matches_full_join_semantics(spark, table):
     assert out.filter("k < 20 AND v like 'v%'").count() == 20
 
 
+def test_merge_range_prunes_untouched_files(spark, tmp_path):
+    # stats on the merge key (monotone ingest): files from append 1
+    # have k <= 99, so a merge of k >= 100 keys must not rewrite them
+    t = LakeTable.create(spark, str(tmp_path / "t"), SCHEMA,
+                         cluster_by=["grp"], stats_cols=["grp", "k"])
+    t.append(_rows(spark, 0, 100))
+    t.append(_rows(spark, 100, 200))
+    old_files = {f.path for f in t.snapshot().files}
+    snap = t.snapshot()
+    src = spark.range(150, 260).select(
+        F.col("id").alias("k"), F.lit("m").alias("v"), F.lit(1).alias("grp")
+    )
+    cand = t._prune_by_source_range(snap.files, src, ["k"], snap)
+    assert 0 < len(cand) < len(snap.files)
+    assert all(f.stats["k"]["max"] >= 150 for f in cand)
+    t.merge(src, keys=["k"])
+    after = {f.path for f in t.snapshot().files}
+    # append-1 files (k < 100) survive untouched
+    low_files = {f.path for f in snap.files if f.stats["k"]["max"] < 100}
+    assert low_files <= after
+    out = t.scan()
+    assert out.count() == 260
+    assert out.filter("v = 'm'").count() == 110
+
+
 def test_merge_when_matched_delete(spark, table):
     table.append(_rows(spark, 0, 30))
     src = spark.range(10, 20).select(
