@@ -120,8 +120,22 @@ def _read_small(spark: SparkSession, path: str) -> bytes:
 
 def _write_small(spark: SparkSession, path: str, content: bytes, *, overwrite: bool) -> None:
     """Write a small file; with ``overwrite=False`` this is the atomic
-    put-if-absent that serializes commits (raises CommitConflict)."""
+    put-if-absent that serializes commits (raises CommitConflict).
+
+    The primitive is per-store: HDFS ``create(path, overwrite=false)``
+    is atomic, but Hadoop's LOCAL filesystem implements it as
+    check-then-create — two racing writers can both pass the check and
+    one commit silently vanishes (caught by the threaded race test).
+    On ``file:`` we therefore write a tmp file and publish it with
+    ``java.nio.Files.createLink`` — a hard link is O_EXCL-atomic in
+    POSIX, the loser gets FileAlreadyExistsException. Object stores
+    without an atomic create need an external coordinator here (the
+    public Delta-on-S3 LogStore answer); everything else in the
+    protocol is store-agnostic."""
     fs, jpath = _fs(spark, path)
+    if not overwrite and fs.getScheme() == "file":
+        _link_publish_local(spark, fs, path, content)
+        return
     try:
         stream = fs.create(jpath, overwrite)
     except Exception as exc:  # Py4JJavaError wrapping FileAlreadyExists
@@ -134,6 +148,31 @@ def _write_small(spark: SparkSession, path: str, content: bytes, *, overwrite: b
         stream.write(content)
     finally:
         stream.close()
+
+
+def _link_publish_local(spark: SparkSession, fs, path: str, content: bytes) -> None:
+    import uuid as _uuid
+
+    local = _strip_scheme(path)
+    tmp = f"{local}.tmp-{_uuid.uuid4().hex[:8]}"
+    jvm = spark._jvm
+    stream = fs.create(jvm.org.apache.hadoop.fs.Path(tmp), True)
+    try:
+        stream.write(content)
+    finally:
+        stream.close()
+    # Hadoop's checksum layer writes the payload under file:/x as /x
+    # plus a .crc sibling; link the payload file itself
+    dst = jvm.java.io.File(local).toPath()
+    src = jvm.java.io.File(tmp).toPath()
+    try:
+        jvm.java.nio.file.Files.createLink(dst, src)
+    except Exception as exc:
+        fs.delete(jvm.org.apache.hadoop.fs.Path(tmp), False)
+        if "AlreadyExists" in str(exc) or "already exists" in str(exc):
+            raise CommitConflict(path) from exc
+        raise
+    fs.delete(jvm.org.apache.hadoop.fs.Path(tmp), False)
 
 
 def _exists(spark: SparkSession, path: str) -> bool:

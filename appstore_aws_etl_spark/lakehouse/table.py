@@ -242,7 +242,7 @@ class LakeTable:
         self,
         source: DataFrame,
         keys: list[str],
-        when_matched: str = "update",  # "update" | "delete"
+        when_matched: str = "update",  # "update" | "delete" | "ignore"
         insert_not_matched: bool = True,
     ) -> int:
         """MERGE in three narrowing steps, each cheaper than the last
@@ -261,11 +261,22 @@ class LakeTable:
         3. **Rewrite (touched files only)** + insert detection, whose
            anti-join also reads only the range-surviving files — a
            source key cannot exist in a file the range check excluded.
+
+        ``when_matched="ignore"`` is insert-if-absent: no file is ever
+        rewritten (step 2/3 skip entirely), matched rows keep the
+        TARGET version — first writer wins per key, the dedup-ingest
+        contract. The source must be key-unique for every mode (an
+        internal source duplicate would insert twice); dedup it first
+        (e.g. min_by on the key) as lake_dedup_ingest does.
         """
         snap = self.snapshot()
         schema = self.schema(snap)
         candidates = self._prune_by_source_range(snap.files, source, keys, snap)
-        if not candidates:
+        if not candidates or when_matched == "ignore":
+            # "ignore" = insert-if-absent: matched target rows stay
+            # byte-identical, so no file is ever rewritten — the commit
+            # is a pure append of the unmatched source rows (the
+            # dedup-ingest shape: first writer wins per key)
             touched_paths: list[str] = []
         else:
             live = self.spark.read.schema(schema).parquet(

@@ -189,6 +189,45 @@ def lake_incremental_feed(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "lake_dedup_ingest",
+    oracle="""
+    SELECT md5(text) AS fingerprint,
+           coalesce(min(CASE WHEN doc_id % 2 = 0 THEN doc_id END),
+                    min(doc_id)) AS doc_id,
+           min(length(text)) AS n_chars
+    FROM documents GROUP BY md5(text)
+    """,
+    tags=("lakehouse", "llm", "dedup", "custom-operator"),
+)
+def lake_dedup_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact-dedup ingestion as ACID insert-if-absent: each arriving
+    batch is key-deduped (min doc_id per content fingerprint) and
+    MERGEd with ``when_matched="ignore"`` — already-present
+    fingerprints keep their first-written row byte-identical (NO file
+    rewrite; the commit is a pure append of the new fingerprints), so
+    steady-state corpus ingestion costs O(batch), never O(corpus).
+    The ACID twin of llm_dedup_incremental."""
+    docs = load(spark, sf_dir, "documents").select(
+        F.md5(F.col("text")).alias("fingerprint"),
+        "doc_id",
+        F.length("text").alias("n_chars"),
+    )
+
+    def dedup_batch(batch: DataFrame) -> DataFrame:
+        return batch.groupBy("fingerprint").agg(
+            F.min_by(F.struct("doc_id", "n_chars"), F.col("doc_id")).alias("r")
+        ).select("fingerprint", F.col("r.doc_id").alias("doc_id"),
+                 F.col("r.n_chars").alias("n_chars"))
+
+    t = LakeTable.create(spark, _fresh_root(sf_dir, "dedup_ingest"),
+                         dedup_batch(docs).schema)
+    t.merge(dedup_batch(docs.filter(F.col("doc_id") % 2 == 0)),
+            keys=["fingerprint"], when_matched="ignore")
+    t.merge(dedup_batch(docs), keys=["fingerprint"], when_matched="ignore")
+    return t.scan()
+
+
+@query(
     "lake_restore",
     oracle="""
     SELECT c_custkey, c_name, c_nationkey, c_acctbal, c_mktsegment

@@ -225,6 +225,35 @@ def test_concurrent_delete_vs_overwrite_conflicts(spark, table, monkeypatch):
     assert table.scan().count() == 5
 
 
+def test_threaded_append_race_serializes_without_loss(spark, table):
+    """Four writers racing 3 appends each through the REAL put-if-absent
+    path (no monkeypatching): all 12 commits must land at 12 distinct
+    versions with every row present."""
+    import threading
+
+    errors = []
+
+    def writer(wid: int) -> None:
+        try:
+            handle = LakeTable(spark, table.root)
+            for i in range(3):
+                lo = wid * 1000 + i * 100
+                handle.append(_rows(spark, lo, lo + 10, tag=f"w{wid}_"))
+        except Exception as exc:  # pragma: no cover - failure surface
+            errors.append(exc)
+
+    threads = [threading.Thread(target=writer, args=(w,)) for w in range(4)]
+    for th in threads:
+        th.start()
+    for th in threads:
+        th.join()
+    assert not errors
+    snap = table.snapshot()
+    assert snap.version == 12
+    assert table.scan().count() == 120
+    assert [h["operation"] for h in table.history()].count("APPEND") == 12
+
+
 def test_compact_binpacks_small_files_only(spark, table):
     for i in range(4):
         table.append(_rows(spark, i * 10, i * 10 + 10))
