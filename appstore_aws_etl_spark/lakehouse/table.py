@@ -626,12 +626,18 @@ def _conform(df: DataFrame, schema: T.StructType, allow_missing: bool = False) -
 _CONJUNCT = re.compile(
     r"^\s*(\w+)\s*(<=|>=|=|<|>)\s*('(?:[^']*)'|-?\d+(?:\.\d+)?)\s*$"
 )
+_IN_LIST = re.compile(r"^\s*(\w+)\s+IN\s*\(([^()]*)\)\s*$", re.IGNORECASE)
 
 
 def _prune_files(files: list[AddFile], where: str) -> list[AddFile]:
-    """Manifest pruning on simple AND-ed range conjuncts over stats
-    columns. Anything unparseable keeps every file — pruning is an
-    optimization, never a semantic filter (scan re-applies ``where``)."""
+    """Manifest pruning on simple AND-ed conjuncts (range comparisons
+    and IN-lists) over stats columns. ALL-OR-NOTHING parse: if any
+    " AND "-split part fails to parse, NO pruning happens — a
+    disjunction like ``a = 1 OR (b = 2 AND c = 3)`` splits into
+    fragments where treating the parseable tail as a top-level
+    conjunct would prune files the OR branch matches. Unparseable
+    predicates keep every file — pruning is an optimization, never a
+    semantic filter (scan re-applies ``where``)."""
     conjuncts = []
     for part in where.split(" AND "):
         m = _CONJUNCT.match(part)
@@ -639,6 +645,25 @@ def _prune_files(files: list[AddFile], where: str) -> list[AddFile]:
             col, op, lit = m.groups()
             lit = lit[1:-1] if lit.startswith("'") else float(lit)
             conjuncts.append((col, op, lit))
+            continue
+        m = _IN_LIST.match(part)
+        if m:
+            col, raw = m.groups()
+            vals = []
+            for tok in raw.split(","):
+                tok = tok.strip()
+                if tok.startswith("'") and tok.endswith("'"):
+                    vals.append(tok[1:-1])
+                else:
+                    try:
+                        vals.append(float(tok))
+                    except ValueError:
+                        vals = None
+                        break
+            if vals:
+                conjuncts.append((col, "in", vals))
+                continue
+        return files  # unparseable part -> the conjunct split is unsafe
     if not conjuncts:
         return files
 
@@ -648,6 +673,12 @@ def _prune_files(files: list[AddFile], where: str) -> list[AddFile]:
             if not st or st["min"] is None or st["max"] is None:
                 continue  # no stats -> cannot prune on this conjunct
             lo, hi = st["min"], st["max"]
+            if op == "in":
+                if any(isinstance(v, float) and isinstance(lo, str) for v in lit):
+                    continue  # any incomparable value might match -> keep
+                if lit and not any(lo <= v <= hi for v in lit):
+                    return False
+                continue
             if isinstance(lit, float) and isinstance(lo, str):
                 continue  # type mismatch -> keep
             if op == "=" and not (lo <= lit <= hi):

@@ -177,8 +177,17 @@ def test_stats_pruning_skips_files_and_keeps_semantics(spark, table):
     assert 0 < len(pruned) < len(files)
     # and the scan with the same predicate returns exactly the right rows
     assert table.scan(where="grp = 1").count() == 50
-    # unparseable predicate -> no pruning, still correct
+    # IN-list conjuncts prune too
+    pruned_in = laketable._prune_files(files, "grp IN (0, 2)")
+    assert 0 < len(pruned_in) < len(files)
     assert table.scan(where="grp in (0, 2)").count() == 100
+    # unparseable predicate -> no pruning, still correct
+    assert table.scan(where="grp = 0 OR grp = 2").count() == 100
+    # OR mixed with AND must disable pruning ENTIRELY (treating the
+    # parseable fragment as a conjunct would prune the OR branch)
+    mixed = "grp = 9 AND k >= 0 OR grp = 0"
+    assert laketable._prune_files(files, mixed) == files
+    assert table.scan(where=mixed).count() == 50
 
 
 def test_commit_put_if_absent_is_atomic(spark, table):
