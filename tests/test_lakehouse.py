@@ -403,6 +403,63 @@ def test_restore_is_metadata_only_and_append_only_history(spark, table):
         table.restore(1)
 
 
+def test_model_random_dml_sequence_matches_reference(spark, tmp_path):
+    """Model-based check: a seeded random sequence of DML ops applied
+    to BOTH the lake table and an in-memory dict model; after every
+    commit the scan must equal the model, and at the end every
+    archived version must time-travel back to its model snapshot."""
+    import random
+
+    rng = random.Random(20260816)
+    t = LakeTable.create(spark, str(tmp_path / "model_tbl"), SCHEMA,
+                         cluster_by=["grp"], stats_cols=["grp", "k"])
+    model: dict[int, tuple[str, int]] = {}
+    by_version: dict[int, dict] = {}
+    next_k = 0
+
+    def df_of(rows):
+        return spark.createDataFrame(
+            [(k, v, g) for k, (v, g) in sorted(rows.items())], schema=SCHEMA
+        )
+
+    def verify(version=None):
+        want = by_version[version] if version is not None else model
+        got = {r.k: (r.v, r.grp) for r in t.scan(version=version).collect()}
+        assert got == want
+
+    for step in range(10):
+        op = rng.choice(["append", "delete", "update", "merge", "compact"])
+        if op == "append" or not model:
+            n = rng.randint(3, 12)
+            batch = {next_k + i: (f"a{step}", (next_k + i) % 4) for i in range(n)}
+            next_k += n
+            t.append(df_of(batch))
+            model.update(batch)
+        elif op == "delete":
+            g = rng.randint(0, 3)
+            t.delete_where(f"grp = {g}")
+            model = {k: r for k, r in model.items() if r[1] != g}
+        elif op == "update":
+            cut = rng.choice(sorted(model)) if model else 0
+            t.update_set(f"k >= {cut}", {"v": f"'u{step}'"})
+            model = {k: (f"u{step}" if k >= cut else r[0], r[1])
+                     for k, r in model.items()}
+        elif op == "merge":
+            existing = rng.sample(sorted(model), min(4, len(model)))
+            fresh = [next_k + i for i in range(3)]
+            next_k += 3
+            batch = {k: (f"m{step}", 1) for k in existing + fresh}
+            t.merge(df_of(batch), keys=["k"])
+            model.update(batch)
+        elif op == "compact":
+            t.compact(target_rows_per_file=10_000)
+        by_version[t.snapshot().version] = dict(model)
+        verify()
+
+    for v in sorted(by_version):  # full time-travel audit at the end
+        verify(version=v)
+
+
 def test_log_relocatable_after_move(spark, table, tmp_path):
     """add paths are root-relative: moving the whole table directory
     must not break snapshot reads (object-store rename / mount moves)."""
