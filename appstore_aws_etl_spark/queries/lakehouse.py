@@ -189,6 +189,47 @@ def lake_incremental_feed(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "lake_scd2_apply",
+    oracle="""
+    WITH upd AS (
+        SELECT c_custkey, round(c_acctbal + 100, 4) AS c_acctbal
+        FROM customer WHERE c_custkey % 4 = 0
+    )
+    SELECT c.c_custkey, c.c_acctbal, 1 AS ver,
+           u.c_custkey IS NULL AS is_current
+    FROM customer c LEFT JOIN upd u ON c.c_custkey = u.c_custkey
+    UNION ALL
+    SELECT c_custkey, c_acctbal, 2 AS ver, TRUE AS is_current
+    FROM upd
+    """,
+    tags=("lakehouse", "etl", "custom-operator"),
+)
+def lake_scd2_apply(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SCD Type-2 maintenance as ACID lake DML: the update batch first
+    CLOSES each affected key's open row (copy-on-write UPDATE narrowed
+    by key-range x manifest stats), then APPENDS the new open rows —
+    two commits, and a reader between them still sees a consistent
+    snapshot (closed-but-not-yet-replaced is the documented SCD2
+    in-flight state; version-pinned readers see neither)."""
+    cust = load(spark, sf_dir, "customer").select("c_custkey", "c_acctbal")
+    dim = cust.select(
+        "c_custkey", "c_acctbal",
+        F.lit(1).alias("ver"), F.lit(True).alias("is_current"),
+    )
+    t = LakeTable.create(spark, _fresh_root(sf_dir, "scd2"), dim.schema,
+                         stats_cols=["c_custkey"])
+    t.append(dim)
+    updates = cust.filter(F.col("c_custkey") % 4 == 0).withColumn(
+        "c_acctbal", F.round(F.col("c_acctbal") + 100, 4)
+    )
+    t.update_set("c_custkey % 4 = 0 AND is_current", {"is_current": "false"})
+    t.append(updates.select(
+        "c_custkey", "c_acctbal", F.lit(2).alias("ver"), F.lit(True).alias("is_current")
+    ))
+    return t.scan()
+
+
+@query(
     "lake_dedup_ingest",
     oracle="""
     SELECT md5(text) AS fingerprint,
