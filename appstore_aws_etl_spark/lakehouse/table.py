@@ -406,22 +406,39 @@ class LakeTable:
         return self._commit(actions, op="ZORDER", read_version=snap.version,
                             removes=removes)
 
-    def vacuum(self, retain_versions: int = 2) -> int:
+    def vacuum(self, retain_versions: int = 2,
+               min_age_seconds: int = 600) -> int:
         """Delete data files unreachable from the ``retain_versions``
         newest snapshots. Time travel keeps working inside the horizon;
         older versions lose their bytes (their log entries remain for
-        audit). Returns number of files deleted."""
+        audit). Returns number of files deleted.
+
+        ``min_age_seconds`` guards the write/vacuum race: a concurrent
+        writer's batch exists on disk BEFORE its commit publishes, and
+        an unguarded vacuum would see it as unreferenced and delete it
+        out from under the commit (the same race Delta's retention
+        window exists for). Files younger than the guard are skipped;
+        set 0 only when no writer can be in flight (tests, single-writer
+        maintenance windows)."""
+        import time as _time
+
         commits, _ = list_versions(self.spark, self.root)
         keep_from = commits[max(0, len(commits) - retain_versions)]
         live: set[str] = set()
         for v in commits:
             if v >= keep_from:
                 live |= {f.path for f in self.snapshot(v).files}
+        cutoff_ms = (_time.time() - min_age_seconds) * 1000.0
+        fs, _root = _fs(self.spark, self.root)
         deleted = 0
         for rel in list_data_files(self.spark, self.root):
-            if rel not in live:
-                _delete(self.spark, f"{self.root}/{rel}")
-                deleted += 1
+            if rel in live:
+                continue
+            jp = self.spark._jvm.org.apache.hadoop.fs.Path(f"{self.root}/{rel}")
+            if min_age_seconds > 0 and fs.getFileStatus(jp).getModificationTime() > cutoff_ms:
+                continue  # possibly an in-flight writer's batch
+            fs.delete(jp, False)
+            deleted += 1
         return deleted
 
     # ----------------------------------------------------- internals --

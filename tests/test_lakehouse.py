@@ -278,12 +278,24 @@ def test_vacuum_keeps_retained_versions_deletes_rest(spark, table):
     table.append(_rows(spark, 0, 20))     # v1
     table.overwrite(_rows(spark, 0, 5))   # v2 — v1's files now dead
     table.append(_rows(spark, 5, 8))      # v3
-    deleted = table.vacuum(retain_versions=2)  # keep v2, v3
+    deleted = table.vacuum(retain_versions=2, min_age_seconds=0)  # keep v2, v3
     assert deleted > 0
     assert table.scan().count() == 8
     assert table.scan(version=2).count() == 5  # inside horizon: still readable
     with pytest.raises(Exception):
         table.scan(version=1).collect()  # outside horizon: bytes gone
+
+
+def test_vacuum_age_guard_spares_fresh_unreferenced_files(spark, table):
+    """The write/vacuum race guard: a just-written (seconds-old)
+    unreferenced batch — exactly what an in-flight writer's files look
+    like before their commit publishes — must survive a default-guard
+    vacuum, and fall to an explicit min_age_seconds=0 one."""
+    table.append(_rows(spark, 0, 10))
+    _rows(spark, 50, 60).write.parquet(f"{table.root}/data/inflight")
+    assert table.vacuum(retain_versions=1) == 0  # default 600 s guard
+    assert table.vacuum(retain_versions=1, min_age_seconds=0) > 0
+    assert table.scan().count() == 10  # live data untouched either way
 
 
 def test_schema_evolution_append_new_column(spark, table):
@@ -398,7 +410,7 @@ def test_restore_is_metadata_only_and_append_only_history(spark, table):
     assert v == 3
     # restore target outside the vacuum horizon refuses
     table.overwrite(_rows(spark, 0, 5))          # v4: v1/v3 files now dead
-    table.vacuum(retain_versions=1)
+    table.vacuum(retain_versions=1, min_age_seconds=0)
     with pytest.raises(ValueError):
         table.restore(1)
 
