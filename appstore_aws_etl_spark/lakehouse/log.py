@@ -79,10 +79,18 @@ class AddFile:
     size: int
     num_records: int
     stats: dict = field(default_factory=dict)  # col -> {"min":..,"max":..}
+    # merge-on-read deletion vector (Delta DV / Iceberg positional
+    # delete): {"file": "dv/<id>.parquet", "cardinality": n} — readers
+    # anti-join the named (path, row_index) relation instead of the
+    # writer rewriting this data file
+    dv: dict | None = None
 
     def to_action(self) -> dict:
-        return {"add": {"path": self.path, "size": self.size,
-                        "numRecords": self.num_records, "stats": self.stats}}
+        a = {"path": self.path, "size": self.size,
+             "numRecords": self.num_records, "stats": self.stats}
+        if self.dv:
+            a["dv"] = self.dv
+        return {"add": a}
 
 
 @dataclass
@@ -286,7 +294,8 @@ def replay(spark: SparkSession, root: str, version: int | None = None) -> Snapsh
                 txns[t["appId"]] = t["version"]
             else:
                 a = json.loads(row.payload)
-                adds[a["path"]] = AddFile(a["path"], a["size"], a["numRecords"], a["stats"])
+                adds[a["path"]] = AddFile(a["path"], a["size"], a["numRecords"],
+                                          a["stats"], a.get("dv"))
         start = cp + 1
 
     for v in (c for c in commits if start <= c <= target):
@@ -295,7 +304,8 @@ def replay(spark: SparkSession, root: str, version: int | None = None) -> Snapsh
                 metadata = action["metaData"]
             elif "add" in action:
                 a = action["add"]
-                adds[a["path"]] = AddFile(a["path"], a["size"], a["numRecords"], a.get("stats", {}))
+                adds[a["path"]] = AddFile(a["path"], a["size"], a["numRecords"],
+                                          a.get("stats", {}), a.get("dv"))
             elif "remove" in action:
                 adds.pop(action["remove"]["path"], None)
             elif "txn" in action:
@@ -318,7 +328,8 @@ def maybe_checkpoint(spark: SparkSession, root: str, snap: Snapshot) -> bool:
         for a, v in sorted(snap.txns.items())
     ] + [
         Row(kind="add", payload=json.dumps(
-            {"path": a.path, "size": a.size, "numRecords": a.num_records, "stats": a.stats},
+            {"path": a.path, "size": a.size, "numRecords": a.num_records,
+             "stats": a.stats, **({"dv": a.dv} if a.dv else {})},
             sort_keys=True))
         for a in snap.files
     ]

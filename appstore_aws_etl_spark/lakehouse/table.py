@@ -109,12 +109,7 @@ class LakeTable:
         files = snap.files
         if where:
             files = _prune_files(files, where)
-        if not files:
-            df = self.spark.createDataFrame([], schema)
-        else:
-            df = self.spark.read.schema(schema).parquet(
-                *[f"{self.root}/{f.path}" for f in files]
-            )
+        df = self._read_files(files, schema)
         return df.filter(where) if where else df
 
     def history(self) -> list[dict]:
@@ -143,11 +138,7 @@ class LakeTable:
         live = {f.path for f in snap.files}
         paths = [p for p in added if p in live]
         schema = self.schema(snap)
-        if not paths:
-            return self.spark.createDataFrame([], schema)
-        return self.spark.read.schema(schema).parquet(
-            *[f"{self.root}/{p}" for p in sorted(set(paths))]
-        )
+        return self._read_files([snap.adds[p] for p in sorted(set(paths))], schema)
 
     # ---------------------------------------------------------- DML --
 
@@ -204,14 +195,70 @@ class LakeTable:
         touched = self._files_containing(candidates, cond, schema)
         if not touched:
             return snap.version
-        survivors = self.spark.read.schema(schema).parquet(
-            *[f"{self.root}/{p}" for p in touched]
+        survivors = self._read_files(
+            [snap.adds[p] for p in touched], schema
         ).filter(~F.coalesce(F.expr(cond), F.lit(False)))
         adds = self._write_batch(survivors, *self._layout(snap))
         removes = set(touched)
         actions = [{"remove": {"path": p}} for p in sorted(removes)]
         actions += [a.to_action() for a in adds]
         return self._commit(actions, op="DELETE", read_version=snap.version,
+                            removes=removes)
+
+    def delete_where_dv(self, cond: str) -> int:
+        """Merge-on-read DELETE via deletion vectors (the public Delta
+        DV / Iceberg positional-delete design): matching rows' (file,
+        row_index) positions are written as a parquet deletion-vector
+        relation and the touched adds re-committed pointing at it — NO
+        data file is rewritten, so deleting k rows from a 100 TB table
+        costs O(k) + one KB commit instead of rewriting every touched
+        gigabyte. Readers anti-join the DV (``_read_files``); compact /
+        zorder apply DVs physically and drop them. Same SQL semantics
+        as ``delete_where`` (NULL-evaluating rows survive) — the two
+        are end-state-identical, which lake_delete_dv's shared oracle
+        checks."""
+        snap = self.snapshot()
+        schema = self.schema(snap)
+        candidates = _prune_files(snap.files, cond)
+        if not candidates:
+            return snap.version
+        hits = (
+            self._read_files(candidates, schema, with_positions=True)
+            .filter(F.expr(cond))
+            .select(F.col("__file").alias("file"), F.col("__row").alias("row_index"))
+        )
+        touched_paths = sorted(
+            r["file"] for r in hits.select("file").distinct().collect()
+        )  # bounded: file count
+        if not touched_paths:
+            return snap.version
+        touched = [snap.adds[p] for p in touched_paths]
+        dv_rel = f"dv/{uuid.uuid4().hex[:12]}.parquet"
+        combined = hits
+        carrying = [f for f in touched if f.dv]
+        if carrying:
+            old = self._read_dv(carrying)
+            combined = combined.unionByName(
+                old.join(
+                    self.spark.createDataFrame([(p,) for p in touched_paths], ["file"]),
+                    on="file", how="left_semi",
+                )
+            ).distinct()
+        combined.write.mode("errorifexists").parquet(f"{self.root}/{dv_rel}")
+        counts = {
+            r["file"]: r["n"]
+            for r in self.spark.read.parquet(f"{self.root}/{dv_rel}")
+            .groupBy("file").agg(F.count(F.lit(1)).alias("n")).collect()
+        }  # bounded: file count
+        removes = set(touched_paths)
+        actions = [{"remove": {"path": p}} for p in sorted(removes)]
+        actions += [
+            AddFile(f.path, f.size, f.num_records, f.stats,
+                    {"file": dv_rel, "cardinality": int(counts.get(f.path, 0))}
+                    ).to_action()
+            for f in touched
+        ]
+        return self._commit(actions, op="DELETE_DV", read_version=snap.version,
                             removes=removes)
 
     def update_set(self, cond: str, assignments: dict[str, str]) -> int:
@@ -222,9 +269,7 @@ class LakeTable:
         touched_paths = self._files_containing(candidates, cond, schema)
         if not touched_paths:
             return snap.version
-        touched = self.spark.read.schema(schema).parquet(
-            *[f"{self.root}/{p}" for p in touched_paths]
-        )
+        touched = self._read_files([snap.adds[p] for p in touched_paths], schema)
         hit = F.expr(cond)
         updated = touched.select(*[
             F.when(hit, F.expr(assignments[c]).cast(touched.schema[c].dataType))
@@ -279,24 +324,21 @@ class LakeTable:
             # dedup-ingest shape: first writer wins per key)
             touched_paths: list[str] = []
         else:
-            live = self.spark.read.schema(schema).parquet(
-                *[f"{self.root}/{f.path}" for f in candidates]
-            )
+            live = self._read_files(candidates, schema, with_positions=True)
             # No forced broadcast: a merge source is not SF-bounded (a
             # backfill can be table-sized); AQE broadcasts the key set
             # when it is actually small, which is the trickle-merge case.
             src_keys = source.select(*keys).distinct()
-            touched_uris = (
-                live.withColumn("__file", F.input_file_name())
-                .join(src_keys, on=keys, how="left_semi")
+            touched_rows = (
+                live.join(src_keys, on=keys, how="left_semi")
                 .select("__file").distinct().collect()  # bounded: file count
             )
-            touched_paths = self._rel_paths(r["__file"] for r in touched_uris)
+            touched_paths = sorted(r["__file"] for r in touched_rows)
         src = _conform(source, schema)
         parts = []
         if touched_paths:
-            touched = self.spark.read.schema(schema).parquet(
-                *[f"{self.root}/{p}" for p in touched_paths]
+            touched = self._read_files(
+                [snap.adds[p] for p in touched_paths], schema
             )
             keep = touched.join(src.select(*keys).distinct(), on=keys, how="left_anti")
             parts.append(keep)
@@ -308,9 +350,8 @@ class LakeTable:
             # when_matched == "delete": matched rows simply not rewritten
         if insert_not_matched:
             if candidates:
-                live_keys = self.spark.read.schema(schema).parquet(
-                    *[f"{self.root}/{f.path}" for f in candidates]
-                ).select(*keys).distinct()
+                live_keys = self._read_files(candidates, schema)\
+                    .select(*keys).distinct()
                 parts.append(src.join(live_keys, on=keys, how="left_anti"))
             else:
                 parts.append(src)
@@ -337,7 +378,10 @@ class LakeTable:
         cur = self.snapshot()
         cur_paths = {f.path for f in cur.files}
         old_paths = set(old.adds)
-        missing = [p for p in sorted(old_paths) if not _exists_rel(self.spark, self.root, p)]
+        needed = sorted(old_paths) + sorted(
+            {f.dv["file"] for f in old.adds.values() if f.dv}
+        )
+        missing = [p for p in needed if not _exists_rel(self.spark, self.root, p)]
         if missing:
             raise ValueError(
                 f"restore({version}): {len(missing)} files vacuumed away, "
@@ -363,9 +407,7 @@ class LakeTable:
             return snap.version
         total = sum(f.num_records for f in small)
         n_out = max(1, -(-total // target_rows_per_file))
-        packed = self.spark.read.schema(self.schema(snap)).parquet(
-            *[f"{self.root}/{f.path}" for f in small]
-        ).repartition(n_out)
+        packed = self._read_files(small, self.schema(snap)).repartition(n_out)
         adds = self._write_batch(packed, cluster_by=[])
         removes = {f.path for f in small}
         actions = [{"remove": {"path": p}} for p in sorted(removes)]
@@ -387,9 +429,7 @@ class LakeTable:
         if not snap.files:
             return snap.version
         schema = self.schema(snap)
-        live = self.spark.read.schema(schema).parquet(
-            *[f"{self.root}/{f.path}" for f in snap.files]
-        )
+        live = self._read_files(snap.files, schema)
         clustered = (
             live.withColumn("__z", zvalue(F.col(col_a), F.col(col_b)))
             .repartitionByRange(files_per_range, F.col("__z"))
@@ -428,20 +468,92 @@ class LakeTable:
         for v in commits:
             if v >= keep_from:
                 live |= {f.path for f in self.snapshot(v).files}
+        live_dv: set[str] = set()
+        for v in commits:
+            if v >= keep_from:
+                live_dv |= {f.dv["file"] for f in self.snapshot(v).files if f.dv}
         cutoff_ms = (_time.time() - min_age_seconds) * 1000.0
         fs, _root = _fs(self.spark, self.root)
+
+        def too_young(jp) -> bool:
+            return (min_age_seconds > 0
+                    and fs.getFileStatus(jp).getModificationTime() > cutoff_ms)
+
         deleted = 0
         for rel in list_data_files(self.spark, self.root):
             if rel in live:
                 continue
             jp = self.spark._jvm.org.apache.hadoop.fs.Path(f"{self.root}/{rel}")
-            if min_age_seconds > 0 and fs.getFileStatus(jp).getModificationTime() > cutoff_ms:
+            if too_young(jp):
                 continue  # possibly an in-flight writer's batch
             fs.delete(jp, False)
             deleted += 1
+        # deletion-vector relations (Spark-written parquet dirs under dv/)
+        dv_root = self.spark._jvm.org.apache.hadoop.fs.Path(f"{self.root}/dv")
+        if fs.exists(dv_root):
+            for st in fs.listStatus(dv_root):
+                rel = f"dv/{st.getPath().getName()}"
+                if rel in live_dv or too_young(st.getPath()):
+                    continue
+                fs.delete(st.getPath(), True)
+                deleted += 1
         return deleted
 
     # ----------------------------------------------------- internals --
+
+    _FILE_RX = r"(data/[^/]+/[^/]+)$"
+
+    def _read_files(self, files: list[AddFile], schema: T.StructType,
+                    with_positions: bool = False) -> DataFrame:
+        """THE reader every operation goes through: plain files read
+        directly; files carrying a deletion vector are read with
+        parquet row lineage (``_metadata.row_index``, Spark's native
+        row position) and the DV's (file, row_index) pairs anti-joined
+        out — merge-on-read, nothing rewritten. ``with_positions``
+        keeps ``__file``/``__row`` lineage columns for discovery and
+        DV-building passes."""
+        names = [f.name for f in schema.fields]
+        lineage = [
+            F.regexp_extract(F.col("_metadata.file_path"), self._FILE_RX, 1)
+            .alias("__file"),
+            F.col("_metadata.row_index").alias("__row"),
+        ]
+        keep = names + (["__file", "__row"] if with_positions else [])
+
+        def base(fs: list[AddFile]) -> DataFrame:
+            return self.spark.read.schema(schema).parquet(
+                *[f"{self.root}/{f.path}" for f in fs]
+            )
+
+        parts = []
+        plain = [f for f in files if not f.dv]
+        dved = [f for f in files if f.dv]
+        if plain:
+            p = base(plain)
+            parts.append(p.select(*names, *lineage).select(*keep)
+                         if with_positions else p.select(*names))
+        if dved:
+            d = base(dved).select(*names, *lineage)
+            dv = self._read_dv(dved)
+            d = d.join(
+                dv,
+                (d["__file"] == dv["file"]) & (d["__row"] == dv["row_index"]),
+                "left_anti",
+            )
+            parts.append(d.select(*keep))
+        if not parts:
+            return self.spark.createDataFrame([], schema)
+        out = parts[0]
+        for p in parts[1:]:
+            out = out.unionByName(p)
+        return out
+
+    def _read_dv(self, dved: list[AddFile]) -> DataFrame:
+        """Union of the deletion-vector relations the given adds point
+        at: columns (file, row_index). Stale entries for files not in
+        the read set simply never match the anti-join."""
+        paths = sorted({f.dv["file"] for f in dved if f.dv})
+        return self.spark.read.parquet(*[f"{self.root}/{p}" for p in paths])
 
     def _prune_by_source_range(self, files: list[AddFile], source: DataFrame,
                                keys: list[str], snap: Snapshot) -> list[AddFile]:
@@ -496,13 +608,10 @@ class LakeTable:
         file count."""
         if not files:
             return []
-        df = self.spark.read.schema(schema).parquet(
-            *[f"{self.root}/{f.path}" for f in files]
-        )
+        df = self._read_files(files, schema, with_positions=True)
         rows = (df.filter(F.expr(cond))
-                .select(F.input_file_name().alias("__file"))
-                .distinct().collect())
-        return self._rel_paths(r["__file"] for r in rows)
+                .select("__file").distinct().collect())
+        return sorted(r["__file"] for r in rows)
 
     def _layout(self, snap: Snapshot) -> tuple[list[str], list[str]]:
         """(cluster columns, stats columns) from table metadata."""

@@ -111,6 +111,30 @@ def lake_delete_where(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "lake_delete_dv",
+    oracle="""
+    SELECT c_custkey, c_name, c_nationkey, c_acctbal, c_mktsegment
+    FROM customer
+    WHERE NOT (c_mktsegment = 'BUILDING' AND c_acctbal < 0)
+    """,
+    tags=("lakehouse", "etl", "custom-operator"),
+)
+def lake_delete_dv(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Merge-on-read DELETE via deletion vectors: the same predicate
+    (and the same oracle) as lake_delete_where, but no data file is
+    rewritten — matching row positions land in a parquet DV relation
+    that every reader anti-joins. At 100 TB this turns a GB-rewriting
+    trickle delete into an O(deleted rows) commit; the copy-on-write
+    twin exists for readers that must not pay the merge-on-read tax."""
+    cust = _customer(spark, sf_dir)
+    t = LakeTable.create(spark, _fresh_root(sf_dir, "delete_dv"), cust.schema,
+                         cluster_by=["c_nationkey"])
+    t.append(cust)
+    t.delete_where_dv("c_mktsegment = 'BUILDING' AND c_acctbal < 0")
+    return t.scan()
+
+
+@query(
     "lake_update_where",
     oracle="""
     SELECT c_custkey, c_name, c_nationkey,

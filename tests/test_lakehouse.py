@@ -87,6 +87,46 @@ def test_delete_where_null_predicate_rows_survive(spark, table):
     assert got == {2, 3}  # NULL-evaluating row kept, SQL DELETE semantics
 
 
+def test_delete_dv_is_merge_on_read(spark, tmp_path):
+    """Deletion-vector delete: end-state identical to CoW delete, but
+    zero data files rewritten; DVs accumulate across deletes, apply
+    through every reader (scan, CoW update, merge), survive time
+    travel of the pre-delete version, and compact purges them."""
+    t = LakeTable.create(spark, str(tmp_path / "dv"), SCHEMA,
+                         cluster_by=["grp"], stats_cols=["grp", "k"])
+    t.append(_rows(spark, 0, 100))
+    before = {f.path for f in t.snapshot().files}
+    v = t.delete_where_dv("k % 10 = 3")
+    snap = t.snapshot()
+    assert {f.path for f in snap.files} == before  # NO file rewritten
+    assert t.scan().count() == 90
+    assert t.scan().filter("k % 10 = 3").count() == 0
+    assert sum(f.dv["cardinality"] for f in snap.files if f.dv) == 10
+    assert t.scan(version=v - 1).count() == 100  # pre-DV time travel
+    # second DV delete accumulates (3s already gone, NULL-safe re-hit)
+    t.delete_where_dv("k < 5")
+    assert t.scan().count() == 86
+    # a CoW update over DV-carrying files must not resurrect deleted rows
+    t.update_set("k >= 0", {"v": "'u'"})
+    assert t.scan().count() == 86
+    assert t.scan().filter("v = 'u'").count() == 86
+    # compact applies DVs physically and drops them
+    t.compact(target_rows_per_file=1_000_000)
+    snap2 = t.snapshot()
+    assert not any(f.dv for f in snap2.files)
+    assert t.scan().count() == 86
+    # vacuum reclaims the superseded DV relations
+    assert t.vacuum(retain_versions=1, min_age_seconds=0) > 0
+    assert t.scan().count() == 86
+
+
+def test_delete_dv_null_predicate_rows_survive(spark, table):
+    table.append(spark.createDataFrame(
+        [(1, "a", 1), (2, None, 1), (3, "b", 1)], schema=SCHEMA))
+    table.delete_where_dv("v = 'a'")
+    assert {r.k for r in table.scan().collect()} == {2, 3}
+
+
 def test_update_set_casts_and_preserves_other_rows(spark, table):
     table.append(_rows(spark, 0, 20))
     table.update_set("k >= 15", {"v": "'bumped'", "grp": "grp + 10"})
