@@ -232,34 +232,7 @@ class LakeTable:
         )  # bounded: file count
         if not touched_paths:
             return snap.version
-        touched = [snap.adds[p] for p in touched_paths]
-        dv_rel = f"dv/{uuid.uuid4().hex[:12]}.parquet"
-        combined = hits
-        carrying = [f for f in touched if f.dv]
-        if carrying:
-            old = self._read_dv(carrying)
-            combined = combined.unionByName(
-                old.join(
-                    self.spark.createDataFrame([(p,) for p in touched_paths], ["file"]),
-                    on="file", how="left_semi",
-                )
-            ).distinct()
-        combined.write.mode("errorifexists").parquet(f"{self.root}/{dv_rel}")
-        counts = {
-            r["file"]: r["n"]
-            for r in self.spark.read.parquet(f"{self.root}/{dv_rel}")
-            .groupBy("file").agg(F.count(F.lit(1)).alias("n")).collect()
-        }  # bounded: file count
-        removes = set(touched_paths)
-        actions = [{"remove": {"path": p}} for p in sorted(removes)]
-        actions += [
-            AddFile(f.path, f.size, f.num_records, f.stats,
-                    {"file": dv_rel, "cardinality": int(counts.get(f.path, 0))}
-                    ).to_action()
-            for f in touched
-        ]
-        return self._commit(actions, op="DELETE_DV", read_version=snap.version,
-                            removes=removes)
+        return self._commit_dv(snap, hits, touched_paths, [], op="DELETE_DV")
 
     def update_set(self, cond: str, assignments: dict[str, str]) -> int:
         """Copy-on-write UPDATE ... SET: narrowed like delete_where."""
@@ -283,12 +256,43 @@ class LakeTable:
         return self._commit(actions, op="UPDATE", read_version=snap.version,
                             removes=removes)
 
+    def update_set_dv(self, cond: str, assignments: dict[str, str]) -> int:
+        """Merge-on-read UPDATE: the matched rows' positions go into a
+        deletion vector and their updated versions are appended as new
+        files — ONE commit, O(changed rows) at any table size (the CoW
+        twin rewrites every touched file). Readers see the old version
+        vanish and the new one appear atomically."""
+        snap = self.snapshot()
+        schema = self.schema(snap)
+        candidates = _prune_files(snap.files, cond)
+        if not candidates:
+            return snap.version
+        matched = (
+            self._read_files(candidates, schema, with_positions=True)
+            .filter(F.expr(cond))
+        )
+        hits = matched.select(F.col("__file").alias("file"),
+                              F.col("__row").alias("row_index"))
+        touched_paths = sorted(
+            r["file"] for r in hits.select("file").distinct().collect()
+        )  # bounded: file count
+        if not touched_paths:
+            return snap.version
+        updated = matched.select(*[
+            F.expr(assignments[c]).cast(schema[c].dataType).alias(c)
+            if c in assignments else F.col(c)
+            for c in [f.name for f in schema.fields]
+        ])
+        new_adds = self._write_batch(updated, *self._layout(snap))
+        return self._commit_dv(snap, hits, touched_paths, new_adds, op="UPDATE_DV")
+
     def merge(
         self,
         source: DataFrame,
         keys: list[str],
         when_matched: str = "update",  # "update" | "delete" | "ignore"
         insert_not_matched: bool = True,
+        txn: tuple[str, int] | None = None,
     ) -> int:
         """MERGE in three narrowing steps, each cheaper than the last
         is avoided:
@@ -315,6 +319,8 @@ class LakeTable:
         (e.g. min_by on the key) as lake_dedup_ingest does.
         """
         snap = self.snapshot()
+        if txn is not None and snap.txns.get(txn[0], -1) >= txn[1]:
+            return snap.version  # this batch already merged (restart replay)
         schema = self.schema(snap)
         candidates = self._prune_by_source_range(snap.files, source, keys, snap)
         if not candidates or when_matched == "ignore":
@@ -364,8 +370,10 @@ class LakeTable:
         removes = set(touched_paths)
         actions = [{"remove": {"path": p}} for p in sorted(removes)]
         actions += [a.to_action() for a in adds]
+        if txn is not None:
+            actions.append({"txn": {"appId": txn[0], "version": txn[1]}})
         return self._commit(actions, op="MERGE", read_version=snap.version,
-                            removes=removes)
+                            removes=removes, txn=txn)
 
     def restore(self, version: int) -> int:
         """Roll the table back to ``version`` as a NEW commit (history
@@ -500,6 +508,43 @@ class LakeTable:
         return deleted
 
     # ----------------------------------------------------- internals --
+
+    def _commit_dv(self, snap: Snapshot, hits: DataFrame,
+                   touched_paths: list[str], extra_adds: list[AddFile],
+                   op: str) -> int:
+        """Shared tail of the merge-on-read ops: merge ``hits`` (file,
+        row_index) with any DVs the touched files already carry, write
+        the combined relation, and commit the touched adds re-pointed
+        at it (plus ``extra_adds`` — an update's new row files)."""
+        touched = [snap.adds[p] for p in touched_paths]
+        dv_rel = f"dv/{uuid.uuid4().hex[:12]}.parquet"
+        combined = hits
+        carrying = [f for f in touched if f.dv]
+        if carrying:
+            old = self._read_dv(carrying)
+            combined = combined.unionByName(
+                old.join(
+                    self.spark.createDataFrame([(p,) for p in touched_paths], ["file"]),
+                    on="file", how="left_semi",
+                )
+            ).distinct()
+        combined.write.mode("errorifexists").parquet(f"{self.root}/{dv_rel}")
+        counts = {
+            r["file"]: r["n"]
+            for r in self.spark.read.parquet(f"{self.root}/{dv_rel}")
+            .groupBy("file").agg(F.count(F.lit(1)).alias("n")).collect()
+        }  # bounded: file count
+        removes = set(touched_paths)
+        actions = [{"remove": {"path": p}} for p in sorted(removes)]
+        actions += [
+            AddFile(f.path, f.size, f.num_records, f.stats,
+                    {"file": dv_rel, "cardinality": int(counts.get(f.path, 0))}
+                    ).to_action()
+            for f in touched
+        ]
+        actions += [a.to_action() for a in extra_adds]
+        return self._commit(actions, op=op, read_version=snap.version,
+                            removes=removes)
 
     _FILE_RX = r"(data/[^/]+/[^/]+)$"
 

@@ -349,6 +349,77 @@ def lake_stream_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "lake_update_dv",
+    oracle="""
+    SELECT c_custkey, c_name, c_nationkey,
+           CASE WHEN c_acctbal < 0 THEN 0.0 ELSE c_acctbal END AS c_acctbal,
+           CASE WHEN c_acctbal < 0 THEN 'RECOVERED' ELSE c_mktsegment END AS c_mktsegment
+    FROM customer
+    """,
+    tags=("lakehouse", "etl", "custom-operator"),
+)
+def lake_update_dv(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Merge-on-read UPDATE: matched rows' positions go into a deletion
+    vector and their updated versions append as new files — one commit,
+    O(changed rows), no touched-file rewrite. Shares lake_update_where's
+    oracle: MoR and CoW update are provably end-state-identical."""
+    cust = _customer(spark, sf_dir)
+    t = LakeTable.create(spark, _fresh_root(sf_dir, "update_dv"), cust.schema)
+    t.append(cust)
+    t.update_set_dv("c_acctbal < 0",
+                    {"c_acctbal": "0.0", "c_mktsegment": "'RECOVERED'"})
+    return t.scan()
+
+
+@query(
+    "lake_stream_upsert",
+    oracle="""
+    SELECT c_custkey, c_name,
+           CASE WHEN c_custkey % 3 = 0 THEN round(c_acctbal * 1.1, 4)
+                ELSE c_acctbal END AS c_acctbal
+    FROM customer
+    """,
+    tags=("lakehouse", "streaming", "etl", "custom-operator"),
+)
+def lake_stream_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming CDC upsert: wave 1 (the full snapshot) then wave 2 (a
+    balance-bump changelog for every third customer) arrive as separate
+    micro-batches through the exactly-once MERGE sink — each batch a
+    transactional keyed merge with a txn watermark, so replays are
+    no-ops and the end state is the snapshot with the changelog
+    applied. Wave order is pinned via file modification times (the
+    file source's batch order), since upsert is last-write-wins."""
+    import time as _time
+
+    from ..streaming.lake_sink import start_lake_ingest
+
+    cust = load(spark, sf_dir, "customer").select("c_custkey", "c_name", "c_acctbal")
+    src = _fresh_root(sf_dir, "upsert_src")
+    ckpt = _fresh_root(sf_dir, "upsert_ckpt")
+    cust.coalesce(1).write.parquet(f"{src}/wave1")
+    updates = cust.filter(F.col("c_custkey") % 3 == 0).withColumn(
+        "c_acctbal", F.round(F.col("c_acctbal") * 1.1, 4)
+    )
+    updates.coalesce(1).write.parquet(f"{src}/wave2")
+    later = _time.time() + 10
+    for base, _dirs, names in os.walk(f"{src}/wave2"):
+        for n in names:
+            os.utime(os.path.join(base, n), (later, later))
+    t = LakeTable.create(spark, _fresh_root(sf_dir, "upsert_tbl"), cust.schema,
+                         stats_cols=["c_custkey"])
+    stream = (
+        spark.readStream.schema(cust.schema)
+        .option("maxFilesPerTrigger", 1)
+        .option("recursiveFileLookup", "true")
+        .parquet(src)
+    )
+    q = start_lake_ingest(stream, t, ckpt, app_id="lake_stream_upsert",
+                          merge_keys=["c_custkey"])
+    q.awaitTermination()
+    return t.scan()
+
+
+@query(
     "lake_zorder_optimize",
     oracle="""
     SELECT p_partkey, p_name, p_size, round(p_retailprice, 2) AS p_retailprice

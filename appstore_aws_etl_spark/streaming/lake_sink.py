@@ -29,11 +29,18 @@ from pyspark.sql.streaming import StreamingQuery
 from ..lakehouse import LakeTable
 
 
-def lake_batch_writer(table: LakeTable, app_id: str):
-    """The ``foreachBatch`` callable: idempotent transactional append."""
+def lake_batch_writer(table: LakeTable, app_id: str,
+                      merge_keys: list[str] | None = None):
+    """The ``foreachBatch`` callable: idempotent transactional append,
+    or — with ``merge_keys`` — idempotent transactional MERGE (the
+    streaming-CDC upsert apply: each micro-batch's last change per key
+    wins, replays are no-ops via the same txn watermark)."""
 
     def write_batch(batch_df: DataFrame, batch_id: int) -> None:
-        table.append(batch_df, txn=(app_id, int(batch_id)))
+        if merge_keys:
+            table.merge(batch_df, keys=merge_keys, txn=(app_id, int(batch_id)))
+        else:
+            table.append(batch_df, txn=(app_id, int(batch_id)))
 
     return write_batch
 
@@ -43,10 +50,17 @@ def start_lake_ingest(
     table: LakeTable,
     checkpoint_dir: str,
     app_id: str = "lake-ingest",
+    merge_keys: list[str] | None = None,
 ) -> StreamingQuery:
-    """Wire a streaming DataFrame into ``table`` exactly-once."""
+    """Wire a streaming DataFrame into ``table`` exactly-once —
+    append-only by default, keyed upsert when ``merge_keys`` is given.
+    NOTE for the upsert mode: each micro-batch must be key-unique
+    (dedup upstream, e.g. last_value per key over the batch) — the
+    merge contract, enforced semantics documented in table.merge."""
     return (
-        stream_df.writeStream.foreachBatch(lake_batch_writer(table, app_id))
+        stream_df.writeStream.foreachBatch(
+            lake_batch_writer(table, app_id, merge_keys)
+        )
         .option("checkpointLocation", checkpoint_dir)
         .trigger(availableNow=True)
         .start()

@@ -127,6 +127,43 @@ def test_delete_dv_null_predicate_rows_survive(spark, table):
     assert {r.k for r in table.scan().collect()} == {2, 3}
 
 
+def test_update_dv_no_rewrite_and_cow_equivalence(spark, tmp_path):
+    """Merge-on-read UPDATE: original files survive byte-identical
+    (DV-masked), updated rows appear as new files, and the end state
+    equals the copy-on-write twin's on the same inputs."""
+    a = LakeTable.create(spark, str(tmp_path / "mor"), SCHEMA, stats_cols=["k"])
+    b = LakeTable.create(spark, str(tmp_path / "cow"), SCHEMA, stats_cols=["k"])
+    for t in (a, b):
+        t.append(_rows(spark, 0, 60))
+    files_before = {f.path for f in a.snapshot().files}
+    a.update_set_dv("k % 5 = 0", {"v": "'up'", "grp": "grp + 100"})
+    b.update_set("k % 5 = 0", {"v": "'up'", "grp": "grp + 100"})
+    snap = a.snapshot()
+    assert files_before <= {f.path for f in snap.files}  # originals kept
+    assert any(f.dv for f in snap.files)
+    got_a = sorted((r.k, r.v, r.grp) for r in a.scan().collect())
+    got_b = sorted((r.k, r.v, r.grp) for r in b.scan().collect())
+    assert got_a == got_b
+    assert a.scan().filter("v = 'up'").count() == 12
+    # a second MoR update touching both old and new files still agrees
+    a.update_set_dv("grp >= 100", {"v": "'again'"})
+    b.update_set("grp >= 100", {"v": "'again'"})
+    assert (sorted((r.k, r.v, r.grp) for r in a.scan().collect())
+            == sorted((r.k, r.v, r.grp) for r in b.scan().collect()))
+
+
+def test_merge_txn_idempotent_for_streaming_upsert(spark, table):
+    table.append(_rows(spark, 0, 20))
+    src = spark.range(10, 25).select(
+        F.col("id").alias("k"), F.lit("m").alias("v"), F.lit(0).alias("grp")
+    )
+    v1 = table.merge(src, keys=["k"], txn=("upsert", 0))
+    v2 = table.merge(src, keys=["k"], txn=("upsert", 0))  # replayed batch
+    assert v2 == v1
+    assert table.scan().count() == 25
+    assert table.scan().filter("v = 'm'").count() == 15
+
+
 def test_update_set_casts_and_preserves_other_rows(spark, table):
     table.append(_rows(spark, 0, 20))
     table.update_set("k >= 15", {"v": "'bumped'", "grp": "grp + 10"})
