@@ -108,8 +108,8 @@ class LakeTable:
         schema = self.schema(snap)
         files = snap.files
         if where:
-            files = _prune_files(files, where)
-        df = self._read_files(files, schema)
+            files = _prune_files(files, where, self._layout(snap)[2])
+        df = self._read_files(files, schema, mapping=self._layout(snap)[2])
         return df.filter(where) if where else df
 
     def history(self) -> list[dict]:
@@ -138,7 +138,8 @@ class LakeTable:
         live = {f.path for f in snap.files}
         paths = [p for p in added if p in live]
         schema = self.schema(snap)
-        return self._read_files([snap.adds[p] for p in sorted(set(paths))], schema)
+        return self._read_files([snap.adds[p] for p in sorted(set(paths))], schema,
+                                mapping=self._layout(snap)[2])
 
     # ---------------------------------------------------------- DML --
 
@@ -191,12 +192,13 @@ class LakeTable:
         evaluates NULL are kept (SQL DELETE semantics)."""
         snap = self.snapshot()
         schema = self.schema(snap)
-        candidates = _prune_files(snap.files, cond)
-        touched = self._files_containing(candidates, cond, schema)
+        candidates = _prune_files(snap.files, cond, self._layout(snap)[2])
+        touched = self._files_containing(candidates, cond, schema,
+                                         mapping=self._layout(snap)[2])
         if not touched:
             return snap.version
         survivors = self._read_files(
-            [snap.adds[p] for p in touched], schema
+            [snap.adds[p] for p in touched], schema, mapping=self._layout(snap)[2]
         ).filter(~F.coalesce(F.expr(cond), F.lit(False)))
         adds = self._write_batch(survivors, *self._layout(snap))
         removes = set(touched)
@@ -219,11 +221,12 @@ class LakeTable:
         checks."""
         snap = self.snapshot()
         schema = self.schema(snap)
-        candidates = _prune_files(snap.files, cond)
+        candidates = _prune_files(snap.files, cond, self._layout(snap)[2])
         if not candidates:
             return snap.version
         hits = (
-            self._read_files(candidates, schema, with_positions=True)
+            self._read_files(candidates, schema, with_positions=True,
+                             mapping=self._layout(snap)[2])
             .filter(F.expr(cond))
             .select(F.col("__file").alias("file"), F.col("__row").alias("row_index"))
         )
@@ -238,11 +241,13 @@ class LakeTable:
         """Copy-on-write UPDATE ... SET: narrowed like delete_where."""
         snap = self.snapshot()
         schema = self.schema(snap)
-        candidates = _prune_files(snap.files, cond)
-        touched_paths = self._files_containing(candidates, cond, schema)
+        candidates = _prune_files(snap.files, cond, self._layout(snap)[2])
+        touched_paths = self._files_containing(candidates, cond, schema,
+                                               mapping=self._layout(snap)[2])
         if not touched_paths:
             return snap.version
-        touched = self._read_files([snap.adds[p] for p in touched_paths], schema)
+        touched = self._read_files([snap.adds[p] for p in touched_paths], schema,
+                                   mapping=self._layout(snap)[2])
         hit = F.expr(cond)
         updated = touched.select(*[
             F.when(hit, F.expr(assignments[c]).cast(touched.schema[c].dataType))
@@ -264,11 +269,12 @@ class LakeTable:
         vanish and the new one appear atomically."""
         snap = self.snapshot()
         schema = self.schema(snap)
-        candidates = _prune_files(snap.files, cond)
+        candidates = _prune_files(snap.files, cond, self._layout(snap)[2])
         if not candidates:
             return snap.version
         matched = (
-            self._read_files(candidates, schema, with_positions=True)
+            self._read_files(candidates, schema, with_positions=True,
+                             mapping=self._layout(snap)[2])
             .filter(F.expr(cond))
         )
         hits = matched.select(F.col("__file").alias("file"),
@@ -330,7 +336,8 @@ class LakeTable:
             # dedup-ingest shape: first writer wins per key)
             touched_paths: list[str] = []
         else:
-            live = self._read_files(candidates, schema, with_positions=True)
+            live = self._read_files(candidates, schema, with_positions=True,
+                                    mapping=self._layout(snap)[2])
             # No forced broadcast: a merge source is not SF-bounded (a
             # backfill can be table-sized); AQE broadcasts the key set
             # when it is actually small, which is the trickle-merge case.
@@ -344,7 +351,8 @@ class LakeTable:
         parts = []
         if touched_paths:
             touched = self._read_files(
-                [snap.adds[p] for p in touched_paths], schema
+                [snap.adds[p] for p in touched_paths], schema,
+                mapping=self._layout(snap)[2]
             )
             keep = touched.join(src.select(*keys).distinct(), on=keys, how="left_anti")
             parts.append(keep)
@@ -356,8 +364,9 @@ class LakeTable:
             # when_matched == "delete": matched rows simply not rewritten
         if insert_not_matched:
             if candidates:
-                live_keys = self._read_files(candidates, schema)\
-                    .select(*keys).distinct()
+                live_keys = self._read_files(
+                    candidates, schema, mapping=self._layout(snap)[2]
+                ).select(*keys).distinct()
                 parts.append(src.join(live_keys, on=keys, how="left_anti"))
             else:
                 parts.append(src)
@@ -374,6 +383,40 @@ class LakeTable:
             actions.append({"txn": {"appId": txn[0], "version": txn[1]}})
         return self._commit(actions, op="MERGE", read_version=snap.version,
                             removes=removes, txn=txn)
+
+    def rename_column(self, old: str, new: str) -> int:
+        """RENAME COLUMN without rewriting a byte (Delta/Iceberg column
+        mapping): the logical schema changes, and a logical->physical
+        mapping records that the new name still reads the files'
+        original column. Writers keep writing physical names, stats
+        stay keyed physical, predicates/keys are translated at prune
+        time — so rename is one KB-sized metadata commit at any table
+        size. Time travel to a pre-rename version naturally shows the
+        old name (that snapshot's metadata IS the old metadata)."""
+        import json as _json
+
+        snap = self.snapshot()
+        schema = self.schema(snap)
+        names = [f.name for f in schema.fields]
+        if old not in names:
+            raise ValueError(f"rename_column: no column {old!r} (have {names})")
+        if new in names:
+            raise ValueError(f"rename_column: {new!r} already exists")
+        mapping = dict(snap.metadata.get("columnMapping", {}))
+        physical = mapping.pop(old, old)
+        mapping[new] = physical
+        new_schema = T.StructType([
+            T.StructField(new if f.name == old else f.name, f.dataType, f.nullable)
+            for f in schema.fields
+        ])
+        meta = dict(snap.metadata)
+        meta["schemaString"] = new_schema.json()
+        meta["columnMapping"] = {k: v for k, v in mapping.items() if k != v}
+        _json.dumps(meta)  # fail fast on unserializable metadata
+        return self._commit(
+            [{"metaData": meta}],
+            op="RENAME_COLUMN", read_version=snap.version, removes=set(),
+        )
 
     def restore(self, version: int) -> int:
         """Roll the table back to ``version`` as a NEW commit (history
@@ -415,7 +458,8 @@ class LakeTable:
             return snap.version
         total = sum(f.num_records for f in small)
         n_out = max(1, -(-total // target_rows_per_file))
-        packed = self._read_files(small, self.schema(snap)).repartition(n_out)
+        packed = self._read_files(small, self.schema(snap),
+                                  mapping=self._layout(snap)[2]).repartition(n_out)
         adds = self._write_batch(packed, cluster_by=[])
         removes = {f.path for f in small}
         actions = [{"remove": {"path": p}} for p in sorted(removes)]
@@ -437,7 +481,8 @@ class LakeTable:
         if not snap.files:
             return snap.version
         schema = self.schema(snap)
-        live = self._read_files(snap.files, schema)
+        live = self._read_files(snap.files, schema,
+                                mapping=self._layout(snap)[2])
         clustered = (
             live.withColumn("__z", zvalue(F.col(col_a), F.col(col_b)))
             .repartitionByRange(files_per_range, F.col("__z"))
@@ -446,8 +491,10 @@ class LakeTable:
         )
         # stats on the zorder columns, whatever clusterBy says — the
         # layout exists to serve predicates on exactly these two
-        adds = self._write_batch(clustered, cluster_by=[col_a, col_b],
-                                 repartition=False)
+        _, _, mp = self._layout(snap)
+        adds = self._write_batch(
+            clustered, cluster_by=[mp.get(col_a, col_a), mp.get(col_b, col_b)],
+            mapping=mp, repartition=False)
         removes = {f.path for f in snap.files}
         actions = [{"remove": {"path": p}} for p in sorted(removes)]
         actions += [a.to_action() for a in adds]
@@ -549,7 +596,8 @@ class LakeTable:
     _FILE_RX = r"(data/[^/]+/[^/]+)$"
 
     def _read_files(self, files: list[AddFile], schema: T.StructType,
-                    with_positions: bool = False) -> DataFrame:
+                    with_positions: bool = False,
+                    mapping: dict | None = None) -> DataFrame:
         """THE reader every operation goes through: plain files read
         directly; files carrying a deletion vector are read with
         parquet row lineage (``_metadata.row_index``, Spark's native
@@ -558,6 +606,11 @@ class LakeTable:
         keeps ``__file``/``__row`` lineage columns for discovery and
         DV-building passes."""
         names = [f.name for f in schema.fields]
+        mapping = mapping or {}
+        phys_schema = T.StructType([
+            T.StructField(mapping.get(f.name, f.name), f.dataType, f.nullable)
+            for f in schema.fields
+        ])
         lineage = [
             F.regexp_extract(F.col("_metadata.file_path"), self._FILE_RX, 1)
             .alias("__file"),
@@ -566,9 +619,14 @@ class LakeTable:
         keep = names + (["__file", "__row"] if with_positions else [])
 
         def base(fs: list[AddFile]) -> DataFrame:
-            return self.spark.read.schema(schema).parquet(
+            df = self.spark.read.schema(phys_schema).parquet(
                 *[f"{self.root}/{f.path}" for f in fs]
             )
+            for logical in names:  # physical -> logical, reader-side
+                physical = mapping.get(logical, logical)
+                if physical != logical:
+                    df = df.withColumnRenamed(physical, logical)
+            return df
 
         parts = []
         plain = [f for f in files if not f.dv]
@@ -611,7 +669,8 @@ class LakeTable:
         is an optimization, never a semantic filter."""
         if not files:
             return []
-        usable = [k for k in keys if k in set(self._layout(snap)[1])]
+        _, stats_cols, mp = self._layout(snap)
+        usable = [k for k in keys if mp.get(k, k) in set(stats_cols)]
         if not usable:
             return list(files)
         aggs = []
@@ -622,7 +681,7 @@ class LakeTable:
         for k in usable:
             smin, smax = _json_safe(row[f"__min_{k}"]), _json_safe(row[f"__max_{k}"])
             if smin is not None and smax is not None:
-                bounds[k] = (smin, smax)
+                bounds[mp.get(k, k)] = (smin, smax)
         if not bounds:
             return list(files)
 
@@ -647,29 +706,41 @@ class LakeTable:
         return sorted(p[len(prefix):] if p.startswith(prefix) else p for p in stripped)
 
     def _files_containing(self, files: list[AddFile], cond: str,
-                          schema: T.StructType) -> list[str]:
+                          schema: T.StructType,
+                          mapping: dict | None = None) -> list[str]:
         """The subset of ``files`` that actually contain a row matching
         ``cond`` — one scan of the stats candidates, collect bounded by
         file count."""
         if not files:
             return []
-        df = self._read_files(files, schema, with_positions=True)
+        df = self._read_files(files, schema, with_positions=True, mapping=mapping)
         rows = (df.filter(F.expr(cond))
                 .select("__file").distinct().collect())
         return sorted(r["__file"] for r in rows)
 
-    def _layout(self, snap: Snapshot) -> tuple[list[str], list[str]]:
-        """(cluster columns, stats columns) from table metadata."""
+    def _layout(self, snap: Snapshot) -> tuple[list[str], list[str], dict]:
+        """(cluster cols, stats cols, logical->physical column mapping)
+        from table metadata. Cluster/stats names are PHYSICAL (stable
+        across renames); the mapping is identity until a rename_column
+        commit introduces an indirection."""
         cluster = snap.metadata.get("clusterBy", [])
-        return cluster, snap.metadata.get("statsCols", cluster)
+        return (cluster, snap.metadata.get("statsCols", cluster),
+                snap.metadata.get("columnMapping", {}))
 
     def _write_batch(self, df: DataFrame, cluster_by: list[str],
                      stats_cols: list[str] | None = None,
+                     mapping: dict | None = None,
                      repartition: bool = True) -> list[AddFile]:
         """Write immutable files for one commit and return their adds
         with per-file min/max stats on the stats columns (default: the
-        cluster columns). ``repartition=False`` keeps an upstream
-        layout (Z-order) while still recording stats."""
+        cluster columns). ``df`` arrives with LOGICAL column names and
+        is written under PHYSICAL ones (``mapping``), so a rename never
+        requires rewriting data. ``repartition=False`` keeps an
+        upstream layout (Z-order) while still recording stats."""
+        if mapping:
+            for logical, physical in mapping.items():
+                if logical in df.columns and logical != physical:
+                    df = df.withColumnRenamed(logical, physical)
         stats_cols = cluster_by if stats_cols is None else stats_cols
         stats_cols = [c for c in stats_cols if c in df.columns]
         batch = f"data/{uuid.uuid4().hex[:12]}"
@@ -800,7 +871,8 @@ _CONJUNCT = re.compile(
 _IN_LIST = re.compile(r"^\s*(\w+)\s+IN\s*\(([^()]*)\)\s*$", re.IGNORECASE)
 
 
-def _prune_files(files: list[AddFile], where: str) -> list[AddFile]:
+def _prune_files(files: list[AddFile], where: str,
+                 mapping: dict | None = None) -> list[AddFile]:
     """Manifest pruning on simple AND-ed conjuncts (range comparisons
     and IN-lists) over stats columns. ALL-OR-NOTHING parse: if any
     " AND "-split part fails to parse, NO pruning happens — a
@@ -815,7 +887,7 @@ def _prune_files(files: list[AddFile], where: str) -> list[AddFile]:
         if m:
             col, op, lit = m.groups()
             lit = lit[1:-1] if lit.startswith("'") else float(lit)
-            conjuncts.append((col, op, lit))
+            conjuncts.append(((mapping or {}).get(col, col), op, lit))
             continue
         m = _IN_LIST.match(part)
         if m:
@@ -832,7 +904,7 @@ def _prune_files(files: list[AddFile], where: str) -> list[AddFile]:
                         vals = None
                         break
             if vals:
-                conjuncts.append((col, "in", vals))
+                conjuncts.append(((mapping or {}).get(col, col), "in", vals))
                 continue
         return files  # unparseable part -> the conjunct split is unsafe
     if not conjuncts:

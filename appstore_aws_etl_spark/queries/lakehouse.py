@@ -444,6 +444,32 @@ def lake_zorder_optimize(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "lake_rename_column",
+    oracle="""
+    SELECT c_custkey AS customer_id, c_name,
+           CASE WHEN c_custkey % 7 = 0 THEN round(c_acctbal + 50, 4)
+                ELSE c_acctbal END AS balance
+    FROM customer
+    """,
+    tags=("lakehouse", "etl", "custom-operator"),
+)
+def lake_rename_column(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RENAME COLUMN via column mapping (metadata-only, zero rewrite),
+    then DML addressed by the NEW names — the update's predicate and
+    the merge-free write path all translate through the mapping while
+    the parquet files keep their original physical column names."""
+    cust = load(spark, sf_dir, "customer").select("c_custkey", "c_name", "c_acctbal")
+    t = LakeTable.create(spark, _fresh_root(sf_dir, "rename"), cust.schema,
+                         stats_cols=["c_custkey"])
+    t.append(cust)
+    t.rename_column("c_custkey", "customer_id")
+    t.rename_column("c_acctbal", "balance")
+    t.update_set("customer_id % 7 = 0",
+                 {"balance": "round(balance + 50, 4)"})
+    return t.scan()
+
+
+@query(
     "lake_schema_evolution",
     oracle="""
     SELECT c_custkey, c_acctbal, CAST(NULL AS VARCHAR) AS tier

@@ -152,6 +152,41 @@ def test_update_dv_no_rewrite_and_cow_equivalence(spark, tmp_path):
             == sorted((r.k, r.v, r.grp) for r in b.scan().collect()))
 
 
+def test_rename_column_is_metadata_only_and_full_dml_works(spark, tmp_path):
+    """Column mapping: rename rewrites nothing (file set unchanged),
+    every op speaks the new logical name (filter, stats pruning, CoW
+    delete, MoR update, keyed merge, append), and time travel to a
+    pre-rename version shows the old name."""
+    t = LakeTable.create(spark, str(tmp_path / "ren"), SCHEMA,
+                         cluster_by=["grp"], stats_cols=["grp", "k"])
+    t.append(_rows(spark, 0, 100))
+    files_before = {f.path for f in t.snapshot().files}
+    t.rename_column("k", "key_id")
+    snap = t.snapshot()
+    assert {f.path for f in snap.files} == files_before  # nothing rewritten
+    assert t.scan().columns == ["key_id", "v", "grp"]
+    assert t.scan().filter("key_id < 10").count() == 10
+    # pruning translates the logical name to the physical stats key
+    mp = t._layout(snap)[2]
+    assert mp == {"key_id": "k"}
+    assert len(laketable._prune_files(snap.files, "key_id = 5", mp)) >= 1
+    # full DML under the new name
+    t.append(_rows(spark, 100, 120).withColumnRenamed("k", "key_id"))
+    t.delete_where("key_id < 5")
+    t.update_set_dv("key_id >= 115", {"v": "'x'"})
+    src = spark.range(110, 125).select(
+        F.col("id").alias("key_id"), F.lit("m").alias("v"), F.lit(0).alias("grp"))
+    t.merge(src, keys=["key_id"])
+    assert t.scan().count() == 120
+    assert t.scan().filter("v = 'm'").count() == 15
+    assert t.scan(version=1).columns == ["k", "v", "grp"]  # pre-rename
+    # rename collisions refuse
+    with pytest.raises(ValueError):
+        t.rename_column("nope", "x")
+    with pytest.raises(ValueError):
+        t.rename_column("v", "grp")
+
+
 def test_merge_txn_idempotent_for_streaming_upsert(spark, table):
     table.append(_rows(spark, 0, 20))
     src = spark.range(10, 25).select(
