@@ -551,21 +551,24 @@ def test_model_random_dml_sequence_matches_reference(spark, tmp_path):
         got = {r.k: (r.v, r.grp) for r in t.scan(version=version).collect()}
         assert got == want
 
-    for step in range(10):
-        op = rng.choice(["append", "delete", "update", "merge", "compact"])
+    for step in range(12):
+        op = rng.choice(["append", "delete", "delete_dv", "update",
+                         "update_dv", "merge", "compact"])
         if op == "append" or not model:
             n = rng.randint(3, 12)
             batch = {next_k + i: (f"a{step}", (next_k + i) % 4) for i in range(n)}
             next_k += n
             t.append(df_of(batch))
             model.update(batch)
-        elif op == "delete":
+        elif op in ("delete", "delete_dv"):
             g = rng.randint(0, 3)
-            t.delete_where(f"grp = {g}")
+            (t.delete_where_dv if op == "delete_dv" else t.delete_where)(
+                f"grp = {g}")
             model = {k: r for k, r in model.items() if r[1] != g}
-        elif op == "update":
+        elif op in ("update", "update_dv"):
             cut = rng.choice(sorted(model)) if model else 0
-            t.update_set(f"k >= {cut}", {"v": f"'u{step}'"})
+            (t.update_set_dv if op == "update_dv" else t.update_set)(
+                f"k >= {cut}", {"v": f"'u{step}'"})
             model = {k: (f"u{step}" if k >= cut else r[0], r[1])
                      for k, r in model.items()}
         elif op == "merge":
