@@ -199,11 +199,24 @@ def _chain_pairs(
     chance governed by per-position agreement ~ Jaccard). All orders
     share the one block exchange; each extra order is an in-partition
     sort, never a shuffle. Output is O(n_orders x k x |rows|)
-    (id_a, id_b) candidates, id_a < id_b, unverified."""
+    (id_a, id_b) candidates, id_a < id_b, unverified.
+
+    Plan shape (optimization round 13): ALL n_orders x chain_k successor
+    columns are computed in ONE select — the Window nodes stack over a
+    single child inside one stage (one exchange, n_orders in-partition
+    sorts) — and the pairs come out of a single flatten + explode. The
+    previous formulation unioned one filter branch per (order, k); each
+    union branch embedded its own copy of the window subtree, so the
+    physical plan evaluated n_orders x chain_k window sorts (32 for the
+    survivors config) where n_orders suffice, and the plan tree — which
+    the driver re-analyzes on every action — was ~chain_k x this size.
+    Identical (id_a, id_b) multiset by construction: per input row, one
+    candidate per non-null successor per order, exactly what the branch
+    union emitted."""
     from pyspark.sql import Window
 
-    out = None
     step = max(1, num_hashes // n_orders)
+    succ_arrays = []
     for i in range(n_orders):
         r = i * step
         if r == 0:
@@ -214,20 +227,25 @@ def _chain_pairs(
                 F.slice("signature", 1, r),
             )
         w = Window.partitionBy(*block_cols).orderBy(order_expr, id_col)
-        chained = blocked.select(
-            id_col,
-            *[
-                F.lead(id_col, k).over(w).alias(f"__n{k}")
-                for k in range(1, chain_k + 1)
-            ],
+        succ_arrays.append(
+            F.array(
+                *[F.lead(id_col, k).over(w) for k in range(1, chain_k + 1)]
+            ).alias(f"__succ{i}")
         )
-        for k in range(1, chain_k + 1):
-            p = chained.filter(F.col(f"__n{k}").isNotNull()).select(
-                F.least(id_col, F.col(f"__n{k}")).alias("id_a"),
-                F.greatest(id_col, F.col(f"__n{k}")).alias("id_b"),
-            )
-            out = p if out is None else out.unionByName(p)
-    return out
+    return (
+        blocked.select(id_col, *succ_arrays)
+        .select(
+            id_col,
+            F.explode(
+                F.flatten(F.array(*[f"__succ{i}" for i in range(n_orders)]))
+            ).alias("__n"),
+        )
+        .filter(F.col("__n").isNotNull())
+        .select(
+            F.least(id_col, F.col("__n")).alias("id_a"),
+            F.greatest(id_col, F.col("__n")).alias("id_b"),
+        )
+    )
 
 
 def minhash_near_dup_pairs(
