@@ -286,7 +286,13 @@ def replay(spark: SparkSession, root: str, version: int | None = None) -> Snapsh
     usable = [c for c in checkpoints if c <= target]
     if usable:
         cp = usable[-1]
-        for row in spark.read.parquet(checkpoint_path(root, cp)).collect():
+        # fixed (kind, payload) checkpoint shape -> explicit schema, no
+        # schema-inference footer job on every checkpointed replay
+        for row in (
+            spark.read.schema("kind STRING, payload STRING")
+            .parquet(checkpoint_path(root, cp))
+            .collect()
+        ):
             if row.kind == "meta":
                 metadata = json.loads(row.payload)
             elif row.kind == "txn":

@@ -50,6 +50,13 @@ from .log import (
 
 _MAX_COMMIT_ATTEMPTS = 10
 
+# deletion-vector relation shape — fixed by _commit_dv's writer, so
+# readers pass it explicitly instead of paying a schema-inference job
+_DV_SCHEMA = T.StructType([
+    T.StructField("file", T.StringType()),
+    T.StructField("row_index", T.LongType()),
+])
+
 
 class LakeTable:
     """Handle on one log-backed table rooted at ``root``."""
@@ -576,9 +583,13 @@ class LakeTable:
                 )
             ).distinct()
         combined.write.mode("errorifexists").parquet(f"{self.root}/{dv_rel}")
+        # explicit schema: the DV relation's shape is fixed by this
+        # writer, so schema inference here was a pure footer-read job
+        # (one extra scheduling floor per DV commit)
         counts = {
             r["file"]: r["n"]
-            for r in self.spark.read.parquet(f"{self.root}/{dv_rel}")
+            for r in self.spark.read.schema(_DV_SCHEMA)
+            .parquet(f"{self.root}/{dv_rel}")
             .groupBy("file").agg(F.count(F.lit(1)).alias("n")).collect()
         }  # bounded: file count
         removes = set(touched_paths)
@@ -656,7 +667,10 @@ class LakeTable:
         at: columns (file, row_index). Stale entries for files not in
         the read set simply never match the anti-join."""
         paths = sorted({f.dv["file"] for f in dved if f.dv})
-        return self.spark.read.parquet(*[f"{self.root}/{p}" for p in paths])
+        # fixed writer-side shape -> explicit schema (no inference job)
+        return self.spark.read.schema(_DV_SCHEMA).parquet(
+            *[f"{self.root}/{p}" for p in paths]
+        )
 
     def _prune_by_source_range(self, files: list[AddFile], source: DataFrame,
                                keys: list[str], snap: Snapshot) -> list[AddFile]:
@@ -750,19 +764,30 @@ class LakeTable:
             out = out.repartition(*[F.col(c) for c in cluster_by])
         out.write.mode("errorifexists").parquet(abs_batch)
 
-        written = self.spark.read.parquet(abs_batch)
+        # read back with the KNOWN schema (the writer's own) — schema
+        # inference here scheduled a footer-read job per write, one
+        # extra scheduling floor per commit for information we already
+        # hold. The read-back itself stays: per-file stats must describe
+        # the bytes as written, and input_file_name ties rows to files.
+        written = self.spark.read.schema(df.schema).parquet(abs_batch)
         aggs = [F.count(F.lit(1)).alias("__n")]
         for c in stats_cols:
             aggs += [F.min(c).alias(f"__min_{c}"), F.max(c).alias(f"__max_{c}")]
         rows = written.groupBy(F.input_file_name().alias("__f")).agg(*aggs).collect()
         prefix = _strip_scheme(abs_batch).rstrip("/") + "/"
         fs, _ = _fs(self.spark, abs_batch)
+        # ONE listStatus for every written file's size instead of a
+        # py4j getFileStatus round trip per file (O(files) driver calls)
+        jdir = self.spark._jvm.org.apache.hadoop.fs.Path(abs_batch)
+        sizes = {
+            st.getPath().getName(): int(st.getLen())
+            for st in fs.listStatus(jdir)
+        }
         adds = []
         for r in rows:
             p = _strip_scheme(r["__f"])
             name = p[len(prefix):] if p.startswith(prefix) else p.rsplit("/", 1)[-1]
-            jp = self.spark._jvm.org.apache.hadoop.fs.Path(f"{abs_batch}/{name}")
-            size = int(fs.getFileStatus(jp).getLen())
+            size = sizes[name]
             stats = {
                 c: {"min": _json_safe(r[f"__min_{c}"]), "max": _json_safe(r[f"__max_{c}"])}
                 for c in stats_cols

@@ -503,14 +503,17 @@ def train_centroids(
     aggregation; only the n_centroids x dim means come back to the
     driver (parameters, not data). Cost per iteration is a single scan
     of the vectors — flat to any input size."""
-    dim = df.select(F.size(vec_col).alias("d")).limit(1).collect()[0]["d"]
     # duplicate vectors hash identically under xxhash64, so the raw
     # top-k sample could seed duplicate centroids; a distinct() before
     # the limit would fix that but costs a full-width shuffle of every
     # embedding. Instead: oversample shuffle-free (TakeOrdered stays a
     # per-partition top-k) and dedup driver-side among the collected
-    # rows — parameters, not data.
+    # rows — parameters, not data. The sampled vectors also carry the
+    # dimension, so training costs exactly 1 + iterations jobs — the
+    # separate limit(1) dim-probe job this replaces was one more
+    # scheduling floor per training call (train_pq already did this).
     init = _distinct_seed_sample(df, F.col(vec_col), n_centroids, seed)
+    dim = len(init[0])
     centroids: Centroids = [(i, v) for i, v in enumerate(init)]
     for _ in range(iterations):
         assigned = assign_to_centroids(df, centroids, vec_col)
