@@ -662,8 +662,10 @@ def build_minhash_index(
     """
     spark = corpus.sparkSession
     sigs = minhash_signatures(corpus, id_col, text_col, num_hashes, shingle_k)
+    sig_schema = sigs.schema
     sigs.write.mode("overwrite").parquet(f"{index_path}/signatures")
-    sigs = spark.read.parquet(f"{index_path}/signatures")
+    # re-read with the writer's own schema: no footer-inference job
+    sigs = spark.read.schema(sig_schema).parquet(f"{index_path}/signatures")
     rows_per_band = num_hashes // bands
     banded = sigs.select(
         id_col,
@@ -689,7 +691,15 @@ def build_minhash_index(
 
 
 def _minhash_index_params(spark, index_path: str) -> dict:
-    row = spark.read.parquet(f"{index_path}/params").collect()[0]
+    # fixed writer-side shape (build_minhash_index) -> explicit schema
+    row = (
+        spark.read.schema(
+            "num_hashes int, bands int, shingle_k int, "
+            "max_bucket_docs int, seed long"
+        )
+        .parquet(f"{index_path}/params")
+        .collect()[0]
+    )
     if row["seed"] != _MINHASH_SEED:
         raise ValueError(
             f"minhash index at {index_path} was built with a different "
@@ -698,11 +708,15 @@ def _minhash_index_params(spark, index_path: str) -> dict:
     return row.asDict()
 
 
-def _read_delta(spark, index_path: str, name: str) -> DataFrame | None:
+def _read_delta(spark, index_path: str, name: str, schema=None) -> DataFrame | None:
     from pyspark.errors import AnalysisException
 
     try:
-        return spark.read.parquet(f"{index_path}/{name}")
+        reader = spark.read if schema is None else spark.read.schema(schema)
+        # path resolution stays eager (file listing at load) with an
+        # explicit schema, so missing-relation detection is unchanged —
+        # only the footer-inference job is skipped
+        return reader.parquet(f"{index_path}/{name}")
     except AnalysisException:
         return None
 
@@ -731,19 +745,37 @@ def minhash_index_probe(
     p = _minhash_index_params(spark, index_path)
     num_hashes, bands = p["num_hashes"], p["bands"]
     rows_per_band = num_hashes // bands
-    corpus_sigs = spark.read.parquet(f"{index_path}/signatures")
-    index_bands = spark.read.parquet(f"{index_path}/bands").select(
-        "band", "bucket", id_col
+    batch_sigs = minhash_signatures(
+        batch, id_col, text_col, num_hashes, p["shingle_k"]
+    ).localCheckpoint(eager=False, storageLevel=CHECKPOINT_LEVEL)
+    # index relations share the batch's signature shape (same family,
+    # same id column) — explicit schemas skip four footer-inference
+    # jobs per probe; band slices are rows_per_band-long sub-signatures
+    from pyspark.sql import types as T
+
+    sig_schema = batch_sigs.schema
+    bands_schema = T.StructType([
+        T.StructField("bucket", sig_schema["signature"].dataType),
+        T.StructField(id_col, sig_schema[id_col].dataType),
+        T.StructField("band", T.IntegerType()),
+    ])
+    corpus_sigs = spark.read.schema(sig_schema).parquet(f"{index_path}/signatures")
+    index_bands = spark.read.schema(bands_schema).parquet(
+        f"{index_path}/bands"
+    ).select("band", "bucket", id_col)
+    d_sigs = _read_delta(spark, index_path, "signatures_delta", schema=sig_schema)
+    d_bands = _read_delta(
+        spark, index_path, "bands_delta",
+        schema=T.StructType([
+            T.StructField("band", T.IntegerType()),
+            T.StructField("bucket", sig_schema["signature"].dataType),
+            T.StructField(id_col, sig_schema[id_col].dataType),
+        ]),
     )
-    d_sigs = _read_delta(spark, index_path, "signatures_delta")
-    d_bands = _read_delta(spark, index_path, "bands_delta")
     if d_sigs is not None:
         corpus_sigs = corpus_sigs.unionByName(d_sigs)
     if d_bands is not None:
         index_bands = index_bands.unionByName(d_bands.select("band", "bucket", id_col))
-    batch_sigs = minhash_signatures(
-        batch, id_col, text_col, num_hashes, p["shingle_k"]
-    ).localCheckpoint(eager=False, storageLevel=CHECKPOINT_LEVEL)
     exact = (
         batch_sigs.select(F.col(id_col).alias("batch_id"), "signature")
         .join(
@@ -814,15 +846,17 @@ def minhash_index_refresh(
     new_sigs = minhash_signatures(
         batch, id_col, text_col, num_hashes, p["shingle_k"]
     )
-    existing = _read_delta(spark, index_path, "signatures_delta")
+    # writer-pinned shapes -> explicit schemas, no footer-inference jobs
+    sig_schema = new_sigs.schema
+    existing = _read_delta(spark, index_path, "signatures_delta", schema=sig_schema)
     if existing is not None:
         new_sigs = new_sigs.unionByName(existing)
     # drop ids already indexed (idempotence), keep one row per id
     merged = (
         new_sigs.join(
-            spark.read.parquet(f"{index_path}/signatures").select(
-                F.col(id_col).alias("__b")
-            ),
+            spark.read.schema(sig_schema)
+            .parquet(f"{index_path}/signatures")
+            .select(F.col(id_col).alias("__b")),
             F.col(id_col) == F.col("__b"),
             "left_anti",
         )
@@ -832,7 +866,9 @@ def minhash_index_refresh(
     tmp = f"{index_path}/signatures_delta_tmp"
     merged.write.mode("overwrite").parquet(tmp)
     _fs_replace_dedup(spark, tmp, f"{index_path}/signatures_delta")
-    d_sigs = spark.read.parquet(f"{index_path}/signatures_delta")
+    d_sigs = spark.read.schema(merged.schema).parquet(
+        f"{index_path}/signatures_delta"
+    )
     d_bands = d_sigs.select(
         id_col,
         F.posexplode(

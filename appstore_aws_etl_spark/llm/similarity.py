@@ -586,6 +586,37 @@ def ivf_knn(
 # product-quantization codebooks: [block][code] -> subvector
 PQCodebooks = list[list[list[float]]]
 
+# index parameter-table shapes, pinned by this module's own writers
+# (build_ivfpq_index's createDataFrame DDLs). Readers pass them
+# explicitly: schema inference on every probe/refresh/compact was one
+# footer-read Spark job per table per call — a pure scheduling-floor
+# tax for shapes the writer already guarantees.
+_CELLS_SCHEMA = "centroid_id LONG, centroid ARRAY<DOUBLE>"
+_CODEBOOKS_SCHEMA = "block INT, code INT, subvector ARRAY<DOUBLE>"
+
+
+def _read_cells(spark, index_path: str) -> list:
+    return [
+        (int(r["centroid_id"]), [float(x) for x in r["centroid"]])
+        for r in spark.read.schema(_CELLS_SCHEMA)
+        .parquet(f"{index_path}/cells")
+        .collect()
+    ]
+
+
+def _read_codebooks(spark, index_path: str) -> PQCodebooks:
+    book_rows = (
+        spark.read.schema(_CODEBOOKS_SCHEMA)
+        .parquet(f"{index_path}/codebooks")
+        .collect()
+    )
+    m = 1 + max(r["block"] for r in book_rows)
+    k_codes = 1 + max(r["code"] for r in book_rows)
+    books: PQCodebooks = [[None] * k_codes for _ in range(m)]  # type: ignore[list-item]
+    for r in book_rows:
+        books[r["block"]][r["code"]] = [float(x) for x in r["subvector"]]
+    return books
+
 
 def _normalized(vec_col: str):
     """Unit-L2 normalization as a pure JVM expression (so PQ's L2
@@ -1108,16 +1139,8 @@ def ivfpq_refresh(
     contract (drifted corpora schedule a retrain, which is
     ``build_ivfpq_index`` again — and that retrain both deletes this
     delta and changes the fingerprint it validates against)."""
-    cells = [
-        (int(r["centroid_id"]), [float(x) for x in r["centroid"]])
-        for r in spark.read.parquet(f"{index_path}/cells").collect()
-    ]
-    book_rows = spark.read.parquet(f"{index_path}/codebooks").collect()
-    m = 1 + max(r["block"] for r in book_rows)
-    k_codes = 1 + max(r["code"] for r in book_rows)
-    codebooks: PQCodebooks = [[None] * k_codes for _ in range(m)]  # type: ignore[list-item]
-    for r in book_rows:
-        codebooks[r["block"]][r["code"]] = [float(x) for x in r["subvector"]]
+    cells = _read_cells(spark, index_path)
+    codebooks = _read_codebooks(spark, index_path)
     cells_df = spark.createDataFrame(
         [(cid, vec) for cid, vec in sorted(cells)],
         "centroid_id LONG, centroid ARRAY<DOUBLE>",
@@ -1192,16 +1215,8 @@ def ivfpq_compact(spark, index_path: str, id_col: str = "vec_id") -> None:
         _fs_delete(spark, f"{index_path}/tombstones")
         _fs_delete(spark, f"{index_path}/tombstones_tmp")
         return
-    cells = [
-        (int(r["centroid_id"]), [float(x) for x in r["centroid"]])
-        for r in spark.read.parquet(f"{index_path}/cells").collect()
-    ]
-    book_rows = spark.read.parquet(f"{index_path}/codebooks").collect()
-    m = 1 + max(r["block"] for r in book_rows)
-    k_codes = 1 + max(r["code"] for r in book_rows)
-    codebooks = [[None] * k_codes for _ in range(m)]
-    for r in book_rows:
-        codebooks[r["block"]][r["code"]] = [float(x) for x in r["subvector"]]
+    cells = _read_cells(spark, index_path)
+    codebooks = _read_codebooks(spark, index_path)
     fp = _params_fingerprint(cells, codebooks)
     fresh = delta.filter(F.col("base_fp") == fp).drop("base_fp")
     base = spark.read.parquet(f"{index_path}/codes")
@@ -1283,16 +1298,9 @@ def ivfpq_probe(
     bounded candidate set back to the raw vectors for the exact cosine
     rerank. Training cost is paid once at build time and amortizes
     across every probe."""
-    cells = [
-        (int(r["centroid_id"]), [float(x) for x in r["centroid"]])
-        for r in spark.read.parquet(f"{index_path}/cells").collect()
-    ]
-    book_rows = spark.read.parquet(f"{index_path}/codebooks").collect()
-    m = 1 + max(r["block"] for r in book_rows)
-    k_codes = 1 + max(r["code"] for r in book_rows)
-    codebooks: PQCodebooks = [[None] * k_codes for _ in range(m)]  # type: ignore[list-item]
-    for r in book_rows:
-        codebooks[r["block"]][r["code"]] = [float(x) for x in r["subvector"]]
+    cells = _read_cells(spark, index_path)
+    codebooks = _read_codebooks(spark, index_path)
+    m = len(codebooks)
     sub = len(codebooks[0][0])
 
     q = np.array([float(x) for x in query_vec], dtype="float64")
@@ -1320,7 +1328,17 @@ def ivfpq_probe(
             if lut_case is None
             else lut_case.when(F.col("centroid_id") == cid, lut_lit)
         )
-    codes = spark.read.parquet(f"{index_path}/codes")
+    # codes shape is pinned by build_ivfpq_index's writer (id from the
+    # caller's corpus, array<int> codes, long cell partition) — explicit
+    # schema skips the per-probe footer-inference job
+    from pyspark.sql import types as T
+
+    codes_schema = T.StructType([
+        T.StructField(id_col, df.schema[id_col].dataType),
+        T.StructField("pq_codes", T.ArrayType(T.IntegerType())),
+        T.StructField("centroid_id", T.LongType()),
+    ])
+    codes = spark.read.schema(codes_schema).parquet(f"{index_path}/codes")
     # fold in any refresh delta (ivfpq_refresh) — same schema, same
     # centroid_id partitioning, so the partition pruning below applies
     # to both relations' scans. Detection is ATTEMPT-THE-READ (not
