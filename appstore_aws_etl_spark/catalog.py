@@ -19,6 +19,54 @@ def table_path(sf_dir: str, name: str) -> str:
     return os.path.join(sf_dir, f"{name}.parquet")
 
 
+def fanout_width(
+    spark: SparkSession,
+    sf_dir: str,
+    name: str,
+    expansion: int = 12,
+    bytes_per_partition: int = 16 << 20,
+    cap: int = 4096,
+) -> int:
+    """Partition width for operators whose output FANS OUT relative to
+    their input — per-key self-joins (co-purchase pairs), banded LSH
+    buckets — sized from the input table's on-disk bytes, never from a
+    session constant.
+
+    The session's ``spark.sql.shuffle.partitions`` is sized for the
+    *typical* key, and AQE cannot rescue a fanout operator: it sizes
+    post-shuffle partitions from the INPUT exchange, which is small
+    precisely when the join output explodes (the round-10 mega-bucket
+    lesson, generalized). So fanout operators carry their own width:
+
+        width = clamp(input_bytes * expansion / bytes_per_partition,
+                      session shuffle width, cap)
+
+    ``expansion`` ~ parquet->in-memory decode (~4x) times pair fanout
+    (~3x for TPC-H lines-per-order); ``bytes_per_partition`` targets a
+    sort-friendly in-memory working set per task. The ``cap`` keeps the
+    initial width sane at the 100 TB tier, where the production session
+    (AQE on) right-sizes partitions from runtime stats anyway — this
+    width only needs to stop the *initial* plan from serializing an
+    exploding join through a handful of tasks. Falls back to the
+    session width when the input size is unreadable (non-local stores:
+    size lookup is one FS metadata call away, not implemented here)."""
+    path = table_path(sf_dir, name)
+    size = 0
+    try:
+        if os.path.isfile(path):
+            size = os.path.getsize(path)
+        elif os.path.isdir(path):
+            for base, _dirs, files in os.walk(path):
+                size += sum(os.path.getsize(os.path.join(base, f)) for f in files)
+    except OSError:
+        size = 0
+    session_width = int(spark.conf.get("spark.sql.shuffle.partitions"))
+    if size <= 0:
+        return session_width
+    want = -(-size * expansion // bytes_per_partition)  # ceil div
+    return max(session_width, min(cap, int(want)))
+
+
 # Per-session DataFrame memo: fixture tables are immutable, DataFrames
 # are immutable plan handles, and a 248-key sweep otherwise re-runs
 # file listing + parquet footer analysis ~500 times for the same ten

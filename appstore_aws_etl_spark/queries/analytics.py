@@ -12,7 +12,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
-from ..catalog import load
+from ..catalog import fanout_width, load
 from ..operators.scd import scd2_apply, snapshot_diff
 from ..operators.timeseries import gapfill_rollup
 from ..operators.upsert import merge_upsert
@@ -1677,7 +1677,17 @@ def analytics_market_basket(spark: SparkSession, sf_dir: str) -> DataFrame:
     fact table — never an all-pairs part join. Part frequencies are a
     dimension-sized broadcast; the order count is a 1-row broadcast."""
     li = load(spark, sf_dir, "lineitem")
-    op = li.select("l_orderkey", "l_partkey").distinct()
+    # fanout width (optimization r13): same pattern as the graph
+    # family's _weighted_copurchase_edges — one width-w exchange on the
+    # join key serves the distinct, both pair-join sides (exchange
+    # reuse), and the pair-count partial aggregation, so the exploding
+    # chain's width scales with input bytes, not the session constant.
+    w = fanout_width(spark, sf_dir, "lineitem")
+    op = (
+        li.select("l_orderkey", "l_partkey")
+        .repartition(w, "l_orderkey")
+        .distinct()
+    )
     n_orders = li.agg(F.countDistinct("l_orderkey").alias("n_orders"))
     freq = op.groupBy("l_partkey").agg(F.count(F.lit(1)).alias("cnt"))
     a = op.alias("a")

@@ -20,7 +20,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from ..catalog import load
+from ..catalog import fanout_width, load
 from ..registry import query
 from ..ckpt import CHECKPOINT_LEVEL
 
@@ -73,7 +73,17 @@ def graph_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     # the single pair-level distinct below collapses any multiplicity
     # the raw join introduces, leaving the edge set identical to the
     # oracle's DISTINCT-projected formulation.
-    op = li.select("l_orderkey", "l_partkey")
+    # fanout width (optimization r13): the pair self-join and every
+    # operator chained on its output (distinct, mirror, degree window)
+    # fan OUT relative to lineitem, so they carry their own width
+    # derived from the input's bytes (catalog.fanout_width) instead of
+    # the session's typical-key shuffle width. repartition on the join
+    # key ahead of the join: both aliases reuse the ONE exchange, so
+    # the exchange count is unchanged — only its width scales with
+    # data (interleaved A/B at sf0.1, shuffle=2 session: see
+    # OPTIMIZATION_r13.md pagerank entry).
+    w = fanout_width(spark, sf_dir, "lineitem")
+    op = li.select("l_orderkey", "l_partkey").repartition(w, "l_orderkey")
     a, b = op.alias("a"), op.alias("b")
     # generate each undirected edge ONCE (src < dst), dedupe the
     # halved pair stream, then mirror map-side: the self-join emits
@@ -94,11 +104,21 @@ def graph_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
             & (F.col("a.l_partkey") < F.col("b.l_partkey")),
         )
         .select(F.col("a.l_partkey").alias("src"), F.col("b.l_partkey").alias("dst"))
+        # carry the fanout width through the pair dedup: this explicit
+        # repartition REPLACES the distinct's own session-width exchange
+        # (hashpartitioning(src,dst) satisfies the aggregate's required
+        # clustering), so the 2x-mirrored pair stream dedups at w
+        .repartition(w, "src", "dst")
         .distinct()
     )
     edges = canon.unionAll(
         canon.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
-    )
+    # same move for the degree window: partitionBy(src) would exchange
+    # at session width; pre-partitioning at w replaces, not adds, the
+    # exchange — and co-partitions the checkpointed message relation
+    # with pr0/the per-iteration rank table (node = src), so the three
+    # iteration joins run exchange-free on the message side
+    ).repartition(w, "src")
     # out-degree via a window over the SAME src partitioning instead of
     # a separate groupBy + broadcast-join-back: one shuffle + in-
     # partition sort builds the complete message relation in one stage
@@ -142,7 +162,19 @@ def _weighted_copurchase_edges(spark: SparkSession, sf_dir: str, min_support: in
     100 TB, keeps the pair-generation shuffle bounded: pairs are
     per-order fanout, then one groupBy on the pair key)."""
     li = load(spark, sf_dir, "lineitem")
-    op = li.select("l_orderkey", "l_partkey").distinct()
+    # fanout width (optimization r13): one width-w exchange on the join
+    # key serves the (order, part) distinct (hashpartitioning(orderkey)
+    # satisfies the aggregate's clustering on a key prefix), BOTH sides
+    # of the pair self-join (exchange reuse), and the map-side partial
+    # of the pair-count aggregation — the whole exploding chain runs at
+    # a width derived from the input's bytes instead of the session's
+    # typical-key shuffle width. Exchange count unchanged.
+    w = fanout_width(spark, sf_dir, "lineitem")
+    op = (
+        li.select("l_orderkey", "l_partkey")
+        .repartition(w, "l_orderkey")
+        .distinct()
+    )
     a, b = op.alias("a"), op.alias("b")
     # r8: unhinted for the same reason as graph_pagerank's pair join —
     # raw-fact build side; AQE's observed-size conversion threshold
