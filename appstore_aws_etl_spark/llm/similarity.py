@@ -41,6 +41,44 @@ _LOG = logging.getLogger(__name__)
 _LSH_SEED = 723419
 
 
+def _sql_num(v) -> str:
+    """One SQL token for a Python number, bit-exact for doubles.
+
+    ``repr(float)`` is the shortest string that round-trips to the same
+    IEEE double, and Spark parses a ``D``-suffixed literal with strtod
+    semantics — so the JVM reconstructs the identical bits the old
+    per-element ``F.lit`` path shipped over py4j. Ints stay unsuffixed
+    (INT when they fit, matching py4j's 32-bit mapping). Non-finite
+    floats would not survive the text trip; no caller produces them."""
+    if isinstance(v, float):
+        if v != v or v in (float("inf"), float("-inf")):
+            raise ValueError(f"non-finite literal {v!r}")
+        return f"{v!r}D"
+    return repr(int(v))
+
+
+def lit_num_array(vals) -> F.Column:
+    """``array<double|int>`` literal built in ONE py4j call.
+
+    The query-vector / ADC-lookup-table literals used to be built as
+    ``F.array(*[F.lit(v) for v in vals])`` — one py4j round trip per
+    element. A dim-64 query plus an nprobe x m x k lookup table is
+    ~1100 ``lit`` calls ~= 0.5 s of pure driver/socket time per probe
+    (cProfile, PROFILE_IVFPQ_r13opt), swamping the 0.14 s the probe
+    spends in Spark jobs. One ``F.expr`` string is parsed JVM-side in
+    ~1 ms and yields the same ``CreateArray(Literal...)`` tree."""
+    return F.expr("array(" + ",".join(_sql_num(v) for v in vals) + ")")
+
+
+def lit_num_matrix(rows) -> F.Column:
+    """``array<array<...>>`` literal in one py4j call (see lit_num_array)."""
+    return F.expr(
+        "array("
+        + ",".join("array(" + ",".join(_sql_num(v) for v in r) + ")" for r in rows)
+        + ")"
+    )
+
+
 def _dot(a, b) -> F.Column:
     return F.aggregate(
         F.zip_with(a, b, lambda x, y: x.cast("double") * y.cast("double")),
@@ -420,7 +458,7 @@ def brute_force_knn(
 ) -> DataFrame:
     """L4 exact top-k by cosine against one query vector (broadcast as a
     literal array; ties broken by id)."""
-    q = F.array(*[F.lit(float(x)) for x in query_vec])
+    q = lit_num_array(float(x) for x in query_vec)
     return (
         df.withColumn("score", F.round(cosine_score(F.col(vec_col), q), 4) + F.lit(0.0))
         .select(id_col, "score")
@@ -573,7 +611,7 @@ def ivf_knn(
         )[:nprobe]
     ]
     assigned = assign_to_centroids(df, centroids, vec_col)
-    q = F.array(*[F.lit(x) for x in qv])
+    q = lit_num_array(qv)
     return (
         assigned.filter(F.col("centroid_id").isin(probe_ids))
         .withColumn("score", F.round(cosine_score(F.col(vec_col), q), 4) + F.lit(0.0))
@@ -792,14 +830,14 @@ def pq_knn(
         ]
         for j in range(m)
     ]
-    lut_col = F.array(*[F.array(*[F.lit(v) for v in row]) for row in lut])
+    lut_col = lit_num_matrix(lut)
     enc = pq_encode(df, codebooks, vec_col=vec_col)
     adc = F.aggregate(
         F.zip_with(F.col("pq_codes"), lut_col, lambda c, row: F.get(row, c)),
         F.lit(0.0),
         lambda acc, x: acc + x,
     )
-    qlit = F.array(*[F.lit(float(x)) for x in query_vec])
+    qlit = lit_num_array(float(x) for x in query_vec)
     return (
         enc.withColumn("__adc", adc)
         .orderBy(F.col("__adc"), F.col(id_col))
@@ -914,7 +952,7 @@ def ivfpq_knn(
             ]
             for j in range(m)
         ]
-        lut_lit = F.array(*[F.array(*[F.lit(v) for v in row]) for row in lut])
+        lut_lit = lit_num_matrix(lut)
         lut_case = (
             F.when(F.col("centroid_id") == cid, lut_lit)
             if lut_case is None
@@ -926,7 +964,7 @@ def ivfpq_knn(
         F.lit(0.0),
         lambda acc, x: acc + x,
     )
-    qlit = F.array(*[F.lit(float(x)) for x in query_vec])
+    qlit = lit_num_array(float(x) for x in query_vec)
     return (
         enc.filter(F.col("centroid_id").isin([int(c) for c in probe_ids]))
         .withColumn("__adc", adc)
@@ -1322,7 +1360,7 @@ def ivfpq_probe(
             ]
             for j in range(m)
         ]
-        lut_lit = F.array(*[F.array(*[F.lit(v) for v in row]) for row in lut])
+        lut_lit = lit_num_matrix(lut)
         lut_case = (
             F.when(F.col("centroid_id") == cid, lut_lit)
             if lut_case is None
@@ -1372,7 +1410,7 @@ def ivfpq_probe(
         .limit(rerank_factor * k)
         .select(id_col)
     )
-    qlit = F.array(*[F.lit(float(x)) for x in query_vec])
+    qlit = lit_num_array(float(x) for x in query_vec)
     return (
         # bounded: rerank_factor*k candidate ids by construction
         df.join(F.broadcast(cand), id_col)

@@ -1721,7 +1721,7 @@ def llm_knn_rerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     serves quantized — and reduces via TakeOrderedAndProject (no full
     sort). Stage 2 touches only the 50-row candidate pool, so its cost
     is independent of corpus size."""
-    from ..llm.similarity import cosine_score
+    from ..llm.similarity import cosine_score, lit_num_array
 
     emb = load(spark, sf_dir, "embeddings")
     qrow = (
@@ -1747,7 +1747,7 @@ def llm_knn_rerank(spark: SparkSession, sf_dir: str) -> DataFrame:
             "long"
         ),
     )
-    q8_lit = F.array(*[F.lit(x) for x in q8])
+    q8_lit = lit_num_array(q8)
     approx_dot = F.aggregate(
         F.zip_with(v8, q8_lit, lambda a, b: a * b), F.lit(0.0), lambda acc, x: acc + x
     )
@@ -1760,7 +1760,7 @@ def llm_knn_rerank(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.col("approx_score").desc(), "vec_id")
         .limit(50)
     )
-    q_lit = F.array(*[F.lit(x) for x in qv])
+    q_lit = lit_num_array(qv)
     return (
         cand.withColumn("score", F.round(cosine_score(F.col("v"), q_lit), 4) + F.lit(0.0))
         .select("vec_id", "score")
