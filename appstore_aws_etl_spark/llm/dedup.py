@@ -1026,6 +1026,7 @@ def ngram_jaccard_pairs(
     scope_cols: list[str] | None = None,
     df_cap: int | None = None,
     include_containment: bool = False,
+    pairs_only: bool = False,
 ) -> DataFrame:
     """Exact token-n-gram Jaccard for candidate pairs within a scope
     (e.g. same source) — the verify pass behind approximate dedup.
@@ -1041,6 +1042,17 @@ def ngram_jaccard_pairs(
     sizes are computed over the capped gram universe so the ratio stays
     internally consistent. The hot-gram list is the skew tail — tiny,
     broadcast into an anti-join.
+
+    Grams are FINGERPRINTED to 64-bit xxhash64 before anything
+    shuffles (optimization round 13 — the same move llm_contamination
+    made in r11): every exchange (the checkpoint, the df-cap agg, the
+    self-join, the size agg) carries 8-byte longs instead of ~20-40
+    byte n-gram strings, and intersection/size COUNTS are what the
+    output needs — the gram text itself never leaves the map side.
+    Collision math as in contamination: n distinct grams into 2^64
+    gives expected n^2/2^65 colliding pairs (~3e-6 at 10M grams), and
+    a collision must additionally land inside one (scope, doc pair) to
+    shift a count — orders of magnitude below any data-quality floor.
     """
     scope_cols = scope_cols or []
     toks = F.split(F.lower(F.col(text_col)), r"\s+")
@@ -1051,7 +1063,12 @@ def ngram_jaccard_pairs(
     for k in range(1, n):
         shifted = F.slice(toks, k + 1, F.size(toks))
         gram_arr = F.zip_with(gram_arr, shifted, lambda x, y: F.concat(x, F.lit(" "), y))
-    gram_arr = F.filter(gram_arr, lambda g: g.isNotNull())
+    gram_arr = F.array_distinct(
+        F.transform(
+            F.filter(gram_arr, lambda g: g.isNotNull()),
+            lambda g: F.xxhash64(g),
+        )
+    )
     # materialized once (lazy localCheckpoint, session-leak-free like
     # the minhash signatures): the gram table feeds both join sides and
     # the size agg — without it the explode runs three times. Rows are
@@ -1060,7 +1077,7 @@ def ngram_jaccard_pairs(
     grams = df.select(
         id_col,
         *scope_cols,
-        F.explode(F.array_distinct(gram_arr)).alias("gram"),
+        F.explode(gram_arr).alias("gram"),
     ).localCheckpoint(eager=False, storageLevel=CHECKPOINT_LEVEL)
     if df_cap is not None:
         hot = (
@@ -1076,9 +1093,21 @@ def ngram_jaccard_pairs(
         grams = grams.join(
             hot, on=[*scope_cols, "gram"], how="left_anti"
         ).localCheckpoint(eager=False, storageLevel=CHECKPOINT_LEVEL)
-    sizes = grams.groupBy(id_col, *scope_cols).agg(F.count(F.lit(1)).alias("n_grams"))
     a = grams.select(*scope_cols, F.col(id_col).alias("id_a"), "gram")
     b = grams.select(*scope_cols, F.col(id_col).alias("id_b"), "gram")
+    if pairs_only:
+        # candidate-generator mode (llm_edit_distance_verify): the
+        # caller only needs the DISTINCT pair set ("shares >= 1 capped
+        # gram"), so the per-doc size aggregate and its two join-backs
+        # are dead weight — one exchange (the pair distinct) replaces
+        # three.
+        return (
+            a.join(b, on=[*scope_cols, "gram"])
+            .filter(F.col("id_a") < F.col("id_b"))
+            .select("id_a", "id_b")
+            .distinct()
+        )
+    sizes = grams.groupBy(id_col, *scope_cols).agg(F.count(F.lit(1)).alias("n_grams"))
     # NO static shuffle_hash hints (round 10; they were here r8-r9 for
     # a 6.46 -> 3.78 s win at 10x): the widened 100x tier heap-OOM'd
     # the JVM on all three keys built over this operator, because the

@@ -1327,8 +1327,8 @@ def llm_edit_distance_verify(spark: SparkSession, sf_dir: str) -> DataFrame:
     and a length-normalized similarity."""
     docs = load(spark, sf_dir, "documents")
     cand = ngram_jaccard_pairs(
-        docs, n=3, scope_cols=["lang", "source"], df_cap=100
-    ).select("id_a", "id_b")
+        docs, n=3, scope_cols=["lang", "source"], df_cap=100, pairs_only=True
+    )
     ta = docs.select(F.col("doc_id").alias("id_a"), F.col("text").alias("text_a"))
     tb = docs.select(F.col("doc_id").alias("id_b"), F.col("text").alias("text_b"))
     lev = F.levenshtein("text_a", "text_b")
