@@ -711,6 +711,15 @@ def _minhash_index_params(spark, index_path: str) -> dict:
 def _read_delta(spark, index_path: str, name: str, schema=None) -> DataFrame | None:
     from pyspark.errors import AnalysisException
 
+    from .similarity import _hadoop_fs
+
+    # Hadoop-FS existence probe first (one py4j call, object-store
+    # portable): a failed spark.read costs a full analysis attempt +
+    # streaming-sink metadata probes + AnalysisException marshaling
+    # (~0.1 s driver time) on every index open with no delta yet
+    fs, jpath = _hadoop_fs(spark, f"{index_path}/{name}")
+    if not fs.exists(jpath):
+        return None
     try:
         reader = spark.read if schema is None else spark.read.schema(schema)
         # path resolution stays eager (file listing at load) with an

@@ -79,6 +79,152 @@ def lit_num_matrix(rows) -> F.Column:
     )
 
 
+def _param_relation(spark, pairs, id_name: str, vec_name: str) -> DataFrame:
+    """(id, vector) parameter relation WITHOUT ``createDataFrame``.
+
+    ``spark.createDataFrame`` on a handful of parameter rows costs
+    ~0.4 s of driver time (py4j conversion + schema plumbing) — per
+    call, per table (PROFILE/probe artifacts, optimization round 13).
+    A ``range(n)`` + one-parse literal lookup builds the identical
+    relation entirely JVM-side: the ids and vectors ship as ONE parsed
+    SQL literal (lit_num_array/_matrix, bit-exact doubles) indexed by
+    the range id. Rows stay in ascending ``pairs`` order."""
+    ids = [int(i) for i, _ in pairs]
+    vecs = [[float(x) for x in v] for _, v in pairs]
+    idx = (F.col("id") + 1).cast("int")
+    return spark.range(len(ids)).select(
+        F.element_at(lit_num_array(ids), idx).cast("long").alias(id_name),
+        F.element_at(lit_num_matrix(vecs), idx).alias(vec_name),
+    )
+
+
+def _list_col_matrix(arr) -> np.ndarray:
+    """pyarrow list<floating> array -> (n, dim) float64 matrix, via the
+    flat values buffer (no per-row Python). Assumes rectangular,
+    non-null lists — the embedding-column contract everywhere else in
+    this module (np.stack in the pandas UDFs has the same assumption)."""
+    import pyarrow as pa  # executor-side
+
+    if isinstance(arr, pa.ChunkedArray):
+        arr = arr.combine_chunks()
+    flat = arr.flatten().to_numpy(zero_copy_only=False).astype("float64")
+    n = len(arr)
+    if n == 0:
+        return flat.reshape(0, 0)
+    return flat.reshape(n, len(flat) // n)
+
+
+def _centroid_mean_partials(
+    df: DataFrame, centroids: "Centroids", vec_col: str
+) -> DataFrame:
+    """ONE fused Arrow pass per Lloyd round: assign each vector to its
+    nearest centroid (identical math to assign_to_centroids: numpy
+    argmax over normalized dot products, ties to the smallest id) and
+    accumulate per-centroid per-position SUMS AND COUNTS inside the
+    task, emitting only n_centroids x dim partial rows per task.
+
+    Replaces the round-9 shape (pandas-UDF assignment -> posexplode ->
+    hash agg), which generated n x dim JVM rows per round through an
+    interpreted higher-order projection — HOFs are CodegenFallback, so
+    that explode dominated each round's job at any corpus size. The
+    partial-sum rows are what the old plan's map-side partial agg
+    shipped anyway, so shuffle bytes are unchanged; the n x dim row
+    materialization and one full Python->JVM column crossing are gone.
+    Float means now reduce in task order rather than posexplode order —
+    the same class of reordering the bench's varying core count already
+    applies (these consumers are rows-only/approx keys by design)."""
+    import pyarrow as pa
+
+    ids = np.array([cid for cid, _ in sorted(centroids)])
+    mat = np.array([vec for _, vec in sorted(centroids)], dtype="float64")
+    mat_n = mat / np.maximum(np.linalg.norm(mat, axis=1, keepdims=True), 1e-12)
+    k, dim = mat.shape
+
+    def partials(batches):
+        sums = np.zeros((k, dim), dtype="float64")
+        counts = np.zeros(k, dtype="int64")
+        for b in batches:
+            x = _list_col_matrix(b.column(0))
+            if not len(x):
+                continue
+            x_n = x / np.maximum(np.linalg.norm(x, axis=1, keepdims=True), 1e-12)
+            a = np.argmax(x_n @ mat_n.T, axis=1)
+            np.add.at(sums, a, x)
+            counts += np.bincount(a, minlength=k)
+        nz = np.nonzero(counts)[0]
+        if not len(nz):
+            return
+        yield pa.RecordBatch.from_arrays(
+            [
+                pa.array(np.repeat(ids[nz], dim), pa.int64()),
+                pa.array(np.tile(np.arange(dim, dtype="int32"), len(nz)), pa.int32()),
+                pa.array(sums[nz].ravel(), pa.float64()),
+                pa.array(np.repeat(counts[nz], dim), pa.int64()),
+            ],
+            ["centroid_id", "pos", "s", "n"],
+        )
+
+    return df.select(vec_col).mapInArrow(
+        partials, "centroid_id long, pos int, s double, n long"
+    )
+
+
+def _pq_mean_partials(
+    df: DataFrame,
+    codebooks: "PQCodebooks",
+    vec_col: str,
+    sum_col: str,
+    normalize: bool,
+) -> DataFrame:
+    """Fused PQ Lloyd round (see _centroid_mean_partials): encode each
+    vector with the current codebooks (identical math to pq_encode:
+    per-block argmin over squared distances, numpy normalization of
+    ``vec_col`` when ``normalize``) and accumulate per-(block, code,
+    in-block position) sums of ``sum_col`` inside the task. Emits
+    m x k x sub partial rows per task instead of n x dim exploded rows
+    plus a separate encode-UDF crossing."""
+    import pyarrow as pa
+
+    tensor = np.array(codebooks, dtype="float64")  # (m, k, sub)
+    m, k, sub = tensor.shape
+
+    def partials(batches):
+        sums = np.zeros((m, k, sub), dtype="float64")
+        counts = np.zeros((m, k), dtype="int64")
+        for b in batches:
+            x = _list_col_matrix(b.column(0))
+            if not len(x):
+                continue
+            xs = x if sum_col == vec_col else _list_col_matrix(b.column(1))
+            if normalize:
+                x = x / np.maximum(np.linalg.norm(x, axis=1, keepdims=True), 1e-12)
+            blocks = x.reshape(len(x), m, sub)
+            d2 = ((blocks[:, :, None, :] - tensor[None, :, :, :]) ** 2).sum(axis=3)
+            codes = d2.argmin(axis=2)  # (n, m)
+            xsb = xs.reshape(len(xs), m, sub)
+            for j in range(m):
+                np.add.at(sums[j], codes[:, j], xsb[:, j, :])
+                counts[j] += np.bincount(codes[:, j], minlength=k)
+        jj, cc = np.nonzero(counts)
+        if not len(jj):
+            return
+        yield pa.RecordBatch.from_arrays(
+            [
+                pa.array(np.repeat(jj, sub).astype("int32"), pa.int32()),
+                pa.array(np.repeat(cc, sub).astype("int32"), pa.int32()),
+                pa.array(np.tile(np.arange(sub, dtype="int32"), len(jj)), pa.int32()),
+                pa.array(sums[jj, cc].ravel(), pa.float64()),
+                pa.array(np.repeat(counts[jj, cc], sub), pa.int64()),
+            ],
+            ["blk", "code", "posw", "s", "n"],
+        )
+
+    cols = [vec_col] if sum_col == vec_col else [vec_col, sum_col]
+    return df.select(*cols).mapInArrow(
+        partials, "blk int, code int, posw int, s double, n long"
+    )
+
+
 def _dot(a, b) -> F.Column:
     return F.aggregate(
         F.zip_with(a, b, lambda x, y: x.cast("double") * y.cast("double")),
@@ -554,16 +700,17 @@ def train_centroids(
     dim = len(init[0])
     centroids: Centroids = [(i, v) for i, v in enumerate(init)]
     for _ in range(iterations):
-        assigned = assign_to_centroids(df, centroids, vec_col)
-        # new means via posexplode -> (centroid, dim) avg: dim separate
-        # avg(element_at(vec, i)) columns would fall out of whole-stage
-        # codegen into interpreted evaluation at this arity (SURVEY
-        # §7.4.2); the exploded agg stays codegen'd and collects only
-        # n_centroids x dim scalars
+        # fused assignment + partial means in ONE Arrow pass
+        # (optimization round 13, _centroid_mean_partials): the prior
+        # shape — pandas-UDF assignment, then posexplode -> (centroid,
+        # dim) avg — generated n x dim rows through an interpreted HOF
+        # projection every round; the fused pass ships only
+        # n_centroids x dim partial sums per task and one tiny agg
+        # reduces them (sum/count == avg, reduction order aside).
         rows = (
-            assigned.select("centroid_id", F.posexplode(vec_col).alias("pos", "x"))
+            _centroid_mean_partials(df, centroids, vec_col)
             .groupBy("centroid_id", "pos")
-            .agg(F.avg("x").alias("m"))
+            .agg((F.sum("s") / F.sum("n")).alias("m"))
             .collect()
         )
         by_c: dict[int, dict[int, float]] = {}
@@ -706,7 +853,23 @@ def train_pq(
     # in RESIDUALS (already centered; re-normalizing them would destroy
     # the geometry the coarse quantizer removed)
     vec_expr = _normalized(vec_col) if normalize else F.col(vec_col)
-    init = _distinct_seed_sample(df, vec_expr, k_codes * 4, seed)
+    # normalize=True trains on a checkpointed (raw, JVM-normalized)
+    # projection: _normalized is an interpreted HOF (CodegenFallback),
+    # and without truncation the seed sample and every fused round
+    # re-evaluate it from the raw scan. normalize=False inputs
+    # (ivfpq residuals) arrive already checkpointed by the caller.
+    if normalize:
+        from ..ckpt import lazy_checkpoint
+
+        work = lazy_checkpoint(
+            df.select(F.col(vec_col).alias("__x"), vec_expr.alias("__xs"))
+        )
+        enc_col, sum_col = "__x", "__xs"
+        sample_src, sample_expr = work, F.col("__xs")
+    else:
+        work, enc_col, sum_col = df, vec_col, vec_col
+        sample_src, sample_expr = df, vec_expr
+    init = _distinct_seed_sample(sample_src, sample_expr, k_codes * 4, seed)
     dim = len(init[0])
     if dim % m:
         raise ValueError(f"dim {dim} not divisible by m={m} blocks")
@@ -737,21 +900,20 @@ def train_pq(
     for b in books:
         while len(b) < width:
             b.append(list(b[-1]))
+    # the fused rounds read (encode input, sum input): raw vec_col for
+    # the numpy-normalized encode exactly as pq_encode does, plus the
+    # ``vec_expr`` column the old posexplode averaged (JVM-normalized
+    # when ``normalize`` — the established mixed-normalization pairing,
+    # identical values modulo float reduction order).
     for _ in range(iterations):
-        enc = pq_encode(df, books, vec_col=vec_col, out_col="__codes", normalize=normalize)
+        # fused encode + partial means in ONE Arrow pass (optimization
+        # round 13, _pq_mean_partials): replaces the encode pandas-UDF
+        # crossing plus an n x dim posexplode/avg per round with
+        # m x k x sub partial-sum rows per task and a tiny agg.
         rows = (
-            enc.select(
-                F.col("__codes").alias("c"),
-                F.posexplode(vec_expr).alias("pos", "x"),
-            )
-            .select(
-                F.expr(f"cast(pos / {sub} as int)").alias("blk"),
-                F.expr(f"c[cast(pos / {sub} as int)]").alias("code"),
-                F.expr(f"pos % {sub}").alias("posw"),
-                "x",
-            )
+            _pq_mean_partials(work, books, enc_col, sum_col, normalize)
             .groupBy("blk", "code", "posw")
-            .agg(F.avg("x").alias("mval"))
+            .agg((F.sum("s") / F.sum("n")).alias("mval"))
             .collect()
         )
         upd: dict[tuple[int, int], dict[int, float]] = {}
@@ -886,7 +1048,17 @@ def ivfpq_knn(
     partition pruning at the source); candidate selection is
     TakeOrderedAndProject and the exact rerank touches rerank_factor*k
     rows, never the corpus."""
-    ndf = df.withColumn("__nvec", _normalized(vec_col))
+    from ..ckpt import lazy_checkpoint
+
+    # checkpoint the JVM-normalized vectors ONCE: _normalized is a
+    # higher-order transform (CodegenFallback — interpreted per row),
+    # and without truncation every training pass (seed sample, each
+    # Lloyd round, the residual join) re-evaluates it from the raw scan
+    # (measured ~0.4 s/pass at sf0.1 on 1 MB of data; at corpus scale
+    # it is a full interpreted pass each time). Same serialized
+    # spill-friendly level as the residual checkpoint below; the seed
+    # sample's xxhash64 keys see the identical double bits either way.
+    ndf = lazy_checkpoint(df.withColumn("__nvec", _normalized(vec_col)))
     if cells is None:
         # the coarse quantizer only ROUTES (errors are absorbed by the
         # residual codebooks + exact rerank), so it needs fewer Lloyd
@@ -905,9 +1077,8 @@ def ivfpq_knn(
     # the join keeps the plan O(1) and ships the same floats as a
     # parameter-scale relation instead (measured at n_cells=450:
     # see BASELINE.md IVFADC cell-count note).
-    cells_df = df.sparkSession.createDataFrame(
-        [(int(cid), [float(x) for x in vec]) for cid, vec in sorted(cells)],
-        "centroid_id LONG, __cent ARRAY<DOUBLE>",
+    cells_df = _param_relation(
+        df.sparkSession, sorted(cells), "centroid_id", "__cent"
     )
     # lazy checkpoint: the residual projection sits above the pandas-UDF
     # cell assignment and the centroid join — PQ training re-reads it
@@ -916,8 +1087,6 @@ def ivfpq_knn(
     # truncation every pass recomputes the assignment UDF from the raw
     # scan (measured 11.6 s -> ~3 s at sf0.1). Blocks are
     # ContextCleaner-released on GC (repo checkpoint policy, ckpt.py).
-    from ..ckpt import lazy_checkpoint
-
     res = lazy_checkpoint(
         # bounded: n_cells x dim quantizer parameters, not data
         assigned.join(F.broadcast(cells_df), "centroid_id")
@@ -1006,13 +1175,21 @@ def _fs_replace(spark, src: str, dst: str) -> None:
 
 
 def _read_parquet_if_exists(spark, path: str) -> DataFrame | None:
-    """Detect-by-reading: returns the DataFrame, or None when the path
-    does not resolve. Path resolution happens eagerly at load (schema
-    inference), so a missing relation raises AnalysisException here —
-    portable to any filesystem the session can read, unlike an
-    ``os.path.exists`` probe."""
+    """Returns the DataFrame, or None when the path does not resolve.
+
+    Absence is probed through the Hadoop FS API first (one py4j call,
+    portable to object stores — same portability class as the previous
+    detect-by-reading shape but without its cost: a failed
+    ``spark.read`` runs a full analysis attempt plus streaming-sink
+    metadata probes and marshals an AnalysisException per call, ~0.1 s
+    of driver time on every index open that has no delta/tombstones
+    yet). The exception guard stays for the existing-but-unreadable
+    edge (e.g. a directory with no parquet footers)."""
     from pyspark.errors import AnalysisException
 
+    fs, jpath = _hadoop_fs(spark, path)
+    if not fs.exists(jpath):
+        return None
     try:
         return spark.read.parquet(path)
     except AnalysisException:
@@ -1085,17 +1262,16 @@ def build_ivfpq_index(
     nprobe/n_cells of THAT — the two compounding reductions that make
     the deployment shape viable."""
     spark = df.sparkSession
-    ndf = df.withColumn("__nvec", _normalized(vec_col))
+    from ..ckpt import lazy_checkpoint
+
+    # checkpointed like ivfpq_knn: every training pass re-evaluates the
+    # interpreted _normalized HOF from the raw scan otherwise
+    ndf = lazy_checkpoint(df.withColumn("__nvec", _normalized(vec_col)))
     cells = train_centroids(
         ndf, n_cells, iterations=coarse_iterations, vec_col="__nvec", seed=seed
     )
     assigned = assign_to_centroids(ndf, cells, "__nvec")
-    cells_df = spark.createDataFrame(
-        [(int(cid), [float(x) for x in vec]) for cid, vec in sorted(cells)],
-        "centroid_id LONG, centroid ARRAY<DOUBLE>",
-    )
-    from ..ckpt import lazy_checkpoint
-
+    cells_df = _param_relation(spark, sorted(cells), "centroid_id", "centroid")
     res = lazy_checkpoint(
         # bounded: n_cells x dim quantizer parameters, not data
         assigned.join(F.broadcast(cells_df), "centroid_id")
@@ -1115,14 +1291,27 @@ def build_ivfpq_index(
         .parquet(f"{index_path}/codes")
     )
     cells_df.write.mode("overwrite").parquet(f"{index_path}/cells")
-    books_rows = [
-        (j, c, [float(x) for x in codebooks[j][c]])
+    # same range + one-parse-literal construction as _param_relation
+    # (createDataFrame on parameter rows is ~0.4 s of driver time);
+    # train_pq pads every block to a common width, so (id div k, id mod
+    # k) enumerates the full m x k grid
+    k_w = len(codebooks[0])
+    flat = [
+        [float(x) for x in codebooks[j][c]]
         for j in range(len(codebooks))
-        for c in range(len(codebooks[j]))
+        for c in range(k_w)
     ]
-    spark.createDataFrame(
-        books_rows, "block INT, code INT, subvector ARRAY<DOUBLE>"
-    ).write.mode("overwrite").parquet(f"{index_path}/codebooks")
+    idx = (F.col("id") + 1).cast("int")
+    (
+        spark.range(len(flat))
+        .select(
+            (F.col("id") / k_w).cast("int").alias("block"),
+            (F.col("id") % k_w).cast("int").alias("code"),
+            F.element_at(lit_num_matrix(flat), idx).alias("subvector"),
+        )
+        .write.mode("overwrite")
+        .parquet(f"{index_path}/codebooks")
+    )
     # a retrain orphans any refresh delta encoded against the OLD
     # quantizers (stale centroids/codebooks => wrong ADC distances) —
     # remove it through the Hadoop FS API (portable to object stores);
@@ -1179,10 +1368,7 @@ def ivfpq_refresh(
     delta and changes the fingerprint it validates against)."""
     cells = _read_cells(spark, index_path)
     codebooks = _read_codebooks(spark, index_path)
-    cells_df = spark.createDataFrame(
-        [(cid, vec) for cid, vec in sorted(cells)],
-        "centroid_id LONG, centroid ARRAY<DOUBLE>",
-    )
+    cells_df = _param_relation(spark, sorted(cells), "centroid_id", "centroid")
     ndf = df.withColumn("__nvec", _normalized(vec_col))
     assigned = assign_to_centroids(ndf, cells, "__nvec")
     res = (

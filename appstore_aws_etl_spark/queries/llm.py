@@ -1924,12 +1924,9 @@ def llm_topic_cluster(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = load(spark, sf_dir, "embeddings")
     centroids = train_centroids(emb, n_centroids=8, iterations=2)
     assigned = assign_to_centroids(emb, centroids, "embedding")
-    cent_map = {cid: vec for cid, vec in centroids}
-    cent_df = spark.createDataFrame(
-        [(cid, [float(x) for x in vec]) for cid, vec in cent_map.items()],
-        "centroid_id LONG, centroid ARRAY<DOUBLE>",
-    )
-    from ..llm.similarity import cosine_score
+    from ..llm.similarity import _param_relation, cosine_score
+
+    cent_df = _param_relation(spark, sorted(centroids), "centroid_id", "centroid")
 
     return (
         # bounded: k centroid parameter rows
