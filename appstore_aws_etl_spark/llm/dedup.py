@@ -311,8 +311,18 @@ def minhash_near_dup_pairs(
     # lazy localCheckpoint so the shingling+permutation work runs once,
     # not once per join side, and the blocks are ContextCleaner-released
     # when this frame is GC'd instead of pinned in the CacheManager for
-    # the life of the session (at 100 TB this table would be
-    # checkpointed to durable storage)
+    # the life of the session. NOTE (optimization round 13, measured):
+    # the verify join broadcasts BOTH signature sides and their
+    # concurrent exchange futures RACE to first-materialize this lazy
+    # checkpoint — the signature UDF pass runs twice (twin ~0.8 s
+    # broadcast jobs in the REST profile). An eager materialization was
+    # A/B'd and REJECTED for the local bench: the twins run on idle
+    # cores, so wall time was neutral-to-worse (llm_dedup_minhash
+    # 2.20 -> 2.41 s median, AB_EAGERCKPT_r13opt) while the extra job
+    # paid a scheduling floor. At cluster scale, where executor time is
+    # the budget, flip this to eager=True (or checkpoint signatures to
+    # durable storage, as the 100 TB note below already prescribes) to
+    # halve the most expensive UDF pass.
     sigs = minhash_signatures(df, id_col, text_col, num_hashes, shingle_k).localCheckpoint(eager=False, storageLevel=CHECKPOINT_LEVEL)
     banded = sigs.select(
         id_col,

@@ -234,9 +234,12 @@ def graph_connected_components(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..operators.labelprop import propagate_min_labels
 
     edges = _weighted_copurchase_edges(spark, sf_dir, min_support=3)
+    # EAGER: round 1's broadcast futures and main stages otherwise race
+    # to first-materialize the lazy checkpoint and duplicate the edge
+    # pipeline (see llm_dedup_survivors' matching note)
     und = edges.union(
         edges.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
-    ).localCheckpoint(eager=False, storageLevel=CHECKPOINT_LEVEL)
+    ).localCheckpoint(eager=True, storageLevel=CHECKPOINT_LEVEL)
     labels = und.select(F.col("src").alias("node")).distinct().withColumn(
         "component", F.col("node")
     )

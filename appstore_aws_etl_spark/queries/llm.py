@@ -1876,9 +1876,16 @@ def llm_dedup_survivors(spark: SparkSession, sf_dir: str) -> DataFrame:
     pairs = minhash_near_dup_pairs(
         aug, jaccard_threshold=0.5, max_bucket_docs=64, second_chance=True
     ).select(F.col("id_a").alias("src"), F.col("id_b").alias("dst"))
+    # EAGER checkpoint (optimization round 13): labelprop's first round
+    # launches broadcast-exchange futures concurrently with its main
+    # stages and both sides read this relation — on a lazy checkpoint
+    # the concurrent first readers race and each recomputes the whole
+    # LSH pipeline upstream (REST job profile: twin ~0.69 s broadcast
+    # jobs doing identical work). One dedicated materialization job
+    # serializes that work exactly once.
     und = pairs.union(
         pairs.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
-    ).localCheckpoint(eager=False, storageLevel=CHECKPOINT_LEVEL)
+    ).localCheckpoint(eager=True, storageLevel=CHECKPOINT_LEVEL)
     # seed each node with min(self, min neighbour) — one grouped min
     # over the edge set, equivalent to pre-running one relax round but
     # without its compress join and convergence-count job. Near-dup
