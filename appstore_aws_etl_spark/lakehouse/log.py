@@ -108,9 +108,39 @@ class Snapshot:
 # ---------------------------------------------------------------- FS --
 
 
+# per-process py4j handle cache (optimization round 13): every _fs()
+# call paid a JVM-view attribute traversal for the Path class plus a
+# getFileSystem round trip — ~60 calls and ~0.2 s of pure driver/socket
+# time per lake key (cProfile, PROFILE/AB artifacts). Hadoop already
+# caches FileSystem instances JVM-side per (scheme, authority); this
+# caches the py4j HANDLES to the Path class and those instances. The
+# handles survive session.stop() (the gateway JVM persists within a
+# process); a dead gateway in a fresh process starts with an empty
+# cache, and the one refresh guard below covers a restarted gateway.
+_JVM_CACHE: dict = {}
+
+_SCHEME_RE = re.compile(r"^([A-Za-z][A-Za-z0-9+.\-]*:(?://[^/]*)?)")
+
+
 def _fs(spark: SparkSession, path: str):
-    jpath = spark._jvm.org.apache.hadoop.fs.Path(path)
-    return jpath.getFileSystem(spark._jsc.hadoopConfiguration()), jpath
+    try:
+        path_cls = _JVM_CACHE.get("path_cls")
+        if path_cls is None:
+            path_cls = spark._jvm.org.apache.hadoop.fs.Path
+            _JVM_CACHE["path_cls"] = path_cls
+        jpath = path_cls(path)
+    except Exception:  # stale handle after a gateway restart: refresh once
+        _JVM_CACHE.clear()
+        path_cls = spark._jvm.org.apache.hadoop.fs.Path
+        _JVM_CACHE["path_cls"] = path_cls
+        jpath = path_cls(path)
+    m = _SCHEME_RE.match(path)
+    key = ("fs", m.group(1) if m else "")
+    fs = _JVM_CACHE.get(key)
+    if fs is None:
+        fs = jpath.getFileSystem(spark._jsc.hadoopConfiguration())
+        _JVM_CACHE[key] = fs
+    return fs, jpath
 
 
 def _read_small(spark: SparkSession, path: str) -> bytes:
@@ -266,11 +296,26 @@ def read_commit(spark: SparkSession, root: str, version: int) -> list[dict]:
     return [json.loads(line) for line in raw.splitlines() if line.strip()]
 
 
-def replay(spark: SparkSession, root: str, version: int | None = None) -> Snapshot:
+def replay(
+    spark: SparkSession,
+    root: str,
+    version: int | None = None,
+    base: Snapshot | None = None,
+) -> Snapshot:
     """Materialize the live-file snapshot at ``version`` (default: latest).
 
     Reads the newest checkpoint at-or-below the target, then replays only
     the JSON tail — O(interval) commit reads however long the history.
+
+    ``base`` (optimization round 13): a previously-replayed snapshot of
+    the SAME table to resume from — only commits after ``base.version``
+    are read (the base's dicts are copied, never mutated). Without it,
+    every ``snapshot()`` call re-read the full tail since the last
+    checkpoint, so a key issuing k commits paid O(k²) commit reads
+    (~8 ms of py4j/FS time each). The directory is still re-listed per
+    call, so a concurrent writer's commits are always picked up; commit
+    files are immutable once published, which is what makes resuming
+    from an older snapshot sound.
     """
     commits, checkpoints = list_versions(spark, root)
     if not commits:
@@ -278,6 +323,16 @@ def replay(spark: SparkSession, root: str, version: int | None = None) -> Snapsh
     target = commits[-1] if version is None else version
     if target not in commits:
         raise ValueError(f"version {target} not in log (have {commits[:3]}..{commits[-1]})")
+
+    if base is not None and base.version <= target:
+        if base.version == target:
+            return base
+        adds = dict(base.adds)
+        metadata = base.metadata
+        txns = dict(base.txns)
+        for v in (c for c in commits if base.version < c <= target):
+            metadata = _apply_commit(spark, root, v, adds, txns, metadata)
+        return Snapshot(version=target, metadata=metadata, adds=adds, txns=txns)
 
     adds: dict[str, AddFile] = {}
     metadata: dict = {}
@@ -305,19 +360,33 @@ def replay(spark: SparkSession, root: str, version: int | None = None) -> Snapsh
         start = cp + 1
 
     for v in (c for c in commits if start <= c <= target):
-        for action in read_commit(spark, root, v):
-            if "metaData" in action:
-                metadata = action["metaData"]
-            elif "add" in action:
-                a = action["add"]
-                adds[a["path"]] = AddFile(a["path"], a["size"], a["numRecords"],
-                                          a.get("stats", {}), a.get("dv"))
-            elif "remove" in action:
-                adds.pop(action["remove"]["path"], None)
-            elif "txn" in action:
-                t = action["txn"]
-                txns[t["appId"]] = max(t["version"], txns.get(t["appId"], -1))
+        metadata = _apply_commit(spark, root, v, adds, txns, metadata)
     return Snapshot(version=target, metadata=metadata, adds=adds, txns=txns)
+
+
+def _apply_commit(
+    spark: SparkSession,
+    root: str,
+    version: int,
+    adds: dict[str, AddFile],
+    txns: dict[str, int],
+    metadata: dict,
+) -> dict:
+    """Apply one commit's actions to the accumulator dicts in place;
+    returns the (possibly replaced) metadata."""
+    for action in read_commit(spark, root, version):
+        if "metaData" in action:
+            metadata = action["metaData"]
+        elif "add" in action:
+            a = action["add"]
+            adds[a["path"]] = AddFile(a["path"], a["size"], a["numRecords"],
+                                      a.get("stats", {}), a.get("dv"))
+        elif "remove" in action:
+            adds.pop(action["remove"]["path"], None)
+        elif "txn" in action:
+            t = action["txn"]
+            txns[t["appId"]] = max(t["version"], txns.get(t["appId"], -1))
+    return metadata
 
 
 def maybe_checkpoint(spark: SparkSession, root: str, snap: Snapshot) -> bool:

@@ -64,6 +64,14 @@ class LakeTable:
     def __init__(self, spark: SparkSession, root: str):
         self.spark = spark
         self.root = root.rstrip("/")
+        # latest snapshot this handle has replayed (optimization round
+        # 13): snapshot() resumes replay from here instead of re-reading
+        # the whole post-checkpoint tail on every call — a key issuing k
+        # commits otherwise pays O(k²) commit reads. Snapshots are
+        # treated as immutable everywhere (replay copies before
+        # applying); the log directory is still re-listed per call, so
+        # concurrent writers are never missed.
+        self._latest_snap: Snapshot | None = None
 
     # ------------------------------------------------------- create --
 
@@ -101,7 +109,16 @@ class LakeTable:
     # ------------------------------------------------------ queries --
 
     def snapshot(self, version: int | None = None) -> Snapshot:
-        return replay(self.spark, self.root, version)
+        if version is not None:
+            # time travel: resume from the cached latest only when it
+            # is at-or-below the pinned version; replay handles both
+            base = self._latest_snap
+            if base is not None and base.version > version:
+                base = None
+            return replay(self.spark, self.root, version, base=base)
+        snap = replay(self.spark, self.root, None, base=self._latest_snap)
+        self._latest_snap = snap
+        return snap
 
     def schema(self, snap: Snapshot | None = None) -> T.StructType:
         snap = snap or self.snapshot()
