@@ -1637,10 +1637,24 @@ def llm_segment_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     Scale shape: segmentation is pure JVM array code (split +
     sequence/transform/slice — no Python, no shuffle); the corpus pass
-    is two shuffles, one on seg_text for document frequency (the same
-    key a df-capped Jaccard join uses) and one back on doc_id. Hot
-    boilerplate segments are exactly the rows the filter removes, so
-    the skew they cause is bounded by the ndocs count itself."""
+    is TWO shuffles total (optimization round 13): one fanout-width
+    exchange on seg_text that serves both the per-(segment, doc)
+    multiplicity aggregate and the document-frequency window over it,
+    and one back on doc_id. The previous shape aggregated df with a
+    count_distinct and joined it back onto a SECOND evaluation of the
+    exploded segmentation — the segmentation (an interpreted
+    higher-order transform) ran twice and the corpus crossed three
+    exchanges. The (seg_text, doc_id) rows are distinct after the
+    multiplicity aggregate, so a plain count window over seg_text IS
+    the distinct document frequency; per-document totals then reduce
+    from the multiplicities. Hot boilerplate segments are exactly the
+    rows the filter removes, so the skew they cause is bounded by the
+    ndocs count itself (and the window group is the same cardinality
+    the old count_distinct aggregate carried per key)."""
+    from pyspark.sql import Window
+
+    from ..catalog import fanout_width
+
     docs = load(spark, sf_dir, "documents").select("doc_id", "text")
     words = F.split("text", " ")
     nseg = F.ceil(F.size(words) / F.lit(3.0)).cast("int")
@@ -1649,13 +1663,24 @@ def llm_segment_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
         lambda i: F.array_join(F.slice(words, i * 3 + 1, 3), " "),
     )
     seg = docs.select("doc_id", F.explode(segments).alias("seg_text"))
-    freq = seg.groupBy("seg_text").agg(F.count_distinct("doc_id").alias("ndocs"))
+    # hashpartitioning(seg_text) satisfies both the (seg_text, doc_id)
+    # aggregate's clustering and the window's partitionBy — one
+    # exchange, width scaled to the exploded output (segments fan out
+    # ~wordcount/3 per document)
+    pairs = (
+        seg.repartition(fanout_width(spark, sf_dir, "documents"), "seg_text")
+        .groupBy("seg_text", "doc_id")
+        .agg(F.count(F.lit(1)).alias("__mult"))
+    )
+    ndocs = F.count(F.lit(1)).over(Window.partitionBy("seg_text"))
     return (
-        seg.join(freq, "seg_text")
+        pairs.withColumn("ndocs", ndocs)
         .groupBy("doc_id")
         .agg(
-            F.count(F.lit(1)).alias("total_segs"),
-            F.sum(F.when(F.col("ndocs") <= 2, 1).otherwise(0)).alias("kept_segs"),
+            F.sum("__mult").alias("total_segs"),
+            F.sum(F.when(F.col("ndocs") <= 2, F.col("__mult")).otherwise(0)).alias(
+                "kept_segs"
+            ),
         )
         .orderBy("doc_id")
     )
