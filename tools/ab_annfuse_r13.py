@@ -157,7 +157,7 @@ def main() -> None:
         shuffle_partitions=int(os.environ.get("SPARK_GRAFT_SHUFFLE", "2")),
         extra_conf={
             "spark.ui.showConsoleProgress": "false",
-            "spark.sql.adaptive.enabled": "false",
+            "spark.sql.adaptive.enabled": os.environ.get("SPARK_GRAFT_AQE", "false"),
         },
     )
     REGISTRY["agg_group"].fn(spark, SF_DIR).count()
