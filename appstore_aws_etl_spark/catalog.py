@@ -47,9 +47,16 @@ def fanout_width(
     initial width sane at the 100 TB tier, where the production session
     (AQE on) right-sizes partitions from runtime stats anyway — this
     width only needs to stop the *initial* plan from serializing an
-    exploding join through a handful of tasks. Falls back to the
-    session width when the input size is unreadable (non-local stores:
-    size lookup is one FS metadata call away, not implemented here)."""
+    exploding join through a handful of tasks.
+
+    Size lookup: plain ``os.path`` for local paths (no JVM round trip),
+    Hadoop ``FileSystem.getContentSummary`` — one py4j call through the
+    lakehouse log's cached handles — for everything else (``file:``
+    URIs, ``hdfs:``/object-store deployments), so the width derivation
+    works off local disk too (optimization round 14; previously the
+    non-local branch silently fell back to the session width). Only a
+    size that is genuinely unreadable (missing path, FS error) falls
+    back to the session width."""
     path = table_path(sf_dir, name)
     size = 0
     try:
@@ -60,6 +67,16 @@ def fanout_width(
                 size += sum(os.path.getsize(os.path.join(base, f)) for f in files)
     except OSError:
         size = 0
+    if size <= 0 and not os.path.exists(path):
+        # non-local scheme (or local path spelled as a file: URI):
+        # one FS metadata call, handles directories recursively
+        try:
+            from .lakehouse.log import _fs
+
+            fs, jpath = _fs(spark, path)
+            size = int(fs.getContentSummary(jpath).getLength())
+        except Exception:
+            size = 0
     session_width = int(spark.conf.get("spark.sql.shuffle.partitions"))
     if size <= 0:
         return session_width

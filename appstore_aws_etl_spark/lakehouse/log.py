@@ -123,6 +123,8 @@ _SCHEME_RE = re.compile(r"^([A-Za-z][A-Za-z0-9+.\-]*:(?://[^/]*)?)")
 
 
 def _fs(spark: SparkSession, path: str):
+    import weakref
+
     try:
         path_cls = _JVM_CACHE.get("path_cls")
         if path_cls is None:
@@ -136,10 +138,16 @@ def _fs(spark: SparkSession, path: str):
         jpath = path_cls(path)
     m = _SCHEME_RE.match(path)
     key = ("fs", m.group(1) if m else "")
-    fs = _JVM_CACHE.get(key)
-    if fs is None:
-        fs = jpath.getFileSystem(spark._jsc.hadoopConfiguration())
-        _JVM_CACHE[key] = fs
+    # conf-identity guard (r13 ADVICE): the FileSystem is resolved
+    # against the owning SparkContext's hadoopConfiguration, so a hit is
+    # only valid while that same context object is the caller's — a new
+    # or reconfigured session in the same process misses and re-resolves
+    # (the weakref identity check is pure Python, no py4j round trip).
+    hit = _JVM_CACHE.get(key)
+    if hit is not None and hit[0]() is spark.sparkContext:
+        return hit[1], jpath
+    fs = jpath.getFileSystem(spark._jsc.hadoopConfiguration())
+    _JVM_CACHE[key] = (weakref.ref(spark.sparkContext), fs)
     return fs, jpath
 
 
@@ -324,7 +332,12 @@ def replay(
     if target not in commits:
         raise ValueError(f"version {target} not in log (have {commits[:3]}..{commits[-1]})")
 
-    if base is not None and base.version <= target:
+    # resume requires base.version to still exist in THIS log (r13
+    # ADVICE): a log deleted and re-created out-of-band at the same root
+    # would otherwise pass the <= guard and mix the old table's adds
+    # into the new log's commits. One list-membership check vs the IO
+    # saved; fall back to full replay otherwise.
+    if base is not None and base.version <= target and base.version in commits:
         if base.version == target:
             return base
         adds = dict(base.adds)

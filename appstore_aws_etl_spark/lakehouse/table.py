@@ -893,6 +893,23 @@ def _merged_schema(base: T.StructType, incoming: T.StructType) -> T.StructType:
     return T.StructType(fields)
 
 
+_PLAIN_IDENT = re.compile(r"[A-Za-z_][A-Za-z0-9_]*\Z")
+
+
+def _ddl_safe(dt: T.DataType) -> bool:
+    """True when ``dt.simpleString()`` re-parses to the same type: every
+    nested struct field name must be a plain identifier (simpleString
+    does not quote nested names, so ``struct<a b:int>`` round-trips
+    wrong — ADVICE r13)."""
+    if isinstance(dt, T.StructType):
+        return all(_PLAIN_IDENT.match(f.name) and _ddl_safe(f.dataType) for f in dt.fields)
+    if isinstance(dt, T.ArrayType):
+        return _ddl_safe(dt.elementType)
+    if isinstance(dt, T.MapType):
+        return _ddl_safe(dt.keyType) and _ddl_safe(dt.valueType)
+    return True
+
+
 def _conform(df: DataFrame, schema: T.StructType, allow_missing: bool = False) -> DataFrame:
     """Project/cast ``df`` to the table schema (column order + types).
 
@@ -900,19 +917,34 @@ def _conform(df: DataFrame, schema: T.StructType, allow_missing: bool = False) -
     ``F.col().cast().alias()`` chains — the column-object route paid ~3
     py4j round trips per field on every write/merge (optimization round
     13, same driver-fixed-cost class as the log's FS-handle cache); the
-    parsed CAST/alias tree is identical."""
-    exprs = []
+    parsed CAST/alias tree is identical. Fields whose type cannot be
+    spelled in DDL losslessly (a nested struct field name that needs
+    quoting — simpleString never quotes nested names) take the
+    column-object cast path instead (r13 ADVICE)."""
+    exprs: list = []
     have = set(df.columns)
+    any_unsafe = False
     for f in schema.fields:
-        name = f.name.replace("`", "``")
-        ddl = f.dataType.simpleString()
+        if _ddl_safe(f.dataType):
+            name = f.name.replace("`", "``")
+            ddl = f.dataType.simpleString()
+            if f.name in have:
+                exprs.append(f"CAST(`{name}` AS {ddl}) AS `{name}`")
+            elif allow_missing or f.nullable:
+                exprs.append(f"CAST(NULL AS {ddl}) AS `{name}`")
+            else:
+                raise ValueError(f"append missing non-nullable column {f.name}")
+            continue
+        any_unsafe = True
         if f.name in have:
-            exprs.append(f"CAST(`{name}` AS {ddl}) AS `{name}`")
+            exprs.append(F.col(f.name).cast(f.dataType).alias(f.name))
         elif allow_missing or f.nullable:
-            exprs.append(f"CAST(NULL AS {ddl}) AS `{name}`")
+            exprs.append(F.lit(None).cast(f.dataType).alias(f.name))
         else:
             raise ValueError(f"append missing non-nullable column {f.name}")
-    return df.selectExpr(*exprs)
+    if not any_unsafe:
+        return df.selectExpr(*exprs)
+    return df.select(*[F.expr(e) if isinstance(e, str) else e for e in exprs])
 
 
 _CONJUNCT = re.compile(

@@ -20,7 +20,7 @@ import pandas as pd
 
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
-from ..ckpt import CHECKPOINT_LEVEL
+from ..ckpt import CHECKPOINT_LEVEL, fanin_checkpoint
 
 # fixed seeds -> reproducible permutations (any change is a breaking
 # change to persisted signatures). Base hash is 32-bit murmur3 and the
@@ -320,10 +320,12 @@ def minhash_near_dup_pairs(
     # cores, so wall time was neutral-to-worse (llm_dedup_minhash
     # 2.20 -> 2.41 s median, AB_EAGERCKPT_r13opt) while the extra job
     # paid a scheduling floor. At cluster scale, where executor time is
-    # the budget, flip this to eager=True (or checkpoint signatures to
-    # durable storage, as the 100 TB note below already prescribes) to
-    # halve the most expensive UDF pass.
-    sigs = minhash_signatures(df, id_col, text_col, num_hashes, shingle_k).localCheckpoint(eager=False, storageLevel=CHECKPOINT_LEVEL)
+    # the budget, flip the session policy (ckpt.fanin_checkpoint /
+    # SPARK_GRAFT_EAGER_CKPT=1; at 100 TB, durable storage as the note
+    # below prescribes) to serialize the most expensive UDF pass once.
+    sigs = fanin_checkpoint(
+        minhash_signatures(df, id_col, text_col, num_hashes, shingle_k)
+    )
     banded = sigs.select(
         id_col,
         # full-signature fingerprint, carried as one int so the hot-
@@ -576,12 +578,14 @@ def minhash_incremental_pairs(
     math on the pinned permutation family, so an ANSI oracle replays
     it exactly (the registry key is hash-checked)."""
     rows_per_band = num_hashes // bands
-    corpus_sigs = minhash_signatures(
+    # both relations feed the banded/exact channels AND the verify join
+    # (fan-in consumers) — checkpoint policy per ckpt.fanin_checkpoint
+    corpus_sigs = fanin_checkpoint(minhash_signatures(
         corpus, id_col, text_col, num_hashes, shingle_k
-    ).localCheckpoint(eager=False, storageLevel=CHECKPOINT_LEVEL)
-    batch_sigs = minhash_signatures(
+    ))
+    batch_sigs = fanin_checkpoint(minhash_signatures(
         batch, id_col, text_col, num_hashes, shingle_k
-    ).localCheckpoint(eager=False, storageLevel=CHECKPOINT_LEVEL)
+    ))
 
     def banded(sigs: DataFrame) -> DataFrame:
         return sigs.select(
@@ -764,9 +768,11 @@ def minhash_index_probe(
     p = _minhash_index_params(spark, index_path)
     num_hashes, bands = p["num_hashes"], p["bands"]
     rows_per_band = num_hashes // bands
-    batch_sigs = minhash_signatures(
+    # fan-in: probed twice (exact + banded channels) plus the verify
+    # join — eager/durable policy per ckpt.fanin_checkpoint
+    batch_sigs = fanin_checkpoint(minhash_signatures(
         batch, id_col, text_col, num_hashes, p["shingle_k"]
-    ).localCheckpoint(eager=False, storageLevel=CHECKPOINT_LEVEL)
+    ))
     # index relations share the batch's signature shape (same family,
     # same id column) — explicit schemas skip four footer-inference
     # jobs per probe; band slices are rows_per_band-long sub-signatures
@@ -1046,6 +1052,7 @@ def ngram_jaccard_pairs(
     df_cap: int | None = None,
     include_containment: bool = False,
     pairs_only: bool = False,
+    fanout_partitions: int | None = None,
 ) -> DataFrame:
     """Exact token-n-gram Jaccard for candidate pairs within a scope
     (e.g. same source) — the verify pass behind approximate dedup.
@@ -1072,6 +1079,21 @@ def ngram_jaccard_pairs(
     gives expected n^2/2^65 colliding pairs (~3e-6 at 10M grams), and
     a collision must additionally land inside one (scope, doc pair) to
     shift a count — orders of magnitude below any data-quality floor.
+
+    ``fanout_partitions`` (optimization round 14): explicit width for
+    the gram self-join chain, derived by callers from the input table's
+    bytes (catalog.fanout_width — queries pass a documents-sized
+    width). The join's output and the (id_a, id_b) partial aggregate
+    riding its partitions FAN OUT relative to the gram table, and the
+    pair multiplicity per partition is ~1 (a pair sharing m grams meets
+    in m DIFFERENT gram-hash partitions), so the map-side agg collapses
+    nothing and its per-task hash map scales with partition width.
+    At session width the 100x tier OOM'd the partial aggregate
+    (UNABLE_TO_ACQUIRE_MEMORY in hashAgg under 32 concurrent tasks,
+    BENCH100X_PRE_r14 — llm_containment_pairs FAILED); a data-derived
+    width bounds per-task state at any corpus size. ``None`` or a value
+    at/below the session width leaves the plan unchanged (sf0.1 bench
+    keeps its measured shuffle=2 plan).
     """
     scope_cols = scope_cols or []
     toks = F.split(F.lower(F.col(text_col)), r"\s+")
@@ -1112,8 +1134,18 @@ def ngram_jaccard_pairs(
         grams = grams.join(
             hot, on=[*scope_cols, "gram"], how="left_anti"
         ).localCheckpoint(eager=False, storageLevel=CHECKPOINT_LEVEL)
-    a = grams.select(*scope_cols, F.col(id_col).alias("id_a"), "gram")
-    b = grams.select(*scope_cols, F.col(id_col).alias("id_b"), "gram")
+    n_session = int(df.sparkSession.conf.get("spark.sql.shuffle.partitions"))
+    join_src = grams
+    if fanout_partitions is not None and fanout_partitions > n_session:
+        # ONE explicit exchange on the join key serves both self-join
+        # sides (byte-identical subplans -> ReusedExchange) and pins the
+        # width against AQE coalescing (the join output, not the input,
+        # is what the partition discipline must size for). The sizes
+        # aggregate below stays on the checkpoint directly — it groups
+        # by id, so the gram-keyed exchange buys it nothing.
+        join_src = grams.repartition(fanout_partitions, *scope_cols, "gram")
+    a = join_src.select(*scope_cols, F.col(id_col).alias("id_a"), "gram")
+    b = join_src.select(*scope_cols, F.col(id_col).alias("id_b"), "gram")
     if pairs_only:
         # candidate-generator mode (llm_edit_distance_verify): the
         # caller only needs the DISTINCT pair set ("shares >= 1 capped

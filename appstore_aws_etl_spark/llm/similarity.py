@@ -32,7 +32,7 @@ import pandas as pd
 
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
-from ..ckpt import CHECKPOINT_LEVEL
+from ..ckpt import CHECKPOINT_LEVEL, fanin_checkpoint
 
 _LOG = logging.getLogger(__name__)
 
@@ -91,6 +91,13 @@ def _param_relation(spark, pairs, id_name: str, vec_name: str) -> DataFrame:
     the range id. Rows stay in ascending ``pairs`` order."""
     ids = [int(i) for i, _ in pairs]
     vecs = [[float(x) for x in v] for _, v in pairs]
+    if not ids:
+        # empty literals would carry untyped array() elements and fail
+        # downstream analysis differently from the old createDataFrame
+        # path (r13 ADVICE); pin the schema explicitly instead
+        return spark.createDataFrame(
+            [], f"{id_name} long, {vec_name} array<double>"
+        )
     idx = (F.col("id") + 1).cast("int")
     return spark.range(len(ids)).select(
         F.element_at(lit_num_array(ids), idx).cast("long").alias(id_name),
@@ -407,17 +414,18 @@ def lsh_candidate_pairs(
             df.count(), min_bands=bands,
             threshold=threshold, recall_target=recall_target,
         )
-    # materialized once (lazy localCheckpoint, ContextCleaner-released
-    # on GC rather than CacheManager-pinned): the banded table feeds
-    # both sides of the self-join — without it the signature UDF (the
-    # expensive stage) runs twice (at 100 TB signatures would be
-    # checkpointed to durable storage)
-    banded = df.select(
+    # materialized once (localCheckpoint, ContextCleaner-released on
+    # GC rather than CacheManager-pinned): the banded table feeds both
+    # sides of the self-join — without it the signature UDF (the
+    # expensive stage) runs twice. Lazy/eager per the session fan-in
+    # policy (ckpt.fanin_checkpoint; at 100 TB signatures would be
+    # checkpointed to durable storage).
+    banded = fanin_checkpoint(df.select(
         F.col(id_col),
         F.posexplode(
             hyperplane_band_buckets(F.col(vec_col), n_planes, bands, seed)
         ).alias("band", "bucket"),
-    ).localCheckpoint(eager=False, storageLevel=CHECKPOINT_LEVEL)
+    ))
     # PIN the self-join width (explicit numPartitions => AQE keeps it):
     # AQE coalesces by the INPUT exchange size, but a band-bucket
     # self-join fans out as sum(bucket^2) — on a duplicate-dense corpus

@@ -11,7 +11,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
-from ..catalog import load
+from ..catalog import fanout_width, load
 from ..ckpt import CHECKPOINT_LEVEL
 from ..llm.dedup import (
     exact_dedup,
@@ -303,7 +303,15 @@ def llm_jaccard_ngram(spark: SparkSession, sf_dir: str) -> DataFrame:
     (hot-gram skew guard — a no-op on this fixture, max df 7, but the
     bound that keeps one stop-gram from emitting k^2 rows at 100 TB)."""
     docs = load(spark, sf_dir, "documents")
-    return ngram_jaccard_pairs(docs, n=3, scope_cols=["lang", "source"], df_cap=100)
+    # gram self-join width from the corpus bytes (r14; see
+    # ngram_jaccard_pairs docstring — expansion covers the ~unchanged
+    # byte volume after 8-byte fingerprinting times the pair fanout;
+    # collapses to the session width at sf0.1, so the bench plan is
+    # unchanged)
+    w = fanout_width(spark, sf_dir, "documents", expansion=48)
+    return ngram_jaccard_pairs(
+        docs, n=3, scope_cols=["lang", "source"], df_cap=100, fanout_partitions=w
+    )
 
 
 # --------------------------------------------------------------------------
@@ -1327,7 +1335,8 @@ def llm_edit_distance_verify(spark: SparkSession, sf_dir: str) -> DataFrame:
     and a length-normalized similarity."""
     docs = load(spark, sf_dir, "documents")
     cand = ngram_jaccard_pairs(
-        docs, n=3, scope_cols=["lang", "source"], df_cap=100, pairs_only=True
+        docs, n=3, scope_cols=["lang", "source"], df_cap=100, pairs_only=True,
+        fanout_partitions=fanout_width(spark, sf_dir, "documents", expansion=48),
     )
     ta = docs.select(F.col("doc_id").alias("id_a"), F.col("text").alias("text_a"))
     tb = docs.select(F.col("doc_id").alias("id_b"), F.col("text").alias("text_b"))
@@ -1540,7 +1549,8 @@ def llm_containment_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     two extra ratio columns off the same intersection aggregate."""
     docs = load(spark, sf_dir, "documents")
     return ngram_jaccard_pairs(
-        docs, scope_cols=["lang", "source"], df_cap=100, include_containment=True
+        docs, scope_cols=["lang", "source"], df_cap=100, include_containment=True,
+        fanout_partitions=fanout_width(spark, sf_dir, "documents", expansion=48),
     )
 
 
