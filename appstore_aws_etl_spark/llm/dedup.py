@@ -119,6 +119,53 @@ def exact_dedup(
     )
 
 
+
+
+def _attach_sigs(cand, sigs: DataFrame, id_col: str,
+                 a_col: str = "id_a", b_col: str = "id_b"):
+    """Attach both candidate sides' signatures through BYTE-IDENTICAL
+    lookup subplans (optimization round 14): the two probes share one
+    projection, so the physical plan builds the signature exchange
+    (broadcast here; shuffle at scale) ONCE and the second join reads a
+    ReusedExchange. The previous differently-aliased projections each
+    built their own exchange, and their concurrent futures raced to
+    first-materialize the lazy signature checkpoint (the twin-broadcast
+    profile finding, r13). Same rows: two inner equi-joins on the same
+    keys. Returns (joined, sig_a column, sig_b column)."""
+    lookup = sigs.select(
+        F.col(id_col).alias("__sid"), F.col("signature").alias("__sig")
+    )
+    sa, sb = lookup.alias("__sa"), lookup.alias("__sb")
+    joined = (
+        cand.join(sa, F.col(a_col) == F.col("__sa.__sid"))
+        .join(sb, F.col(b_col) == F.col("__sb.__sid"))
+    )
+    return joined, F.col("__sa.__sig"), F.col("__sb.__sig")
+
+
+def _sig_match_frac(a, b, num_hashes: int) -> F.Column:
+    """Fraction of agreeing signature positions (the est_jaccard core),
+    shared by every verify site.
+
+    Kept as the higher-order ``aggregate(zip_with(...))`` fold after a
+    MEASURED r14 dead end: unrolling it into a 32-term codegen integer
+    sum (bit-identical — integer adds are exactly associative) made
+    llm_dedup_minhash 103 -> 394-401 s at the 100x tier (interleaved
+    bisect, /tmp/ab_minhash2): Catalyst pushes the est>=threshold
+    filter INTO the verify join as a join condition, and the unrolled
+    ~8 KB expression there blows the whole-stage-codegen method budget,
+    so the ENTIRE join stage drops to interpreted execution — far worse
+    than one CodegenFallback leaf inside a codegen'd join. Recorded so
+    future rounds don't re-litigate."""
+    ca = F.col(a) if isinstance(a, str) else a
+    cb = F.col(b) if isinstance(b, str) else b
+    return F.aggregate(
+        F.zip_with(ca, cb, lambda x, y: (x == y).cast("int")),
+        F.lit(0),
+        lambda acc, v: acc + v,
+    ) / F.lit(num_hashes)
+
+
 def minhash_signatures(
     df: DataFrame,
     id_col: str = "doc_id",
@@ -433,16 +480,8 @@ def minhash_near_dup_pairs(
             )
         )
     cand = cand.distinct()
-    with_sigs = cand.join(
-        sigs.select(F.col(id_col).alias("id_a"), F.col("signature").alias("sig_a")), "id_a"
-    ).join(
-        sigs.select(F.col(id_col).alias("id_b"), F.col("signature").alias("sig_b")), "id_b"
-    )
-    est = F.aggregate(
-        F.zip_with("sig_a", "sig_b", lambda x, y: (x == y).cast("int")),
-        F.lit(0),
-        lambda acc, v: acc + v,
-    ) / F.lit(num_hashes)
+    with_sigs, sig_a, sig_b = _attach_sigs(cand, sigs, id_col)
+    est = _sig_match_frac(sig_a, sig_b, num_hashes)
     return (
         with_sigs.withColumn("est_jaccard", F.round(est, 4))
         .filter(F.col("est_jaccard") >= jaccard_threshold)
@@ -514,18 +553,8 @@ def sorted_neighborhood_pairs(
     cand = _chain_pairs(
         banded, id_col, ("band", "bucket"), chain_k, num_hashes=num_hashes
     ).distinct()
-    with_sigs = cand.join(
-        sigs.select(F.col(id_col).alias("id_a"), F.col("signature").alias("sig_a")),
-        "id_a",
-    ).join(
-        sigs.select(F.col(id_col).alias("id_b"), F.col("signature").alias("sig_b")),
-        "id_b",
-    )
-    est = F.aggregate(
-        F.zip_with("sig_a", "sig_b", lambda x, y: (x == y).cast("int")),
-        F.lit(0),
-        lambda acc, v: acc + v,
-    ) / F.lit(num_hashes)
+    with_sigs, sig_a, sig_b = _attach_sigs(cand, sigs, id_col)
+    est = _sig_match_frac(sig_a, sig_b, num_hashes)
     return (
         with_sigs.withColumn("est_jaccard", F.round(est, 4))
         .filter(F.col("est_jaccard") >= jaccard_threshold)
@@ -635,11 +664,7 @@ def minhash_incremental_pairs(
         corpus_sigs.select(F.col(id_col).alias("corpus_id"), F.col("signature").alias("sig_b")),
         "corpus_id",
     )
-    est = F.aggregate(
-        F.zip_with("sig_a", "sig_b", lambda x, y: (x == y).cast("int")),
-        F.lit(0),
-        lambda acc, v: acc + v,
-    ) / F.lit(num_hashes)
+    est = _sig_match_frac("sig_a", "sig_b", num_hashes)
     return (
         with_sigs.withColumn("est_jaccard", F.round(est, 4))
         .filter(F.col("est_jaccard") >= jaccard_threshold)
@@ -836,11 +861,7 @@ def minhash_index_probe(
         corpus_sigs.select(F.col(id_col).alias("corpus_id"), F.col("signature").alias("sig_b")),
         "corpus_id",
     )
-    est = F.aggregate(
-        F.zip_with("sig_a", "sig_b", lambda x, y: (x == y).cast("int")),
-        F.lit(0),
-        lambda acc, v: acc + v,
-    ) / F.lit(num_hashes)
+    est = _sig_match_frac("sig_a", "sig_b", num_hashes)
     return (
         with_sigs.withColumn("est_jaccard", F.round(est, 4))
         .filter(F.col("est_jaccard") >= jaccard_threshold)

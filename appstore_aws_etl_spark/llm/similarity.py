@@ -233,6 +233,14 @@ def _pq_mean_partials(
 
 
 def _dot(a, b) -> F.Column:
+    # kept as the general higher-order fold (CodegenFallback) after a
+    # MEASURED r14 dead end: unrolling the dim-64 fold into a codegen
+    # sum (192 element_at/mul/add nodes across cosine_score's three
+    # _dot calls, bit-identical left fold) read 16.4 vs 15.1 s median
+    # on the 100x all-pairs scorer (/tmp/ab_cosine, 3 interleaved runs)
+    # — the pair-production join, not the score expression, is that
+    # key's cost, and the giant generated method lost to the
+    # interpreted fold. Recorded so future rounds don't re-litigate.
     return F.aggregate(
         F.zip_with(a, b, lambda x, y: x.cast("double") * y.cast("double")),
         F.lit(0.0),

@@ -1114,26 +1114,30 @@ def analytics_cohort_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
     first-activity week, counted in each later week they reappear —
     the standard growth-analytics rollup.
 
-    Scale shape (r13 re-plan): ONE user-keyed exchange total. The
-    original plan paid three wide shuffles plus a self-join (groupBy
-    user for first week, join back, distinct on (user, cohort,
-    offset)); but the per-user week SET is everything the query needs —
-    ``collect_set(week)`` partial-merges map-side (ObjectHashAggregate
-    dedups per partition before the exchange, so what shuffles is
-    bounded by users x distinct weeks, not events), ``array_min`` gives
-    the cohort week with no join, and explode feeds the tiny final
-    (cohort, offset) aggregate. The set is calendar-bounded (one entry
-    per week the user was active — decades fit in KBs), so the state
-    never becomes a skew risk at any event volume."""
+    Scale shape: ONE user-keyed exchange total. r13 got there with
+    ``collect_set(week)`` + array_min + explode; round 14 replaces the
+    ObjectHashAggregate set-building with plain row machinery over the
+    SAME single exchange: the explicit ``repartition(user_id)`` is the
+    one wide exchange, the (user, week) distinct-pair aggregate
+    clusters on a superset of the partitioning key (no new exchange),
+    and the cohort week is a ``min() over (partition by user_id)``
+    window on the already-partitioned rows — no per-group set objects,
+    no explode, fully codegen'd. Interleaved 100x A/B
+    (AB_AUDIT100X_r14): 1.35 -> 1.12 s median (−17 %); same rows by
+    construction (distinct weeks per user with their per-user min).
+    Week state stays calendar-bounded exactly as before."""
+    from pyspark.sql import Window
+
     ev = load(spark, sf_dir, "events")
-    per_user = (
+    pairs = (
         ev.select("user_id", F.date_trunc("week", F.col("ts")).alias("week"))
-        .groupBy("user_id")
-        .agg(F.collect_set("week").alias("weeks"))
+        .repartition("user_id")
+        .groupBy("user_id", "week")
+        .agg(F.count(F.lit(1)).alias("__n"))
     )
+    w = Window.partitionBy("user_id")
     return (
-        per_user.select(F.array_min("weeks").alias("cohort_week"),
-                        F.explode("weeks").alias("week"))
+        pairs.select(F.min("week").over(w).alias("cohort_week"), "week")
         .select(
             "cohort_week",
             (F.datediff(F.col("week"), F.col("cohort_week")) / 7)
@@ -2315,7 +2319,16 @@ def ts_seasonal_baseline(spark: SparkSession, sf_dir: str) -> DataFrame:
     join-back under AQE — grouped baseline runtime-broadcast, zero
     fact-side exchange — LOST 2.60 -> 3.34 s median: the broadcast
     build + 6M-row hash probe costs more than the window's single
-    exchange + partition sort at this tier. Window stays."""
+    exchange + partition sort at this tier. Window stays.
+    r14 probe (AB_AUDIT100X_r14, measured dead end #3): ONE shared
+    user-keyed exchange feeding both the grouped mean and a
+    shuffled-hash join-back (no window sort, no second exchange) LOST
+    1.74 -> 2.70 s median at 100x — the SHJ probe + the double pass
+    through the exchange cost more than the window's in-partition
+    sort. This closes the re-plan space (agg+join-back, broadcast
+    join-back, shared-exchange SHJ all measured worse); the residual
+    vs DuckDB is the single-exchange + sort floor, adjudicated
+    final."""
     ev = load(spark, sf_dir, "events")
     base = ev.select(
         "event_id", "user_id", "ts", "value", F.hour("ts").cast("long").alias("hr")

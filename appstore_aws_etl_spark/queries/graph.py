@@ -79,9 +79,12 @@ def graph_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     # derived from the input's bytes (catalog.fanout_width) instead of
     # the session's typical-key shuffle width. repartition on the join
     # key ahead of the join: both aliases reuse the ONE exchange, so
-    # the exchange count is unchanged — only its width scales with
-    # data (interleaved A/B at sf0.1, shuffle=2 session: see
-    # OPTIMIZATION_r13.md pagerank entry).
+    # the PAIR CHAIN's exchange count is unchanged — only its width
+    # scales with data. (The full plan does gain two small-side
+    # exchanges per iteration re-aligning the node-sized rank table to
+    # width w — r14 doc correction; the pair chain dominates and the
+    # driver confirmed 2.83x.) Interleaved A/B at sf0.1, shuffle=2
+    # session: see OPTIMIZATION_r13.md pagerank entry.
     w = fanout_width(spark, sf_dir, "lineitem")
     op = li.select("l_orderkey", "l_partkey").repartition(w, "l_orderkey")
     a, b = op.alias("a"), op.alias("b")

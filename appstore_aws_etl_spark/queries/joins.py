@@ -12,7 +12,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
-from ..catalog import load
+from ..catalog import fanout_width, load
 from ..operators.asof import asof_join
 from ..registry import query
 
@@ -218,16 +218,37 @@ def join_theta(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def join_range(spark: SparkSession, sf_dir: str) -> DataFrame:
     """J10 range join: equi key + time-interval containment. The equi
-    key drives the shuffle; the range predicate evaluates post-match,
-    so this costs exactly one sort-merge join at any scale."""
-    o = load(spark, sf_dir, "orders")
+    key drives the shuffle; the range predicate evaluates as the hash
+    join's residual condition (never a nested loop).
+
+    Round 14 (guide §3.1): the orders side — projected to the two
+    columns the query needs, 16 bytes/row — is the shuffled-hash BUILD
+    under partition discipline: the explicit ``repartition(w, key)``
+    derives w from the LINEITEM bytes (the bigger side), and orders is
+    a fixed ~1/4 of lineitem's rows at a fraction of its width, so the
+    per-partition build is bounded by construction at any scale (the
+    r8 hint ban targeted unbounded session-width fact builds). SHJ
+    removes both sides' sorts; interleaved 100x A/B
+    (AB_JOINS100X_r14): 4.62 -> 3.31 s median. At sf0.1 the width
+    collapses to the session width (plan shape unchanged vs the hint
+    alone; 1x SHJ already measured faster in r7)."""
+    o = load(spark, sf_dir, "orders").select("o_orderkey", "o_orderdate")
     li = load(spark, sf_dir, "lineitem")
+    w = fanout_width(
+        spark, sf_dir, "lineitem", expansion=4, bytes_per_partition=32 << 20
+    )
+    o = o.repartition(w, "o_orderkey")
+    li = li.select("l_orderkey", "l_linenumber", "l_shipdate").repartition(
+        w, "l_orderkey"
+    )
     cond = (
         (o.o_orderkey == li.l_orderkey)
         & (li.l_shipdate >= o.o_orderdate)
         & (li.l_shipdate <= F.col("o_orderdate") + F.expr("INTERVAL 60 DAYS"))
     )
-    return o.join(li, cond).select("o_orderkey", "l_linenumber", "o_orderdate", "l_shipdate")
+    return o.hint("shuffle_hash").join(li, cond).select(
+        "o_orderkey", "l_linenumber", "o_orderdate", "l_shipdate"
+    )
 
 
 @query(
@@ -293,19 +314,21 @@ def join_asof(spark: SparkSession, sf_dir: str) -> DataFrame:
 def join_multikey(spark: SparkSession, sf_dir: str) -> DataFrame:
     """J12 composite-key equi-join (both key columns drive one shuffle).
 
-    No static join hint (round 8, reverting r7's shuffle_hash): BOTH
-    sides are the full-width fact table, so an unconditional SHJ hint
-    means an unbounded per-partition hash-map build — it OOM'd at the
-    100x tier (16 partitions x ~400 MB build maps; SparkOutOfMemoryError
-    "not enough memory to build hash map"). Round 9 re-confirmed the
-    OOM with AQE's REAL runtime SMJ->SHJ conversion enabled (the conf
-    r8 pinned was a misspelled no-op; the genuine
-    maxShuffledHashJoinLocalMapThreshold at 64 MB converted this join
-    at 100x and died identically at shuffle=16 AND 64 — BASELINE.md),
-    so the conversion stays disabled repo-wide and the join is
-    sort-merge, which spills gracefully at every scale. 1x AQE-off A/B:
-    SMJ 0.89 s vs SHJ 0.72 s — floor-dominated either way (the r7
-    "5.6 s" SMJ reading was sweep contention)."""
+    History of the join strategy: r7 hinted shuffle_hash; r8/r9 removed
+    it after the 100x tier OOM'd the unbounded per-partition build at
+    FIXED widths (shuffle=16 and 64 — ~400 MB deserialized build maps);
+    rounds 8-13 ran sort-merge. Round 14 restores the hash build UNDER
+    PARTITION DISCIPLINE (guide §3.1 + §2.5): the explicit
+    ``repartition(w, keys)`` below derives w from the fact's on-disk
+    bytes (fanout_width, expansion=4 parquet->in-memory decode,
+    32 MB of input bytes per partition), so the per-partition build is
+    bounded by construction at ANY scale — the exact condition whose
+    absence caused the r8/r9 OOMs. SHJ then replaces both sides'
+    O(n log n) sorts with an O(n) per-partition hash build; interleaved
+    100x A/B (AB_JOINS100X_r14): SMJ-at-session-width 5.82 s ->
+    width+SHJ 3.98 s median (width alone 4.93 — the sorts, not the
+    width, are the cost). At sf0.1 the derived width collapses to the
+    session width, so the bench plan keeps its measured shape."""
     li = load(spark, sf_dir, "lineitem")
     # both sides project the SAME columns so the two join inputs are
     # byte-identical subplans and Catalyst reuses ONE exchange
@@ -317,7 +340,11 @@ def join_multikey(spark: SparkSession, sf_dir: str) -> DataFrame:
     # cannot re-narrow the sides back into two divergent, non-reusable
     # projections (round-9 plan work; asserted by test_plans.py).
     proj = li.select("l_orderkey", "l_linenumber", "l_quantity", "l_extendedprice")
-    a, b = proj.alias("a"), proj.alias("b")
+    w = fanout_width(
+        spark, sf_dir, "lineitem", expansion=4, bytes_per_partition=32 << 20
+    )
+    proj = proj.repartition(w, "l_orderkey", "l_linenumber")
+    a, b = proj.alias("a"), proj.hint("shuffle_hash").alias("b")
     return a.join(
         b,
         (F.col("a.l_orderkey") == F.col("b.l_orderkey"))

@@ -304,11 +304,17 @@ def llm_jaccard_ngram(spark: SparkSession, sf_dir: str) -> DataFrame:
     bound that keeps one stop-gram from emitting k^2 rows at 100 TB)."""
     docs = load(spark, sf_dir, "documents")
     # gram self-join width from the corpus bytes (r14; see
-    # ngram_jaccard_pairs docstring — expansion covers the ~unchanged
-    # byte volume after 8-byte fingerprinting times the pair fanout;
-    # collapses to the session width at sf0.1, so the bench plan is
-    # unchanged)
-    w = fanout_width(spark, sf_dir, "documents", expansion=48)
+    # ngram_jaccard_pairs docstring). expansion=288 sizes the width for
+    # the PAIR-AGGREGATE memory bound, not the byte volume: per-gram
+    # fanout is bounded by df_cap^2/2 join rows whose per-partition
+    # multiplicity is ~1, so the partial aggregate holds ~every row it
+    # sees — at the 100x tier (~0.7B pair rows) width 64 left ~11M-row
+    # hash maps per task and OOM'd under 32 concurrent tasks
+    # (BENCH100X_PRE_r14: llm_containment_pairs FAILED; reproduced in
+    # AB_NGRAMW100X_r14 on the old arm). ~1k partitions bound the map
+    # at ~35 MB/task at that tier and measured wall-neutral-to-faster
+    # (92.7/69.6 s vs 75.6/89.5 s old — GC-bound variance band).
+    w = fanout_width(spark, sf_dir, "documents", expansion=288)
     return ngram_jaccard_pairs(
         docs, n=3, scope_cols=["lang", "source"], df_cap=100, fanout_partitions=w
     )
@@ -1336,7 +1342,7 @@ def llm_edit_distance_verify(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load(spark, sf_dir, "documents")
     cand = ngram_jaccard_pairs(
         docs, n=3, scope_cols=["lang", "source"], df_cap=100, pairs_only=True,
-        fanout_partitions=fanout_width(spark, sf_dir, "documents", expansion=48),
+        fanout_partitions=fanout_width(spark, sf_dir, "documents", expansion=288),
     )
     ta = docs.select(F.col("doc_id").alias("id_a"), F.col("text").alias("text_a"))
     tb = docs.select(F.col("doc_id").alias("id_b"), F.col("text").alias("text_b"))
@@ -1550,7 +1556,7 @@ def llm_containment_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load(spark, sf_dir, "documents")
     return ngram_jaccard_pairs(
         docs, scope_cols=["lang", "source"], df_cap=100, include_containment=True,
-        fanout_partitions=fanout_width(spark, sf_dir, "documents", expansion=48),
+        fanout_partitions=fanout_width(spark, sf_dir, "documents", expansion=288),
     )
 
 
